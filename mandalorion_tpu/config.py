@@ -1,0 +1,132 @@
+"""Single typed configuration for the whole pipeline.
+
+The reference scatters its constants across ~20 argparse flags re-parsed by
+every module (`Mando.py:21-199`, `defineIsoforms.py:20-52`,
+`filterIsoforms.py:19-68`) plus a dozen hardcoded magic numbers
+(`SpliceDefineConsensus.py:16,321,542-548,740`, `filterIsoforms.py:127,157-173`).
+Here every one of them is a named, documented field of one dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    """Splice-aware aligner parameters (replaces minimap2 `-ax splice:hq
+    --cs=long -uf -G 400k --secondary=no`, `Mando.py:316-319`)."""
+
+    kmer: int = 15                 # minimizer k (splice:hq: k=15)
+    window: int = 5                # minimizer w (splice:hq: w=5)
+    max_occ: int = 200             # drop minimizers more frequent than this
+    max_intron: int = 400_000      # -G 400k
+    min_intron: int = 30           # target gaps >= this are introns
+    match: int = 1                 # chain/extend match score
+    mismatch: int = 2              # mismatch penalty (positive)
+    gap_open: int = 2              # affine gap open (positive)
+    gap_extend: int = 1            # affine gap extend (positive)
+    noncanonical_penalty: int = 9  # splice junction without GT..AG (-C9)
+    forward_splice_only: bool = True  # -uf: transcript strand = read strand
+    chain_lookback: int = 64       # chaining DP window (anchors)
+    min_chain_score: int = 40      # discard chains below this score
+    min_chain_anchors: int = 3     # and with fewer anchors than this
+    band_width: int = 128          # banded DP half-band for gap fill
+    end_bonus: int = 0             # semi-global end extension bonus
+    zdrop: int = 100               # end-extension drop cutoff
+    max_end_extend: int = 2048     # max bases of end extension DP
+    secondary: bool = False        # --secondary=no
+    batch_reads: int = 512         # reads per device batch
+
+
+@dataclass(frozen=True)
+class PoaConfig:
+    """Partial-order consensus parameters (replaces `abpoa -M 5 -r 0 [-S]`,
+    `SpliceDefineConsensus.py:915-919`)."""
+
+    match: int = 5                 # -M 5
+    mismatch: int = 4              # abPOA default mismatch penalty
+    gap_open: int = 6              # abPOA default -O 6,26
+    gap_extend: int = 2            # abPOA default -E 2,1
+    gap_open2: int = 26
+    gap_extend2: int = 1
+    adaptive_band_threshold: int = 8000  # -S when median read length >= 8000
+    band_width: int = 128          # adaptive band half width
+    max_reads: int = 100           # consensus subsample cap (`SDC.py:884-885`)
+    seed: int = 0                  # our subsampling is seeded (reference: unseeded)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end APDFQ parameters. Field comments cite the reference flag
+    or hardcoded constant each one replaces."""
+
+    # ---- user-facing flags (Mando.py:21-199) ----
+    upstream_buffer: int = 10          # -u
+    downstream_buffer: int = 50        # -d
+    minimum_ratio: float = 0.01        # -r (module F locus-coverage ratio)
+    minimum_internal_ratio: float = 1.0  # -i
+    minimum_reads: int = 3             # -R
+    overhangs: Tuple[int, int, int, int] = (0, 40, 0, 40)  # -O
+    minimum_isoform_length: int = 200  # -I
+    minimum_feature_count: int = 2     # -n
+    splice_site_window: int = 1        # -w
+    acutoff: float = 0.5               # -A
+    white_list_polyA: Tuple[str, ...] = ("0",)  # -W (comma list; "0" = off)
+    multi_exon_only: bool = False      # -m
+    junctions: Tuple[str, ...] = (     # -j
+        "gtag", "gcag", "atac", "ctac", "ctgc", "gtat")
+    modules: str = "APDFQ"             # -M
+    threads: int = 8                   # -t (host-side parallelism)
+
+    # ---- constants that are hardcoded in the reference ----
+    locus_cutoff: float = 0.1          # D invoked with literal "0.1" (Mando.py:388)
+    minimum_intron_size: int = 10      # clean_psl gap merge (SDC.py:16)
+    junction_gap: int = 50             # junction = target gap > 50 (SDC.py:740)
+    accuracy_gate: float = 0.9         # reads below excluded from edges (SDC.py:321)
+    motif_fraction: float = 0.85       # allowed-motif gate (SDC.py:542)
+    flank_accuracy: float = 0.85       # '=' fraction in 5 cs ops/side (SDC.py:547)
+    splice_check_subsample: int = 500  # cs-motif subsample cap (SDC.py:506)
+    ends_subsample: int = 10_000       # end-calling subsample cap (SDC.py:819)
+    internal_buffer: int = 20          # containment end trim (filterIsoforms.py:127)
+    acontent_window: int = 15          # polyA A-content window (filterIsoforms.py:157)
+    polya_scan_offsets: Tuple[int, int] = (3, 23)  # scan range (filterIsoforms.py:158)
+    extend_vote: int = 10              # >=10 covered bases => extending (filterIsoforms.py:173)
+    whitelist_pad: int = 20            # polyA whitelist +/-20 (defineIsoforms.py:117-118)
+    coverage_round: int = 10           # myround base (SDC.py:227-229)
+
+    # ---- sub-configs ----
+    align: AlignConfig = field(default_factory=AlignConfig)
+    poa: PoaConfig = field(default_factory=PoaConfig)
+
+    # ---- runtime ----
+    seed: int = 0                      # seeded subsampling (reference: unseeded)
+    pacbio: bool = False               # hidden -P flag (BAM input)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def config_from_args(args) -> PipelineConfig:
+    """Build a PipelineConfig from a Mando-compatible argparse namespace."""
+    wl = tuple(str(args.white_list_polyA).split(","))
+    return PipelineConfig(
+        upstream_buffer=int(args.upstream_buffer),
+        downstream_buffer=int(args.downstream_buffer),
+        minimum_ratio=float(args.minimum_ratio),
+        minimum_internal_ratio=float(args.minimum_internal_ratio),
+        minimum_reads=int(args.minimum_reads),
+        overhangs=tuple(int(x) for x in str(args.overhangs).split(",")),
+        minimum_isoform_length=int(args.minimum_isoform_length),
+        minimum_feature_count=int(args.minimum_feature_count),
+        splice_site_window=int(args.splice_site_window),
+        acutoff=float(args.Acutoff),
+        white_list_polyA=wl,
+        multi_exon_only=bool(int(args.multi_exon_only)),
+        junctions=tuple(str(args.junctions).split(",")),
+        modules=str(args.Modules),
+        threads=int(args.minimap2_threads),
+        pacbio=bool(getattr(args, "pacbio", False)),
+    )

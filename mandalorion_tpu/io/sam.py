@@ -1,0 +1,150 @@
+"""SAM parsing and SAM → (extended) PSL conversion.
+
+Behavioral equivalent of the reference's `emtrey.py` converter: only 'M'
+CIGAR ops open PSL blocks, 'I' advances the query offset, 'D'/'N' advance the
+target offset, col 3 counts intron ('N') bases, accuracy =
+matches/(matches+mismatch+I+D+ambig) with mismatch = NM-(I+D)-nn clamped at 0
+(`emtrey.py:31-152`, probed semantics in SURVEY §2.4). The mando extension
+appends accuracy, the long-form cs string, and the read sequence restored to
+its original sequencing orientation (`emtrey.py:147-148`).
+
+Our own aligner emits extended PSL directly (align/aligner.py); this module
+exists for SAM interop and parity testing.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, Optional, TextIO
+
+from mandalorion_tpu.io.fastx import revcomp
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+def sam_to_psl_line(fields, t_size: int, mando: bool = False) -> Optional[str]:
+    """Convert one aligned SAM record (split fields) to a PSL line.
+    Returns None for unmapped records."""
+    if fields[2] == "*":
+        return None
+    name = fields[0]
+    flag = int(fields[1])
+    t_start = int(fields[3]) - 1
+    strand = "-" if flag & 16 else "+"
+    cigar = fields[5]
+    sequence = fields[9]
+    if strand == "-":
+        # SAM stores the target-forward sequence; undo to the original
+        # sequencing orientation for extended-PSL col 23.
+        sequence = revcomp(sequence)
+
+    block_sizes = []
+    q_starts = []
+    t_starts = [t_start]
+    q_start = 0
+    q_end_clip = 0
+    M = I = nI = D = nD = N = S = H = EQ = X = 0
+    ops = _CIGAR_RE.findall(cigar)
+    q_starts.append(0)
+    for i, (num_s, op) in enumerate(ops):
+        n = int(num_s)
+        if op in "SH":
+            if i == 0:
+                q_start = n
+                q_starts[0] = n
+            elif i == len(ops) - 1:
+                q_end_clip = n
+            if op == "S":
+                S += n
+            else:
+                H += n
+        elif op == "M":
+            M += n
+            block_sizes.append(n)
+            q_starts.append(n + q_starts[-1])
+            t_starts.append(n + t_starts[-1])
+        elif op == "I":
+            I += n
+            nI += 1
+            q_starts[-1] += n
+        elif op == "D":
+            D += n
+            nD += 1
+            t_starts[-1] += n
+        elif op == "N":
+            N += n
+            t_starts[-1] += n
+        elif op == "=":
+            EQ += n
+        elif op == "X":
+            X += n
+
+    ID = I + D
+    q_size = M + I + S + H + EQ + X
+    consume_ref = M + D + N + EQ + X
+    t_end = t_start + consume_ref
+    q_end = q_size if q_end_clip == 0 else q_size - q_end_clip
+    q_starts = q_starts[:-1] if q_starts else q_starts
+    t_starts = t_starts[:-1] if t_starts else t_starts
+
+    nm = ambig = 0
+    cs = ""
+    for col in fields[9:]:
+        if "NM:i:" in col:
+            nm = int(col.split(":")[2])
+        elif "nn:i:" in col:
+            ambig = int(col.split(":")[2])
+        elif "ts:A:" in col:
+            # transcript strand: a '-' ts tag flips the reported strand
+            if col.split(":")[2] == "-":
+                strand = "+" if strand == "-" else "-"
+        elif "cs:Z:" in col:
+            cs = col.split(":", 2)[2]
+    mismatch = max(nm - ID - ambig, 0)
+    matches = M - mismatch
+    denom = matches + mismatch + ID + ambig
+    accuracy = matches / denom if denom else 0.0
+
+    bs = ",".join(str(x) for x in block_sizes) + ","
+    qs = ",".join(str(x) for x in q_starts) + ","
+    ts = ",".join(str(x) for x in t_starts) + ","
+    line = (f"{matches}\t{mismatch}\t0\t{N}\t{nI}\t{I}\t{nD}\t{D}\t{strand}\t"
+            f"{name}\t{q_size}\t{q_start}\t{q_end}\t{fields[2]}\t{t_size}\t"
+            f"{t_start}\t{t_end}\t{len(block_sizes)}\t{bs}\t{qs}\t{ts}")
+    if mando:
+        line += f"\t{accuracy}\t{cs}\t{sequence}"
+    return line
+
+
+def sam_to_psl(sam_path: str, psl_path: str, mando: bool = False) -> None:
+    """Convert a SAM file to (extended) PSL."""
+    chrom_sizes: Dict[str, int] = {}
+    with open(sam_path) as fh, open(psl_path, "w") as out:
+        for line in fh:
+            if line.startswith("@"):
+                if line.startswith("@SQ"):
+                    a = line.rstrip("\n").split("\t")
+                    sn = next(x for x in a if x.startswith("SN:"))[3:]
+                    ln = int(next(x for x in a if x.startswith("LN:"))[3:])
+                    chrom_sizes[sn] = ln
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if fields[2] == "*":
+                continue
+            psl = sam_to_psl_line(fields, chrom_sizes[fields[2]], mando=mando)
+            if psl is not None:
+                out.write(psl + "\n")
+
+
+def filter_sam(sam_path: str, out_path: str) -> None:
+    """Drop secondary (flag 0x100) and supplementary (0x800) alignments
+    (`filterIsoforms.filter_sam`, :443-459)."""
+    with open(sam_path) as fh, open(out_path, "w") as out:
+        for line in fh:
+            if line.startswith("@"):
+                out.write(line)
+                continue
+            flag = int(line.split("\t", 2)[1])
+            if flag & 0x100 or flag & 0x800:
+                continue
+            out.write(line)

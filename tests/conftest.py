@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding logic is exercised without TPU hardware (SURVEY §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_genome(rng, length=20000, seed=7):
+    """Deterministic random genome sequence."""
+    r = np.random.default_rng(seed)
+    return "".join(r.choice(list("ACGT"), size=length))
+
+
+@pytest.fixture
+def genome():
+    return make_genome(None)
