@@ -1,0 +1,136 @@
+"""PSL cleaning (small-gap merging) and locus splitting.
+
+Behavioral equivalents of `SpliceDefineConsensus.clean_psl` (SDC.py:14-93)
+and `SpliceDefineConsensus.get_chromosomes` (SDC.py:442-495):
+
+- clean_psl merges alignment gaps < minimum_intron_size (10) into their
+  flanking blocks (the gap bases count as aligned), keeps gaps >= 10 as
+  introns, and RECOMPUTES qStarts as qStart + cumulative cleaned block sizes
+  — deliberately dropping read-insertion offsets (probed quirk, SURVEY §5.9).
+  With primary=True only the first alignment per read name is kept.
+- split_loci streams a sorted PSL and starts a new locus when the chromosome
+  changes or start > previous_end (overlap chaining).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Iterator, List, Tuple
+
+from mandalorion_tpu.io.psl import PslRecord, parse_psl_line, format_psl
+
+
+def clean_record(rec: PslRecord, minimum_intron_size: int = 10) -> PslRecord:
+    """Merge sub-intron gaps into blocks; recompute qStarts cumulatively."""
+    sizes = rec.block_sizes
+    starts = rec.t_starts
+    new_sizes: List[int] = []
+    new_tstarts: List[int] = []
+    new_qstarts: List[int] = []
+
+    merged = 0
+    pending: List[Tuple[int, int]] = []  # (merged_block_size, following_gap)
+    for i, size in enumerate(sizes):
+        merged += size
+        if i + 1 < len(sizes):
+            gap = starts[i + 1] - (starts[i] + size)
+            if gap < minimum_intron_size:
+                merged += gap
+            else:
+                pending.append((merged, gap))
+                merged = 0
+    last_block = merged
+
+    t_pos = rec.t_start
+    q_pos = rec.q_start
+    for block, gap in pending:
+        new_tstarts.append(t_pos)
+        new_sizes.append(block)
+        new_qstarts.append(q_pos)
+        t_pos += block + gap
+        q_pos += block
+    new_tstarts.append(t_pos)
+    new_sizes.append(last_block)
+    new_qstarts.append(q_pos)
+
+    out = PslRecord(**{**rec.__dict__})
+    out.block_count = len(new_sizes)
+    out.block_sizes = new_sizes
+    out.q_starts = new_qstarts
+    out.t_starts = new_tstarts
+    return out
+
+
+def clean_psl_file(psl_path: str, out_path: str, primary: bool,
+                   minimum_intron_size: int = 10) -> None:
+    """File-level clean_psl with first-alignment-per-name dedup."""
+    used = set()
+    with open(psl_path) as fh, open(out_path, "w") as out:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = parse_psl_line(line)
+            if primary and rec.q_name in used:
+                continue
+            out.write(format_psl(clean_record(rec, minimum_intron_size)) + "\n")
+            used.add(rec.q_name)
+
+
+def iter_loci(lines: Iterable[str]) -> Iterator[Tuple[str, int, int, List[str]]]:
+    """Group sorted PSL lines into loci. Yields (chrom, start, end, lines).
+
+    A new locus starts when the chromosome changes or start > previous_end;
+    previous_end grows to max(end, previous_end) within a locus
+    (SDC.py:442-495, including the v4.0.0 first-read fix at :479).
+    """
+    reads: List[str] = []
+    prev_chrom = ""
+    prev_start = 0
+    prev_end = 0
+    for line in lines:
+        if not line.strip():
+            continue
+        a = line.split("\t", 17)
+        chrom = a[13]
+        start = int(a[15])
+        end = int(a[16])
+        if chrom != prev_chrom or start > prev_end:
+            if reads:
+                yield prev_chrom, prev_start, prev_end, reads
+            reads = [line]
+            prev_chrom = chrom
+            prev_start = start
+            prev_end = end
+        else:
+            prev_end = max(end, prev_end)
+            reads.append(line)
+    if reads:
+        yield prev_chrom, prev_start, prev_end, reads
+
+
+def split_loci(sorted_psl_path: str, out_dir: str) -> Dict[str, str]:
+    """Write one `<chrom>~<start>~<end>.psl` per locus (locus PSL contract,
+    SURVEY §2.4). Returns read_name -> locus_root."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    read_to_root: Dict[str, str] = {}
+    with open(sorted_psl_path) as fh:
+        for chrom, start, end, lines in iter_loci(fh):
+            root = f"{chrom}~{start}~{end}"
+            with open(os.path.join(out_dir, root + ".psl"), "w") as out:
+                for line in lines:
+                    out.write(line)
+                    read_to_root[line.split("\t", 10)[9]] = root
+    return read_to_root
+
+
+def discover_loci(out_dir: str) -> List[str]:
+    """Re-discover locus roots from a tmp_SS directory, sorted by
+    (chrom, start) like `defineIsoforms.py:126`."""
+    import os
+
+    roots = []
+    for f in os.listdir(out_dir):
+        if f.endswith(".psl") and os.path.isfile(os.path.join(out_dir, f)):
+            roots.append(f[:-len(".psl")])
+    return sorted(roots, key=lambda r: (r.split("~")[0], int(r.split("~")[1])))

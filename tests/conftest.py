@@ -9,6 +9,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(__file__))  # oracle/synthdata helpers
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,95 @@
+"""Synthetic genomes, transcripts, reads, and truth extended-PSL lines.
+
+Builds config-1-style datasets (BASELINE.md): a random genome with planted
+multi-exon genes (canonical gt..ag introns), transcripts, error-free or
+noisy reads, and the extended PSL lines a perfect splice aligner would
+produce — so core-module parity tests don't depend on the aligner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BASES = np.array(list("ACGT"))
+
+
+def make_genome(length: int, seed: int = 7) -> str:
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(BASES, size=length))
+
+
+def plant_introns(genome: str, exons) -> str:
+    """Force canonical gt..ag at the intron boundaries between exons.
+    exons: list of (start, end) genomic half-open intervals, ascending."""
+    g = list(genome)
+    for (s1, e1), (s2, e2) in zip(exons, exons[1:]):
+        g[e1] = "G"
+        g[e1 + 1] = "T"
+        g[s2 - 2] = "A"
+        g[s2 - 1] = "G"
+    return "".join(g)
+
+
+def transcript_seq(genome: str, exons) -> str:
+    return "".join(genome[s:e] for s, e in exons)
+
+
+def truth_psl_line(name: str, genome: str, exons, chrom: str = "chr1",
+                   strand: str = "+", left_extra: int = 0,
+                   right_extra: int = 0, extra_seq: str = "T") -> str:
+    """Extended PSL line for an error-free read covering `exons` exactly,
+    with optional soft-clipped extra bases on each end. cs string covers
+    the aligned portion (matches + introns)."""
+    seq = transcript_seq(genome, exons)
+    aligned = len(seq)
+    q_size = aligned + left_extra + right_extra
+    q_start = left_extra
+    q_end = left_extra + aligned
+    t_start = exons[0][0]
+    t_end = exons[-1][1]
+    sizes = [e - s for s, e in exons]
+    t_starts = [s for s, _ in exons]
+    q_starts = [q_start]
+    for z in sizes[:-1]:
+        q_starts.append(q_starts[-1] + z)
+    cs = ""
+    n_bases = 0
+    for i, (s, e) in enumerate(exons):
+        cs += "=" + genome[s:e]
+        if i + 1 < len(exons):
+            gap = exons[i + 1][0] - e
+            n_bases += gap
+            cs += f"~{genome[e:e+2].lower()}{gap}{genome[exons[i+1][0]-2:exons[i+1][0]].lower()}"
+    full_seq = extra_seq * left_extra + seq + extra_seq * right_extra
+    cols = [
+        aligned, 0, 0, n_bases, 0, 0, 0, 0, strand, name, q_size, q_start,
+        q_end, chrom, len(genome), t_start, t_end, len(sizes),
+        ",".join(map(str, sizes)) + ",",
+        ",".join(map(str, q_starts)) + ",",
+        ",".join(map(str, t_starts)) + ",",
+        1.0, cs, full_seq,
+    ]
+    return "\t".join(str(c) for c in cols)
+
+
+def gtf_lines(chrom: str, gene: str, tid: str, exons, strand: str = "+",
+              tags: str = "") -> str:
+    out = []
+    attrs = (f'gene_id "{gene}"; transcript_id "{tid}"; '
+             f'gene_name "{gene}N";{tags}')
+    for s, e in exons:
+        out.append(f"{chrom}\tsynth\texon\t{s + 1}\t{e}\t.\t{strand}\t.\t{attrs}")
+    return "\n".join(out) + "\n"
+
+
+def mutate_read(seq: str, rng: np.random.Generator, sub_rate: float = 0.0):
+    """Introduce substitutions (keeps length). Returns (seq, n_subs)."""
+    if sub_rate <= 0:
+        return seq, 0
+    arr = np.array(list(seq))
+    mask = rng.random(len(arr)) < sub_rate
+    subs = int(mask.sum())
+    if subs:
+        repl = rng.choice(BASES, size=subs)
+        arr[mask] = repl
+    return "".join(arr), subs
