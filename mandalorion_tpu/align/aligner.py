@@ -1,0 +1,316 @@
+"""Splice-aware read-to-genome aligner (minimap2 `-ax splice:hq --cs=long
+-uf -G 400k --secondary=no` replacement, `Mando.py:316-319`).
+
+Per batch: vectorized minimizers for both read orientations → index lookup
+→ per-chromosome diagonal-segment chaining → best strand/chromosome chain →
+intron splice-point fills + batched DP gap fills + end extensions → extended
+PSL emission (blocks split at every indel, exactly emtrey's block model).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mandalorion_tpu.align.chain import (
+    Segment, chain_segments, collapse_anchors)
+from mandalorion_tpu.align.encode import encode, minimizers, revcomp_codes
+from mandalorion_tpu.align.extend import (
+    DpProblem, DpResult, solve_dp_numpy, splice_fill)
+from mandalorion_tpu.align.index import GenomeIndex, build_index
+from mandalorion_tpu.config import AlignConfig
+from mandalorion_tpu.io.psl import PslRecord
+
+_DECODE = np.array(list("ACGTN"))
+
+
+def _decode(codes: np.ndarray) -> str:
+    return "".join(_DECODE[np.minimum(codes, 4)])
+
+
+@dataclass
+class _Pending:
+    """A read alignment awaiting batched DP results."""
+
+    name: str
+    seq: str
+    strand: str
+    q_codes: np.ndarray            # aligned-orientation query codes
+    chrom_idx: int
+    ops: List[Tuple[str, int, int, int]]  # (kind, q0, t0, length) + DP slots
+    dp_slots: List[int]            # indices into the batch problem list
+
+
+class SpliceAligner:
+    """Genome-indexed splice aligner. Thread the same instance through
+    batches; the index is a numpy pytree (replicable across hosts)."""
+
+    def __init__(self, genome: Dict[str, str],
+                 cfg: Optional[AlignConfig] = None):
+        self.cfg = cfg or AlignConfig()
+        self.index = build_index(genome, self.cfg.kmer, self.cfg.window)
+        self.dp_backend = solve_dp_numpy
+
+    # ------------------------------------------------------------ seeding
+
+    def _chain_for(self, codes: np.ndarray
+                   ) -> Tuple[Optional[List[Segment]], float, int]:
+        """Best chain for one read orientation: (chain, score, chrom_idx)."""
+        cfg = self.cfg
+        pos, hashes = minimizers(codes, cfg.kmer, cfg.window)
+        if len(pos) == 0:
+            return None, 0.0, -1
+        qidx, gpos = self.index.lookup(hashes, cfg.max_occ)
+        if len(qidx) == 0:
+            return None, 0.0, -1
+        qpos = pos[qidx]
+        ci, local = self.index.position_to_chrom(gpos)
+        best_chain, best_score, best_ci = None, 0.0, -1
+        for c in np.unique(ci):
+            mask = ci == c
+            segs = collapse_anchors(qpos[mask], gpos[mask], cfg.kmer)
+            chain, score = chain_segments(
+                segs, min_intron=cfg.min_intron, max_intron=cfg.max_intron)
+            if chain and score > best_score:
+                best_chain, best_score, best_ci = chain, score, int(c)
+        return best_chain, best_score, best_ci
+
+    # ------------------------------------------------------------- filling
+
+    def _fill(self, name: str, seq: str, strand: str, q_codes: np.ndarray,
+              chain: List[Segment], chrom_idx: int,
+              problems: List[DpProblem]) -> Optional[_Pending]:
+        cfg = self.cfg
+        g = self.index.seq_codes
+        ops: List[Tuple[str, int, int, int]] = []
+        dp_slots: List[int] = []
+
+        def add_dp(q0: int, t0: int, q_arr: np.ndarray, t_arr: np.ndarray,
+                   mode: str) -> None:
+            dp_slots.append(len(problems))
+            problems.append(DpProblem(q_arr, t_arr, mode))
+            ops.append(("DP", q0, t0, len(dp_slots) - 1))
+
+        chrom_off = int(self.index.chrom_offsets[chrom_idx])
+        chrom_end = chrom_off + int(self.index.chrom_sizes[chrom_idx])
+        first, last = chain[0], chain[-1]
+        # left end extension (reversed extend problem); never cross the
+        # chromosome boundary
+        lq = min(first.q_start, cfg.max_end_extend)
+        if lq > 0:
+            lt = min(first.t_start - chrom_off, lq + cfg.band_width)
+            add_dp(first.q_start, first.t_start,
+                   q_codes[first.q_start - lq:first.q_start][::-1].copy(),
+                   g[first.t_start - lt:first.t_start][::-1].copy(),
+                   "extend_left")
+
+        prev: Optional[Segment] = None
+        for seg in chain:
+            if prev is not None:
+                dq = seg.q_start - prev.q_end
+                dt = seg.t_start - prev.t_end
+                if dt - dq >= cfg.min_intron and dq >= 0:
+                    q = q_codes[prev.q_end:seg.q_start]
+                    t_left = g[prev.t_end:prev.t_end + dq + 2]
+                    t_right = g[seg.t_start - dq - 2:seg.t_start]
+                    splits = np.arange(dq + 1)
+                    donor = np.stack([
+                        g[prev.t_end + splits],
+                        g[prev.t_end + splits + 1]], axis=1)
+                    acc_base = seg.t_start - (dq - splits)
+                    acceptor = np.stack([
+                        g[acc_base - 2], g[acc_base - 1]], axis=1)
+                    s, _m = splice_fill(
+                        q, g[prev.t_end:prev.t_end + dq] if dq else
+                        np.zeros(0, np.uint8),
+                        g[seg.t_start - dq:seg.t_start] if dq else
+                        np.zeros(0, np.uint8),
+                        donor, acceptor, strand, cfg.noncanonical_penalty)
+                    if s > 0:
+                        ops.append(("M", prev.q_end, prev.t_end, s))
+                    ops.append(("N", prev.q_end + s, prev.t_end + s,
+                                dt - dq))
+                    if dq - s > 0:
+                        ops.append(("M", prev.q_end + s,
+                                    seg.t_start - (dq - s), dq - s))
+                elif dq == dt:
+                    if dq > 0:
+                        ops.append(("M", prev.q_end, prev.t_end, dq))
+                elif dq == 0:
+                    ops.append(("D", prev.q_end, prev.t_end, dt))
+                elif dt == 0:
+                    ops.append(("I", prev.q_end, prev.t_end, dq))
+                else:
+                    if dq * dt <= 4_000_000:
+                        add_dp(prev.q_end, prev.t_end,
+                               q_codes[prev.q_end:seg.q_start].copy(),
+                               g[prev.t_end:seg.t_start].copy(), "global")
+                    else:  # degenerate huge gap: crude I+D fill
+                        ops.append(("I", prev.q_end, prev.t_end, dq))
+                        ops.append(("D", seg.q_start, prev.t_end, dt))
+            ops.append(("M", seg.q_start, seg.t_start, seg.length))
+            prev = seg
+
+        rq = min(len(q_codes) - last.q_end, cfg.max_end_extend)
+        if rq > 0:
+            rt = min(chrom_end - last.t_end, rq + cfg.band_width)
+            add_dp(last.q_end, last.t_end,
+                   q_codes[last.q_end:last.q_end + rq].copy(),
+                   g[last.t_end:last.t_end + rt].copy(), "extend_right")
+        return _Pending(name, seq, strand, q_codes, chrom_idx, ops, dp_slots)
+
+    # ------------------------------------------------------------ emission
+
+    def _emit(self, pend: _Pending, results: List[DpResult],
+              modes: List[str], base: int) -> Optional[PslRecord]:
+        """Stitch structural + DP ops into runs and build the PSL record."""
+        runs: List[Tuple[str, int, int, int]] = []  # (op, q0, t0, len)
+
+        def push(op: str, q0: int, t0: int, ln: int) -> None:
+            if ln > 0:
+                runs.append((op, q0, t0, ln))
+
+        for kind, q0, t0, ln in pend.ops:
+            if kind == "DP":
+                slot = base + pend.dp_slots[ln]
+                res = results[slot]
+                if not res.ops:
+                    continue
+                if modes[slot] == "extend_left":
+                    # solved on reversed arrays: alignment covers
+                    # q[q0-q_len:q0] / t[t0-t_len:t0], ops reversed
+                    qq, tt = q0 - res.q_len, t0 - res.t_len
+                    op_list = list(reversed(res.ops))
+                else:
+                    qq, tt = q0, t0
+                    op_list = res.ops
+                for op, dq, dt in op_list:
+                    push(op, qq, tt, dq if op != "D" else dt)
+                    qq += dq
+                    tt += dt
+            else:
+                push(kind, q0, t0, ln)
+
+        runs.sort(key=lambda r: (r[1], r[2]))
+        return self._runs_to_psl(pend, runs)
+
+    def _runs_to_psl(self, pend: _Pending,
+                     runs: List[Tuple[str, int, int, int]]
+                     ) -> Optional[PslRecord]:
+        cfg = self.cfg
+        g = self.index.seq_codes
+        q = pend.q_codes
+        matches = mismatches = 0
+        n_bases = nI = I = nD = D = 0
+        cs_parts: List[str] = []
+        block_sizes: List[int] = []
+        q_starts: List[int] = []
+        t_starts: List[int] = []
+
+        def open_block(q0: int, t0: int, ln: int) -> None:
+            if block_sizes and (t_starts[-1] + block_sizes[-1] == t0
+                                and q_starts[-1] + block_sizes[-1] == q0):
+                block_sizes[-1] += ln
+            else:
+                block_sizes.append(ln)
+                q_starts.append(q0)
+                t_starts.append(t0)
+
+        for op, q0, t0, ln in runs:
+            if op == "M":
+                open_block(q0, t0, ln)
+                eq = q[q0:q0 + ln] == g[t0:t0 + ln]
+                matches += int(eq.sum())
+                mismatches += int(ln - eq.sum())
+                # emit cs: runs of = and *
+                idx = 0
+                edges = np.flatnonzero(np.diff(eq.astype(np.int8))) + 1
+                bounds = [0] + edges.tolist() + [ln]
+                for b0, b1 in zip(bounds, bounds[1:]):
+                    if eq[b0]:
+                        cs_parts.append("=" + _decode(q[q0 + b0:q0 + b1]))
+                    else:
+                        for o in range(b0, b1):
+                            cs_parts.append(
+                                "*" + _decode(g[t0 + o:t0 + o + 1]).lower()
+                                + _decode(q[q0 + o:q0 + o + 1]).lower())
+            elif op == "I":
+                nI += 1
+                I += ln
+                cs_parts.append("+" + _decode(q[q0:q0 + ln]).lower())
+            elif op == "D":
+                nD += 1
+                D += ln
+                cs_parts.append("-" + _decode(g[t0:t0 + ln]).lower())
+            elif op == "N":
+                n_bases += ln
+                cs_parts.append(
+                    "~" + _decode(g[t0:t0 + 2]).lower() + str(ln)
+                    + _decode(g[t0 + ln - 2:t0 + ln]).lower())
+
+        if not block_sizes:
+            return None
+        chrom_off = int(self.index.chrom_offsets[pend.chrom_idx])
+        t_start = t_starts[0] - chrom_off
+        t_end = t_starts[-1] + block_sizes[-1] - chrom_off
+        q_start = q_starts[0]
+        q_end = q_starts[-1] + block_sizes[-1]
+        denom = matches + mismatches + I + D
+        accuracy = matches / denom if denom else 0.0
+        seq_out = pend.seq  # original read orientation (emtrey col 23)
+        rec = PslRecord(
+            matches=matches, mismatches=mismatches, rep_matches=0,
+            n_count=n_bases, q_num_insert=nI, q_base_insert=I,
+            t_num_insert=nD, t_base_insert=D, strand=pend.strand,
+            q_name=pend.name, q_size=len(q), q_start=q_start, q_end=q_end,
+            t_name=self.index.chrom_names[pend.chrom_idx],
+            t_size=int(self.index.chrom_sizes[pend.chrom_idx]),
+            t_start=t_start, t_end=t_end, block_count=len(block_sizes),
+            block_sizes=block_sizes,
+            q_starts=q_starts,
+            t_starts=[t - chrom_off for t in t_starts],
+            accuracy=accuracy, cs="".join(cs_parts), sequence=seq_out)
+        return rec
+
+    # -------------------------------------------------------------- public
+
+    def map_batch(self, reads: Sequence[Tuple[str, str]]
+                  ) -> List[PslRecord]:
+        """Align a batch of (name, seq) reads; primary alignments only."""
+        problems: List[DpProblem] = []
+        pendings: List[_Pending] = []
+        bases: List[int] = []
+        for name, seq in reads:
+            codes = encode(seq)
+            rc = revcomp_codes(codes)
+            chain_f, score_f, ci_f = self._chain_for(codes)
+            chain_r, score_r, ci_r = self._chain_for(rc)
+            if chain_f is None and chain_r is None:
+                continue
+            if score_f >= score_r:
+                chain, strand, ci, q_codes = chain_f, "+", ci_f, codes
+            else:
+                chain, strand, ci, q_codes = chain_r, "-", ci_r, rc
+            if chain is None or float(
+                    sum(s.length for s in chain)) < cfg_min_len(self.cfg):
+                continue
+            base = len(problems)
+            pend = self._fill(name, seq, strand, q_codes, chain, ci,
+                              problems)
+            if pend is not None:
+                bases.append(base)
+                pendings.append(pend)
+        modes = [p.mode for p in problems]
+        results = self.dp_backend(problems, self.cfg)
+        out: List[PslRecord] = []
+        for pend, base in zip(pendings, bases):
+            rec = self._emit(pend, results, modes, base)
+            if rec is not None:
+                out.append(rec)
+        return out
+
+
+def cfg_min_len(cfg: AlignConfig) -> float:
+    return float(cfg.min_chain_score)

@@ -1,0 +1,126 @@
+"""Anchor chaining: minimizer anchors → diagonal segments → best chain.
+
+Anchors that share a diagonal (tpos - qpos) collapse into exact-diagonal
+segments (no indel possible inside, substitutions resolved later at cs
+emission), then a small O(n²) DP chains segments with splice-aware gap
+costs — the classic collinear-block formulation of minimap2's chain DP
+(minimap2 paper §2.1, PAPERS.md), sized so the per-read segment count is
+tens, not thousands.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Segment:
+    """Maximal same-diagonal run: query [q_start, q_end) matches target
+    [t_start, t_end) with t - q constant (substitutions allowed)."""
+
+    q_start: int
+    q_end: int
+    t_start: int
+    t_end: int
+
+    @property
+    def diag(self) -> int:
+        return self.t_start - self.q_start
+
+    @property
+    def length(self) -> int:
+        return self.q_end - self.q_start
+
+
+def collapse_anchors(q_pos: np.ndarray, t_pos: np.ndarray, k: int,
+                     merge_gap: int = 100) -> List[Segment]:
+    """Merge anchors on the same diagonal with spacing <= merge_gap into
+    segments. Input: anchor start positions (k-mer starts)."""
+    if len(q_pos) == 0:
+        return []
+    diag = t_pos - q_pos
+    order = np.lexsort((t_pos, diag))
+    d, q, t = diag[order], q_pos[order], t_pos[order]
+    new_seg = np.ones(len(d), bool)
+    new_seg[1:] = (d[1:] != d[:-1]) | (t[1:] - t[:-1] > merge_gap + k)
+    seg_ids = np.cumsum(new_seg) - 1
+    segments: List[Segment] = []
+    starts = np.nonzero(new_seg)[0]
+    ends = np.append(starts[1:], len(d))
+    for s, e in zip(starts, ends):
+        segments.append(Segment(
+            q_start=int(q[s]), q_end=int(q[e - 1]) + k,
+            t_start=int(t[s]), t_end=int(t[e - 1]) + k))
+    return segments
+
+
+def chain_segments(segments: List[Segment], *, min_intron: int,
+                   max_intron: int, match: int = 1,
+                   intron_penalty: float = 12.0,
+                   indel_open: float = 4.0, indel_scale: float = 0.3,
+                   max_segments: int = 512
+                   ) -> Tuple[List[Segment], float]:
+    """Best-scoring collinear chain via O(n²) DP over segments sorted by
+    query start. Returns (chain segments in order, score)."""
+    if not segments:
+        return [], 0.0
+    if len(segments) > max_segments:
+        segments = sorted(segments, key=lambda s: -s.length)[:max_segments]
+    segments = sorted(segments, key=lambda s: (s.q_start, s.t_start))
+    n = len(segments)
+    qs = np.array([s.q_start for s in segments])
+    qe = np.array([s.q_end for s in segments])
+    ts = np.array([s.t_start for s in segments])
+    te = np.array([s.t_end for s in segments])
+    lens = (qe - qs).astype(np.float64)
+
+    score = lens * match
+    parent = np.full(n, -1, np.int64)
+    for i in range(1, n):
+        # candidate predecessors j < i
+        dq = qs[i] - qe[:i]
+        dt = ts[i] - te[:i]
+        # allow bounded overlap (anchors overlap across indels); the fill
+        # step trims it
+        overlap = np.maximum(np.maximum(-dq, -dt), 0)
+        valid = (dq > -lens[:i]) & (dt > -lens[:i]) & (dt <= max_intron) \
+            & (qe[:i] <= qe[i]) & (te[:i] <= te[i])
+        gap_q = np.maximum(dq, 0)
+        gap_t = np.maximum(dt, 0)
+        diff = np.abs(gap_t - gap_q)
+        is_intron = (gap_t - gap_q) >= min_intron
+        cost = np.where(
+            is_intron,
+            intron_penalty + 0.01 * np.log2(np.maximum(diff, 1)),
+            indel_open + indel_scale * diff,
+        )
+        cand = score[:i] + lens[i] * match - cost - overlap * match
+        cand = np.where(valid, cand, -np.inf)
+        j = int(np.argmax(cand)) if len(cand) else -1
+        if j >= 0 and cand[j] > score[i]:
+            score[i] = cand[j]
+            parent[i] = j
+
+    best = int(np.argmax(score))
+    chain_idx = []
+    at = best
+    while at >= 0:
+        chain_idx.append(at)
+        at = int(parent[at])
+    chain_idx.reverse()
+
+    # trim overlaps so the chain is strictly increasing in q and t
+    chain: List[Segment] = []
+    prev_q = prev_t = -1
+    for idx in chain_idx:
+        s = segments[idx]
+        trim = max(prev_q - s.q_start, prev_t - s.t_start, 0)
+        q0, t0 = s.q_start + trim, s.t_start + trim
+        if q0 >= s.q_end or t0 >= s.t_end:
+            continue
+        chain.append(Segment(q0, s.q_end, t0, s.t_end))
+        prev_q, prev_t = s.q_end, s.t_end
+    return chain, float(score[best])

@@ -1,0 +1,109 @@
+"""Sharded genome minimizer index.
+
+Replaces minimap2's index (`-ax splice:hq` default k=15, w=5). The genome is
+concatenated with 'N' spacers (k-mers spanning chromosome boundaries are
+invalid); minimizer (position, hash) pairs are sorted by hash for
+searchsorted lookup. The index is a plain pytree of numpy arrays, so it can
+be replicated per host or sharded across devices along the hash axis
+(parallel/dist.py) — SURVEY §2.3's data-parallel alignment axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from mandalorion_tpu.align.encode import encode, minimizers
+
+
+@dataclass
+class GenomeIndex:
+    kmer: int
+    window: int
+    seq_codes: np.ndarray          # concatenated genome, uint8 codes
+    chrom_names: List[str]
+    chrom_offsets: np.ndarray      # start offset of each chrom (int64)
+    chrom_sizes: np.ndarray
+    sorted_hashes: np.ndarray      # minimizer hashes, ascending (uint64)
+    sorted_positions: np.ndarray   # global genome positions (int64)
+
+    @property
+    def total_length(self) -> int:
+        return len(self.seq_codes)
+
+    def position_to_chrom(self, gpos: np.ndarray
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Global positions -> (chrom_index, local_position)."""
+        ci = np.searchsorted(self.chrom_offsets, gpos, side="right") - 1
+        return ci, gpos - self.chrom_offsets[ci]
+
+    def lookup(self, hashes: np.ndarray, max_occ: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """For query minimizer hashes, return (query_idx, genome_position)
+        anchor pairs; hashes occurring more than max_occ times in the genome
+        are dropped (repeat masking, minimap2's -f analogue)."""
+        lo = np.searchsorted(self.sorted_hashes, hashes, side="left")
+        hi = np.searchsorted(self.sorted_hashes, hashes, side="right")
+        counts = hi - lo
+        keep = (counts > 0) & (counts <= max_occ)
+        lo, hi = lo[keep], hi[keep]
+        qidx = np.nonzero(keep)[0]
+        if len(lo) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        reps = (hi - lo).astype(np.int64)
+        qout = np.repeat(qidx, reps)
+        # gather genome positions for each [lo, hi) run
+        total = int(reps.sum())
+        idx = np.repeat(lo, reps) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps))
+        return qout, self.sorted_positions[idx]
+
+
+def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
+                chunk: int = 1 << 24) -> GenomeIndex:
+    """Build the minimizer index from a chrom -> sequence dict. Chromosomes
+    are processed in chunks (with k-1 overlap) to bound peak memory."""
+    names = sorted(genome)
+    offsets = []
+    sizes = []
+    code_parts = []
+    pos_parts: List[np.ndarray] = []
+    hash_parts: List[np.ndarray] = []
+    offset = 0
+    spacer = np.full(1, 4, np.uint8)  # 'N' spacer kills boundary k-mers
+    for name in names:
+        seq = genome[name]
+        codes = encode(seq)
+        offsets.append(offset)
+        sizes.append(len(codes))
+        code_parts.append(codes)
+        code_parts.append(spacer)
+        start = 0
+        while start < len(codes):
+            stop = min(len(codes), start + chunk)
+            sub = codes[start:stop + kmer - 1] if stop < len(codes) \
+                else codes[start:stop]
+            pos, hsh = minimizers(sub, kmer, window)
+            if len(pos):
+                pos_parts.append(pos + offset + start)
+                hash_parts.append(hsh)
+            start = stop
+        offset += len(codes) + 1
+    all_pos = (np.concatenate(pos_parts) if pos_parts
+               else np.zeros(0, np.int64))
+    all_hash = (np.concatenate(hash_parts) if hash_parts
+                else np.zeros(0, np.uint64))
+    order = np.argsort(all_hash, kind="stable")
+    return GenomeIndex(
+        kmer=kmer, window=window,
+        seq_codes=np.concatenate(code_parts) if code_parts
+        else np.zeros(0, np.uint8),
+        chrom_names=names,
+        chrom_offsets=np.asarray(offsets, np.int64),
+        chrom_sizes=np.asarray(sizes, np.int64),
+        sorted_hashes=all_hash[order],
+        sorted_positions=all_pos[order],
+    )

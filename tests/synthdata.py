@@ -18,15 +18,17 @@ def make_genome(length: int, seed: int = 7) -> str:
     return "".join(rng.choice(BASES, size=length))
 
 
-def plant_introns(genome: str, exons) -> str:
-    """Force canonical gt..ag at the intron boundaries between exons.
+def plant_introns(genome: str, exons, strand: str = "+") -> str:
+    """Force canonical intron motifs at the boundaries between exons:
+    gt..ag on genome-forward for '+' transcripts, ct..ac for '-' ones.
     exons: list of (start, end) genomic half-open intervals, ascending."""
+    donor, acceptor = ("GT", "AG") if strand == "+" else ("CT", "AC")
     g = list(genome)
     for (s1, e1), (s2, e2) in zip(exons, exons[1:]):
-        g[e1] = "G"
-        g[e1 + 1] = "T"
-        g[s2 - 2] = "A"
-        g[s2 - 1] = "G"
+        g[e1] = donor[0]
+        g[e1 + 1] = donor[1]
+        g[s2 - 2] = acceptor[0]
+        g[s2 - 1] = acceptor[1]
     return "".join(g)
 
 

@@ -1,0 +1,162 @@
+"""Splice aligner tests: recover planted transcript structures exactly on
+synthetic genomes, handle strand, clips, substitutions, and indels."""
+
+import numpy as np
+import pytest
+
+import synthdata
+from mandalorion_tpu.align import SpliceAligner
+from mandalorion_tpu.align.chain import chain_segments, collapse_anchors
+from mandalorion_tpu.align.encode import encode, kmer_hashes, minimizers
+from mandalorion_tpu.align.extend import DpProblem, solve_dp_numpy
+from mandalorion_tpu.align.index import build_index
+from mandalorion_tpu.config import AlignConfig
+from mandalorion_tpu.io.fastx import revcomp
+
+EXONS = [(1000, 1400), (2000, 2400), (3000, 3600)]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    genome = synthdata.make_genome(12000, seed=42)
+    genome = synthdata.plant_introns(genome, EXONS)
+    aligner = SpliceAligner({"chr1": genome})
+    return genome, aligner
+
+
+def test_kmer_hash_consistency():
+    codes = encode("ACGTACGTTGCAACGTT")
+    h, valid = kmer_hashes(codes, 5)
+    assert valid.all()
+    # same k-mer at different positions hashes identically
+    codes2 = encode("TTTTTACGTA")
+    h2, _ = kmer_hashes(codes2, 5)
+    assert h2[5] == h[0]
+    # non-ACGT invalidates covering k-mers
+    h3, v3 = kmer_hashes(encode("ACGTNACGTACGT"), 5)
+    assert not v3[0] and not v3[4] and v3[5]
+
+
+def test_minimizers_cover():
+    codes = encode(synthdata.make_genome(2000, seed=1))
+    pos, hsh = minimizers(codes, 15, 5)
+    assert len(pos) > 2000 / 6  # density ~2/(w+1)
+    assert (np.diff(pos) > 0).all()
+    assert (np.diff(pos) <= 5).all()  # a minimizer at least every w
+
+
+def test_chain_collapse():
+    q = np.array([0, 10, 20, 100, 110], np.int64)
+    t = np.array([500, 510, 520, 1600, 1610], np.int64)
+    segs = collapse_anchors(q, t, 15)
+    assert len(segs) == 2
+    chain, score = chain_segments(segs, min_intron=30, max_intron=400000)
+    assert len(chain) == 2
+    assert chain[0].t_start == 500 and chain[1].t_start == 1600
+
+
+def test_dp_global_and_extend():
+    cfg = AlignConfig()
+    q = encode("ACGTACGTAC")
+    t = encode("ACGTTACGTAC")  # one T inserted in target => deletion
+    res = solve_dp_numpy([DpProblem(q, t, "global")], cfg)[0]
+    assert sum(dq for _o, dq, _dt in res.ops) == len(q)
+    assert sum(dt for _o, _dq, dt in res.ops) == len(t)
+    assert any(o == "D" for o, _q, _t in res.ops)
+    # extend stops at divergence
+    q2 = encode("ACGTACGTAAAAAAAA")
+    t2 = encode("ACGTACGTCCCCCCCC")
+    r2 = solve_dp_numpy([DpProblem(q2, t2, "extend_right")], cfg)[0]
+    assert r2.q_len == 8 and r2.t_len == 8
+
+
+def test_perfect_spliced_read(setup):
+    genome, aligner = setup
+    seq = synthdata.transcript_seq(genome, EXONS)
+    recs = aligner.map_batch([("readP", seq)])
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.strand == "+"
+    assert r.t_name == "chr1"
+    assert r.t_starts == [s for s, _ in EXONS]
+    assert r.block_sizes == [e - s for s, e in EXONS]
+    assert r.mismatches == 0
+    assert r.q_start == 0 and r.q_end == len(seq)
+    assert r.accuracy == 1.0
+    assert r.n_count == (2000 - 1400) + (3000 - 2400)
+    # cs introns carry canonical motifs
+    assert "~gt600ag" in r.cs and "~gt" in r.cs
+
+
+def test_reverse_strand_read():
+    # a true '-'-strand transcript: ct..ac introns on genome forward,
+    # read = revcomp of the concatenated exons
+    genome = synthdata.make_genome(12000, seed=43)
+    genome = synthdata.plant_introns(genome, EXONS, strand="-")
+    aligner = SpliceAligner({"chr1": genome})
+    read = revcomp(synthdata.transcript_seq(genome, EXONS))
+    recs = aligner.map_batch([("readR", read)])
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.strand == "-"
+    assert r.t_starts == [s for s, _ in EXONS]
+    assert r.block_sizes == [e - s for s, e in EXONS]
+    assert r.mismatches == 0
+    assert "~ct600ac" in r.cs
+    assert r.sequence == read  # col 23 = original read orientation
+
+
+def test_clipped_read(setup):
+    genome, aligner = setup
+    seq = synthdata.transcript_seq(genome, EXONS)
+    padded = "CCCCC" + seq + "GGGGGGG"
+    # pads are random-ish vs genome; extension should stop at the junk
+    recs = aligner.map_batch([("readC", padded)])
+    r = recs[0]
+    assert r.t_starts[0] == 1000
+    assert r.t_start == 1000 and r.t_end == 3600
+    assert r.q_start <= 5 and len(padded) - r.q_end <= 7
+
+
+def test_substitutions(setup):
+    genome, aligner = setup
+    rng = np.random.default_rng(9)
+    seq = synthdata.transcript_seq(genome, EXONS)
+    noisy, subs = synthdata.mutate_read(seq, rng, 0.02)
+    recs = aligner.map_batch([("readS", noisy)])
+    r = recs[0]
+    assert r.t_starts == [s for s, _ in EXONS]
+    assert r.matches + r.mismatches == len(seq)
+    assert 0 < r.mismatches <= subs
+    assert r.accuracy > 0.95
+    assert r.cs.count("*") == r.mismatches
+
+
+def test_indel_read(setup):
+    genome, aligner = setup
+    seq = synthdata.transcript_seq(genome, EXONS)
+    # 3-base deletion inside exon 1, 2-base insertion inside exon 3
+    mid1 = 200
+    mid3 = 400 + 400 + 300
+    mutated = seq[:mid1] + seq[mid1 + 3:mid3] + "GG" + seq[mid3:]
+    recs = aligner.map_batch([("readI", mutated)])
+    r = recs[0]
+    assert r.t_start == 1000 and r.t_end == 3600
+    assert r.t_base_insert == 3      # deletion from read view
+    assert r.q_base_insert == 2
+    assert r.n_count == 1200
+    assert r.accuracy > 0.95
+
+
+def test_multi_chrom_and_unmapped(setup):
+    genome, _ = setup
+    genome2 = synthdata.make_genome(8000, seed=99)
+    aligner = SpliceAligner({"chrA": genome, "chrB": genome2})
+    seq = genome2[3000:3800]
+    recs = aligner.map_batch([
+        ("hit", seq),
+        ("junk", "ACGT" * 10),
+    ])
+    assert len(recs) == 1
+    assert recs[0].t_name == "chrB"
+    assert recs[0].t_start == 3000 and recs[0].t_end == 3800
