@@ -1,0 +1,71 @@
+"""Isoform consensus calling (replaces `determine_consensus`,
+SDC.py:876-931).
+
+Per isoform: subsample up to max_reads (SEEDED — the reference's unseeded
+np.random.choice permutes even below its cap, making its consensus fasta
+nondeterministic; we pin input order for reproducibility, SURVEY §5.9),
+orient every read against the first by minimizer-chain strand, then:
+<=2 oriented reads -> the first oriented sequence (reference behavior);
+otherwise POA consensus over the oriented set.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mandalorion_tpu.align.encode import encode, revcomp_codes
+from mandalorion_tpu.align.pairwise import OrientationAligner
+from mandalorion_tpu.config import PoaConfig
+from mandalorion_tpu.poa.graph import PoaParams, poa_consensus
+
+_DECODE = np.array(list("ACGTN"))
+
+
+def _decode(codes: np.ndarray) -> str:
+    return "".join(_DECODE[np.minimum(codes, 4)])
+
+
+def determine_consensus(
+    reads: Sequence[Tuple[str, str]],
+    cfg: Optional[PoaConfig] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[str, List[str]]:
+    """Returns (consensus_sequence, ALL read names) — names always cover
+    the full read list (reads2isoforms uses them all, SDC.py:880-882)."""
+    cfg = cfg or PoaConfig()
+    names = [name for name, _ in reads]
+    if len(reads) > cfg.max_reads:
+        gen = rng if rng is not None else np.random.default_rng(cfg.seed)
+        pick = sorted(gen.choice(len(reads), cfg.max_reads, replace=False))
+        subsample = [reads[int(i)] for i in pick]
+    else:
+        subsample = list(reads)
+
+    first_seq = subsample[0][1]
+    orienter = OrientationAligner(first_seq)
+    oriented: List[np.ndarray] = []
+    lengths: List[int] = []
+    for _name, seq in subsample:
+        lengths.append(len(seq))
+        strand = orienter.strand(seq)
+        if strand is None:
+            continue
+        codes = encode(seq)
+        oriented.append(codes if strand > 0 else revcomp_codes(codes))
+
+    if not oriented:
+        return first_seq, names
+    if len(oriented) <= 2:
+        return _decode(oriented[0]), names
+
+    band = cfg.band_width
+    if float(np.median(lengths)) >= cfg.adaptive_band_threshold:
+        band = max(band, 256)  # abPOA -S analogue: wider adaptive band
+    params = PoaParams(match=cfg.match, mismatch=cfg.mismatch,
+                       gap=cfg.gap_extend + cfg.gap_open // 2, band=band)
+    cons = poa_consensus(oriented, params)
+    if len(cons) == 0:
+        return _decode(oriented[0]), names  # abPOA empty-output fallback
+    return _decode(cons), names
