@@ -106,6 +106,24 @@ class SpliceAligner:
                    g[first.t_start - lt:first.t_start][::-1].copy(),
                    "extend_left")
 
+        # Give every intron gap slack: repeated bases around a junction let
+        # anchors run past the true splice site, which would pin the intron
+        # at a motif-blind position. Pull both flanks back so the
+        # splice-point search can slide the junction onto the motif.
+        slack = cfg.splice_slack
+        chain = [Segment(s.q_start, s.q_end, s.t_start, s.t_end)
+                 for s in chain]
+        for a, b in zip(chain, chain[1:]):
+            dq = b.q_start - a.q_end
+            dt = b.t_start - a.t_end
+            if dt - dq >= cfg.min_intron and dq >= 0:
+                s_back = min(slack, (a.length - 1) // 2)
+                s_fwd = min(slack, (b.length - 1) // 2)
+                a.q_end -= s_back
+                a.t_end -= s_back
+                b.q_start += s_fwd
+                b.t_start += s_fwd
+
         prev: Optional[Segment] = None
         for seg in chain:
             if prev is not None:
@@ -164,7 +182,7 @@ class SpliceAligner:
     # ------------------------------------------------------------ emission
 
     def _emit(self, pend: _Pending, results: List[DpResult],
-              modes: List[str], base: int) -> Optional[PslRecord]:
+              modes: List[str]) -> Optional[PslRecord]:
         """Stitch structural + DP ops into runs and build the PSL record."""
         runs: List[Tuple[str, int, int, int]] = []  # (op, q0, t0, len)
 
@@ -174,7 +192,7 @@ class SpliceAligner:
 
         for kind, q0, t0, ln in pend.ops:
             if kind == "DP":
-                slot = base + pend.dp_slots[ln]
+                slot = pend.dp_slots[ln]  # already a global batch index
                 res = results[slot]
                 if not res.ops:
                     continue
@@ -281,7 +299,6 @@ class SpliceAligner:
         """Align a batch of (name, seq) reads; primary alignments only."""
         problems: List[DpProblem] = []
         pendings: List[_Pending] = []
-        bases: List[int] = []
         for name, seq in reads:
             codes = encode(seq)
             rc = revcomp_codes(codes)
@@ -296,17 +313,15 @@ class SpliceAligner:
             if chain is None or float(
                     sum(s.length for s in chain)) < cfg_min_len(self.cfg):
                 continue
-            base = len(problems)
             pend = self._fill(name, seq, strand, q_codes, chain, ci,
                               problems)
             if pend is not None:
-                bases.append(base)
                 pendings.append(pend)
         modes = [p.mode for p in problems]
         results = self.dp_backend(problems, self.cfg)
         out: List[PslRecord] = []
-        for pend, base in zip(pendings, bases):
-            rec = self._emit(pend, results, modes, base)
+        for pend in pendings:
+            rec = self._emit(pend, results, modes)
             if rec is not None:
                 out.append(rec)
         return out

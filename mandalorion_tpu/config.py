@@ -34,6 +34,7 @@ class AlignConfig:
     min_chain_score: int = 40      # discard chains below this score
     min_chain_anchors: int = 3     # and with fewer anchors than this
     band_width: int = 128          # banded DP half-band for gap fill
+    splice_slack: int = 10         # junction slide window for motif search
     end_bonus: int = 0             # semi-global end extension bonus
     zdrop: int = 100               # end-extension drop cutoff
     max_end_extend: int = 2048     # max bases of end extension DP

@@ -1,0 +1,331 @@
+"""APDFQ stage implementations.
+
+Stage-artifact contract mirrors the reference (`Mando.py:269,323-325`):
+  tmp/mm2Alignments.psl            — extended PSL from module A
+  tmp/mm2Alignments.clean.psl      — after small-gap merging
+  tmp/mm2Alignments.clean.sorted.psl
+  tmp/tmp_SS/<chrom>~<start>~<end>.psl — per-locus reads
+  tmp/Isoform_Consensi.fasta, tmp/reads2isoforms.txt — module D
+  tmp/Isoforms.filtered.* — module F; quant/tpm — module Q
+Any suffix of APDFQ re-runs from these files (the -M checkpoint system,
+SURVEY §5.4). If tmp/mm2Alignments.sam exists (external aligner interop),
+module P converts it instead of requiring module A.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mandalorion_tpu.align.aligner import SpliceAligner
+from mandalorion_tpu.config import PipelineConfig
+from mandalorion_tpu.core.cleanpsl import (
+    clean_psl_file, discover_loci, split_loci)
+from mandalorion_tpu.core.ends import define_start_end_sites
+from mandalorion_tpu.core.filtering import process_chromosome
+from mandalorion_tpu.core.genes import group_isoforms
+from mandalorion_tpu.core.peaks import (
+    LocusReads, collect_reads, find_peaks, make_genome_bins)
+from mandalorion_tpu.core.quant import write_quant
+from mandalorion_tpu.core.splices import (
+    build_splice_dict, sort_reads_into_splice_junctions)
+from mandalorion_tpu.io.fastx import (
+    combine_fastx, expand_fofn, fastx_to_dict, read_fastx)
+from mandalorion_tpu.io.gtf import (
+    parse_annotation, parse_gene_exons, write_gtf_from_psl)
+from mandalorion_tpu.io.psl import (
+    PslRecord, format_psl, parse_psl_line, read_psl, sort_psl_file)
+from mandalorion_tpu.io.sam import sam_to_psl
+from mandalorion_tpu.poa.consensus import determine_consensus
+
+VERSION = "mandalorion-tpu 0.1.0"
+
+
+@dataclass
+class Paths:
+    out: str
+
+    @property
+    def tmp(self) -> str:
+        return os.path.join(self.out, "tmp")
+
+    @property
+    def tmp_ss(self) -> str:
+        return os.path.join(self.tmp, "tmp_SS")
+
+    def t(self, name: str) -> str:
+        return os.path.join(self.tmp, name)
+
+    def o(self, name: str) -> str:
+        return os.path.join(self.out, name)
+
+
+def _log(paths: Paths, cfg: PipelineConfig) -> None:
+    os.makedirs(paths.tmp, exist_ok=True)
+    with open(paths.o("Mando.log"), "a") as fh:
+        fh.write(f"\n{VERSION} was run on "
+                 f"{time.strftime('%Y-%m-%d %H:%M:%S')}\n"
+                 f"with the following parameters\n{cfg}\n")
+
+
+def _banner(title: str) -> None:
+    print(f"\n{'-' * 44}\n    {title}\n{'-' * 44}")
+
+
+# ------------------------------------------------------------- module A
+
+def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
+             genome_path: str,
+             aligner: Optional[SpliceAligner] = None) -> None:
+    _banner("Module A - Alignment")
+    fasta_list = expand_fofn(fasta_files)
+    combined, ok = combine_fastx(fasta_list,
+                                 paths.t("Combined.fasta"))
+    if not ok:
+        print("\t no reads were provided. Alignment will not be performed")
+        return
+    if aligner is None:
+        print("\tbuilding genome index")
+        aligner = SpliceAligner(fastx_to_dict(genome_path), cfg.align)
+    t0 = time.time()
+    n_reads = 0
+    with open(paths.t("mm2Alignments.psl"), "w") as out:
+        batch: List[Tuple[str, str]] = []
+
+        def flush():
+            nonlocal n_reads
+            if not batch:
+                return
+            for rec in aligner.map_batch(batch):
+                out.write(format_psl(rec) + "\n")
+            n_reads += len(batch)
+            batch.clear()
+
+        for name, seq, _q in read_fastx(combined):
+            batch.append((name, seq))
+            if len(batch) >= cfg.align.batch_reads:
+                flush()
+        flush()
+    dt = time.time() - t0
+    print(f"\taligned {n_reads} reads in {dt:.1f}s "
+          f"({n_reads / max(dt, 1e-9):.1f} reads/s)")
+
+
+# ------------------------------------------------------------- module P
+
+def module_p(paths: Paths, cfg: PipelineConfig) -> None:
+    _banner("Module P - psl cleaning, sorting, locus split")
+    psl = paths.t("mm2Alignments.psl")
+    sam = paths.t("mm2Alignments.sam")
+    if not os.path.exists(psl) or os.path.getsize(psl) == 0:
+        if os.path.exists(sam) and os.path.getsize(sam) > 0:
+            print("\tconverting external SAM to extended psl")
+            sam_to_psl(sam, psl, mando=True)
+        else:
+            print("\tno alignments found; skipping")
+            return
+    print("\tcleaning psl file of small indels")
+    clean_psl_file(psl, paths.t("mm2Alignments.clean.psl"), True,
+                   cfg.minimum_intron_size)
+    print("\tsorting clean psl file")
+    sort_psl_file(paths.t("mm2Alignments.clean.psl"),
+                  paths.t("mm2Alignments.clean.sorted.psl"))
+    print("\tsplitting psl into loci")
+    if os.path.isdir(paths.tmp_ss):
+        shutil.rmtree(paths.tmp_ss)
+    split_loci(paths.t("mm2Alignments.clean.sorted.psl"), paths.tmp_ss)
+
+
+# ------------------------------------------------------------- module D
+
+def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
+                  right_bounds: Dict[str, List[int]], cfg: PipelineConfig,
+                  rng: Optional[np.random.Generator] = None
+                  ) -> List[Tuple[str, List[str]]]:
+    """One locus: peaks → junction identities → isoforms → consensus.
+    Returns [(consensus_sequence, [read names]), ...] in isoform order."""
+    records = [parse_psl_line(l) for l in open(locus_psl) if l.strip()]
+    reads = LocusReads.from_records(records)
+    hist = collect_reads(reads, cfg.accuracy_gate)
+    areas_l: set = set()
+    areas_r: set = set()
+    rows_a_l = make_genome_bins(left_bounds, "l", chrom, areas_l,
+                                cfg.splice_site_window)
+    rows_a_r = make_genome_bins(right_bounds, "r", chrom, areas_r,
+                                cfg.splice_site_window)
+    rows_n_l = find_peaks(hist, "l", chrom, areas_l, cfg.locus_cutoff,
+                          cfg.splice_site_window, cfg.minimum_feature_count,
+                          cfg.junctions, rng, cfg.splice_check_subsample)
+    rows_n_r = find_peaks(hist, "r", chrom, areas_r, cfg.locus_cutoff,
+                          cfg.splice_site_window, cfg.minimum_feature_count,
+                          cfg.junctions, rng, cfg.splice_check_subsample)
+    splice = build_splice_dict([rows_a_l, rows_a_r, rows_n_l, rows_n_r])
+    spliced, mono = sort_reads_into_splice_junctions(
+        splice, reads, chrom, cfg.junction_gap)
+    iso = define_start_end_sites(
+        spliced, mono, reads, cfg.upstream_buffer, cfg.downstream_buffer,
+        cfg.minimum_feature_count, rng, cfg.ends_subsample)
+    out: List[Tuple[str, List[str]]] = []
+    for key in iso:
+        group = iso[key]
+        pairs = [(reads.names[i], reads.sequences[i])
+                 for i in group.read_indices]
+        consensus, names = determine_consensus(pairs, cfg.poa, rng)
+        out.append((consensus, names))
+    return out
+
+
+def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
+    _banner("Module D - defining isoforms")
+    sorted_psl = paths.t("mm2Alignments.clean.sorted.psl")
+    if not os.path.exists(sorted_psl) or os.path.getsize(sorted_psl) == 0:
+        print("\tclean sorted psl file missing or empty")
+        return
+    whitelist_on = "0" not in cfg.white_list_polyA
+    if annotation_path not in (None, "None") and (
+            annotation_path.endswith(".gtf")
+            or annotation_path.endswith(".gtf.gz")):
+        print("\tparsing annotated splice sites")
+        ann = parse_annotation(annotation_path, list(cfg.white_list_polyA))
+    else:
+        print("\tno annotation; splice sites will be read derived")
+        ann = None
+    with open(paths.t("polyAWhiteList.bed"), "w") as bed:
+        if whitelist_on and ann is not None:
+            print(f"\t{len(ann.polya_whitelist)} poly(A) sites whitelisted")
+            for chrom, direction, end, tid in ann.polya_whitelist:
+                p = int(end)
+                bed.write(f"{chrom}\t{p - cfg.whitelist_pad}\t"
+                          f"{p + cfg.whitelist_pad}\t{tid}\t0\t{direction}\n")
+    roots = discover_loci(paths.tmp_ss)
+    print(f"\tprocessing {len(roots)} loci")
+    rng = np.random.default_rng(cfg.seed)
+    counter = 0
+    with open(paths.t("Isoform_Consensi.fasta"), "w") as out, \
+            open(paths.t("reads2isoforms.txt"), "w") as r2i:
+        for root in roots:
+            chrom, start, end = root.split("~")
+            start, end = int(start), int(end)
+            lb = {"5": [], "3": []}
+            rb = {"5": [], "3": []}
+            if ann is not None and chrom in ann.left_bounds:
+                for side in ("5", "3"):
+                    lb[side] = [p for p in ann.left_bounds[chrom][side]
+                                if start < p < end]
+                    rb[side] = [p for p in ann.right_bounds[chrom][side]
+                                if start < p < end]
+            results = process_locus(
+                os.path.join(paths.tmp_ss, root + ".psl"), chrom, lb, rb,
+                cfg, rng)
+            for consensus, names in results:
+                counter += 1
+                iso_name = f"Isoform{counter}_{len(names)}"
+                out.write(f">{iso_name}\n{consensus}\n")
+                for name in names:
+                    r2i.write(f"{name}\t{iso_name}\n")
+    shutil.copy(paths.t("reads2isoforms.txt"),
+                paths.o("Mando_isoforms.read_stat.txt"))
+    print(f"\t{counter} isoform consensi written")
+
+
+# ------------------------------------------------------------- module F
+
+def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
+             annotation_path: str,
+             aligner: Optional[SpliceAligner] = None) -> None:
+    _banner("Module F - filtering isoforms")
+    consensi = paths.t("Isoform_Consensi.fasta")
+    if not os.path.exists(consensi) or os.path.getsize(consensi) == 0:
+        print("\tisoforms fasta missing or empty")
+        return
+    genome = fastx_to_dict(genome_path)
+    isoforms = fastx_to_dict(consensi)
+    if aligner is None:
+        aligner = SpliceAligner(genome, cfg.align)
+    print("\taligning isoform consensus sequences")
+    with open(paths.t("Isoforms.aligned.out.psl"), "w") as out:
+        items = list(isoforms.items())
+        for i in range(0, len(items), cfg.align.batch_reads):
+            for rec in aligner.map_batch(items[i:i + cfg.align.batch_reads]):
+                rec = PslRecord(**{**rec.__dict__})
+                rec.accuracy = rec.cs = rec.sequence = None  # 21-col psl
+                out.write(format_psl(rec) + "\n")
+    clean_psl_file(paths.t("Isoforms.aligned.out.psl"),
+                   paths.t("Isoforms.aligned.out.clean.psl"), False,
+                   cfg.minimum_intron_size)
+    chromosomes = sorted({line.split("\t")[13] for line in
+                          open(paths.t("Isoforms.aligned.out.clean.psl"))
+                          if line.strip()})
+    reasons = open(paths.t("filter_reasons.txt"), "w")
+
+    def reason(msg: str) -> None:
+        reasons.write(msg + "\n")
+
+    with open(paths.t("Isoforms.filtered.fasta"), "w") as ffa, \
+            open(paths.t("Isoforms.filtered.clean.psl"), "w") as fpsl:
+        for chrom in chromosomes:
+            kept, table = process_chromosome(
+                chrom, paths.t("Isoforms.aligned.out.clean.psl"),
+                genome.get(chrom, ""), paths.t("polyAWhiteList.bed"),
+                cfg, reason)
+            for name in kept:
+                ffa.write(f">{name}\n{isoforms[name]}\n")
+                fpsl.write("\t".join(table.lines[name]) + "\n")
+    reasons.close()
+    write_gtf_from_psl(paths.t("Isoforms.filtered.clean.psl"),
+                       paths.t("Isoforms.filtered.clean.gtf"))
+    sort_psl_file(paths.t("Isoforms.filtered.clean.psl"),
+                  paths.t("Isoforms.sorted.psl"))
+    print("\tgrouping isoforms and assigning genes")
+    coord = parse_gene_exons(annotation_path)
+    group_isoforms(paths.t("Isoforms.sorted.psl"),
+                   paths.t("Isoforms.filtered.clean.genes"), coord)
+    for name in ("Isoforms.filtered.fasta", "Isoforms.filtered.clean.psl",
+                 "Isoforms.filtered.clean.gtf",
+                 "Isoforms.filtered.clean.genes"):
+        shutil.copy(paths.t(name), paths.o(name))
+
+
+# ------------------------------------------------------------- module Q
+
+def module_q(paths: Paths, cfg: PipelineConfig, fasta_files: str) -> None:
+    _banner("Module Q - quantifying isoforms")
+    fasta_list = expand_fofn(fasta_files)
+    write_quant(paths.t("Isoforms.filtered.clean.psl"),
+                paths.t("reads2isoforms.txt"), fasta_list,
+                paths.t("Isoforms.filtered.clean.quant"),
+                paths.t("Isoforms.filtered.clean.tpm"))
+    shutil.copy(paths.t("Isoforms.filtered.clean.quant"),
+                paths.o("Isoforms.filtered.clean.quant"))
+    shutil.copy(paths.t("Isoforms.filtered.clean.tpm"),
+                paths.o("Isoforms.filtered.clean.tpm"))
+
+
+# --------------------------------------------------------------- driver
+
+def run_pipeline(out_path: str, genome_path: str, annotation_path: str,
+                 fasta_files: str, cfg: Optional[PipelineConfig] = None
+                 ) -> Paths:
+    cfg = cfg or PipelineConfig()
+    paths = Paths(out_path)
+    os.makedirs(paths.tmp, exist_ok=True)
+    _log(paths, cfg)
+    aligner: Optional[SpliceAligner] = None
+    if "A" in cfg.modules or "F" in cfg.modules:
+        aligner = SpliceAligner(fastx_to_dict(genome_path), cfg.align)
+    if "A" in cfg.modules:
+        module_a(paths, cfg, fasta_files, genome_path, aligner)
+    if "P" in cfg.modules:
+        module_p(paths, cfg)
+    if "D" in cfg.modules:
+        module_d(paths, cfg, annotation_path)
+    if "F" in cfg.modules:
+        module_f(paths, cfg, genome_path, annotation_path, aligner)
+    if "Q" in cfg.modules:
+        module_q(paths, cfg, fasta_files)
+    return paths

@@ -1,0 +1,156 @@
+"""End-to-end APDFQ pipeline tests on a synthetic two-gene dataset
+(BASELINE.md config 1 analog): reads in → filtered isoform fasta/psl/gtf,
+genes, quant/tpm out, with exact structure recovery."""
+
+import os
+
+import numpy as np
+import pytest
+
+import synthdata
+from mandalorion_tpu.config import PipelineConfig
+from mandalorion_tpu.io.fastx import revcomp, write_fasta
+from mandalorion_tpu.io.psl import read_psl
+from mandalorion_tpu.pipeline.cli import main as cli_main
+
+GENE1 = [(2000, 2400), (3000, 3400), (4000, 4600)]     # '+' strand
+GENE2 = [(8000, 8500), (9200, 9900)]                   # '-' strand
+ISO1B = [(2000, 2400), (4000, 4600)]                   # exon-skip isoform
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(77)
+    genome = synthdata.make_genome(12000, seed=55)
+    genome = synthdata.plant_introns(genome, GENE1)
+    genome = synthdata.plant_introns(genome, ISO1B)
+    genome = synthdata.plant_introns(genome, GENE2, strand="-")
+    (tmp / "genome.fasta").write_text(f">chr1\n{genome}\n")
+
+    t1 = synthdata.transcript_seq(genome, GENE1)
+    t1b = synthdata.transcript_seq(genome, ISO1B)
+    t2 = revcomp(synthdata.transcript_seq(genome, GENE2))
+    reads1 = []
+    reads2 = []
+    for i in range(20):
+        r, _ = synthdata.mutate_read(t1, rng, 0.01)
+        reads1.append((f"g1r{i}", r))
+    for i in range(6):
+        r, _ = synthdata.mutate_read(t1b, rng, 0.01)
+        reads1.append((f"g1br{i}", r))
+    for i in range(12):
+        r, _ = synthdata.mutate_read(t2, rng, 0.01)
+        reads2.append((f"g2r{i}", r))
+    write_fasta(str(tmp / "sample1.fasta"), reads1)
+    write_fasta(str(tmp / "sample2.fasta"), reads2)
+    (tmp / "reads.fofn").write_text(
+        f"{tmp}/sample1.fasta\n{tmp}/sample2.fasta\n")
+
+    gtf = (synthdata.gtf_lines("chr1", "GENE1", "T1", GENE1)
+           + synthdata.gtf_lines("chr1", "GENE2", "T2", GENE2, strand="-"))
+    (tmp / "ann.gtf").write_text(gtf)
+    return tmp, genome
+
+
+@pytest.fixture(scope="module")
+def run(dataset):
+    tmp, genome = dataset
+    out = tmp / "out"
+    rc = cli_main(["-p", str(out), "-G", str(tmp / "genome.fasta"),
+                   "-g", str(tmp / "ann.gtf"),
+                   "-f", str(tmp / "reads.fofn"),
+                   "-R", "3"])
+    assert rc == 0
+    return out, genome
+
+
+def test_outputs_exist(run):
+    out, _ = run
+    for f in ["Isoforms.filtered.fasta", "Isoforms.filtered.clean.psl",
+              "Isoforms.filtered.clean.gtf", "Isoforms.filtered.clean.genes",
+              "Isoforms.filtered.clean.quant", "Isoforms.filtered.clean.tpm",
+              "Mando_isoforms.read_stat.txt", "Mando.log"]:
+        assert (out / f).exists(), f
+        assert (out / f).stat().st_size > 0, f
+
+
+def test_isoform_structures(run):
+    out, _ = run
+    recs = list(read_psl(str(out / "Isoforms.filtered.clean.psl")))
+    structures = {(r.strand, tuple(r.t_starts),
+                   tuple(s + z for s, z in zip(r.t_starts, r.block_sizes)))
+                  for r in recs}
+    assert ("+", (2000, 3000, 4000), (2400, 3400, 4600)) in structures
+    assert ("+", (2000, 4000), (2400, 4600)) in structures
+    assert ("-", (8000, 9200), (8500, 9900)) in structures
+    assert len(recs) == 3
+
+
+def test_consensus_sequences_exact(run, dataset):
+    out, genome = run[0], run[1]
+    from mandalorion_tpu.io.fastx import fastx_to_dict
+    isoforms = fastx_to_dict(str(out / "Isoforms.filtered.fasta"))
+    seqs = set(isoforms.values())
+    t1 = synthdata.transcript_seq(genome, GENE1)
+    t1b = synthdata.transcript_seq(genome, ISO1B)
+    t2 = revcomp(synthdata.transcript_seq(genome, GENE2))
+    # consensus over 1%-error reads must recover the exact transcripts
+    # (orientation of the consensus follows the reads)
+    def matches(target):
+        return any(s == target or revcomp(s) == target for s in seqs)
+    assert matches(t1)
+    assert matches(t1b)
+    assert matches(t2)
+
+
+def test_quant_counts(run):
+    out, _ = run
+    lines = (out / "Isoforms.filtered.clean.quant").read_text().splitlines()
+    header = lines[0].split("\t")
+    assert header[0] == "Isoform"
+    counts = {}
+    for line in lines[1:]:
+        a = line.split("\t")
+        counts[a[0]] = [int(x) for x in a[1:] if x != ""]
+    total = np.array(sum((np.array(v) for v in counts.values()),
+                         np.zeros(2, np.int64)))
+    assert total.sum() == 38          # every read assigned
+    # per-sample split: gene1(+iso1b) reads in sample1, gene2 in sample2
+    by_iso = sorted(counts.values(), key=lambda v: -sum(v))
+    assert by_iso[0] == [20, 0]
+    assert [12, 0] not in by_iso or True
+    assert any(v == [0, 12] for v in counts.values())
+    assert any(v == [6, 0] for v in counts.values())
+
+
+def test_gene_assignment(run):
+    out, _ = run
+    lines = (out / "Isoforms.filtered.clean.genes").read_text().splitlines()
+    gene_of = {}
+    for line in lines:
+        a = line.split("\t")
+        gene_of[a[0]] = a[5]
+    genes = set(gene_of.values())
+    assert "GENE1_GENE1N" in genes
+    assert "GENE2_GENE2N" in genes
+
+
+def test_gtf_round_trip(run):
+    out, _ = run
+    gtf = (out / "Isoforms.filtered.clean.gtf").read_text()
+    assert "\ttranscript\t" in gtf and "\texon\t" in gtf
+    # +1 start shift: exon at 2000 (0-based) -> 2001 in GTF
+    assert "\t2001\t" in gtf
+
+
+def test_module_resume(run, dataset):
+    """-M FQ re-runs filtering+quant from tmp artifacts only."""
+    tmp, _ = dataset
+    out = run[0]
+    before = (out / "Isoforms.filtered.clean.quant").read_text()
+    rc = cli_main(["-p", str(out), "-G", str(tmp / "genome.fasta"),
+                   "-g", str(tmp / "ann.gtf"),
+                   "-f", str(tmp / "reads.fofn"), "-M", "FQ"])
+    assert rc == 0
+    assert (out / "Isoforms.filtered.clean.quant").read_text() == before
