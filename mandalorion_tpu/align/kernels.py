@@ -1,0 +1,340 @@
+"""Batched affine-gap DP: shared row-scan math with two backends.
+
+- `solve_dp_rowscan` — pure-JAX (vmap over problems) for CPU testing and
+  as the structural reference;
+- `solve_dp_pallas`  — the Pallas TPU kernel: 8 problems per sublane tile,
+  target axis on the 128 lanes, query axis as the sequential row loop.
+
+The horizontal (deletion) state's in-row dependency collapses to one
+prefix-max scan (affine gap re-opening never beats extending), so each row
+is a handful of vector ops. Both backends emit per-cell traceback pointer
+bits walked on the host; tie-break rules match the numpy oracle
+(align/extend.py) exactly, so all three backends are interchangeable.
+
+Layout: lane j holds target base j-1; lane 0 is the DP boundary column.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mandalorion_tpu.align.extend import DpProblem, DpResult, _solve_one
+from mandalorion_tpu.config import AlignConfig
+
+NEG = -(10 ** 9)
+MAXT = 127          # target bases per problem (+ boundary col = 128 lanes)
+TILE = 8            # problems per sublane tile
+
+
+def _shift_right(x, fill=NEG, roll_fn=None):
+    """out[..., j] = x[..., j-1]; out[..., 0] = fill. Lane-axis shift."""
+    roll_fn = roll_fn or pltpu.roll
+    rolled = roll_fn(x, shift=1, axis=x.ndim - 1)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(jidx >= 1, rolled, fill)
+
+
+def _cummax(x, roll_fn=None):
+    """Inclusive prefix max along the lane axis via doubling."""
+    roll_fn = roll_fn or pltpu.roll
+    jidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    d = 1
+    n = x.shape[-1]
+    while d < n:
+        rolled = roll_fn(x, shift=d, axis=x.ndim - 1)
+        x = jnp.maximum(x, jnp.where(jidx >= d, rolled, NEG))
+        d *= 2
+    return x
+
+
+def _jnp_roll(x, shift, axis):
+    return jnp.roll(x, shift, axis=axis)
+
+
+def row_step(h_prev, e_prev, t_codes, q_col, jidx, *, match, mismatch,
+             go, ge, roll_fn=None):
+    """One DP row. All arrays (..., 128). q_col broadcastable (..., 1).
+    Returns (h_row, e_row, packed_ptr_bits)."""
+    sr = functools.partial(_shift_right, roll_fn=roll_fn)
+    open_e = h_prev - go - ge
+    ext_e = e_prev - ge
+    e_row = jnp.maximum(open_e, ext_e)
+    e_ext = ext_e > open_e
+    # t_codes lane j holds target base j-1, so sub is already aligned to
+    # cell column j; only the H row shifts
+    sub = jnp.where(t_codes == q_col, match, -mismatch)
+    diag = sr(h_prev) + sub
+    b = jnp.where(jidx == 0, e_row, jnp.maximum(diag, e_row))
+    # F via collapsed prefix-max: F[j] = max_{k<j}(B[k]+ge*k) - go - ge*j
+    scan = _cummax(b + ge * jidx, roll_fn=roll_fn)
+    f_row = sr(scan) - go - ge * jidx
+    f_ext = (sr(f_row) - ge) > (sr(b) - go - ge)
+    h_row = diag
+    code = jnp.zeros_like(jidx)
+    take_e = e_row > h_row
+    h_row = jnp.where(take_e, e_row, h_row)
+    code = jnp.where(take_e, 1, code)
+    take_f = f_row > h_row
+    h_row = jnp.where(take_f, f_row, h_row)
+    code = jnp.where(take_f, 2, code)
+    h_row = jnp.where(jidx == 0, e_row, h_row)
+    code = jnp.where(jidx == 0, 1, code)
+    packed = (code | (e_ext.astype(jnp.int32) << 2)
+              | (f_ext.astype(jnp.int32) << 3))
+    return h_row, e_row, packed
+
+
+def _row0(jidx, go, ge):
+    h0 = jnp.where(jidx == 0, 0, -(go + ge * jidx))
+    ptr0 = jnp.where(jidx == 0, 0,
+                     2 | (jnp.where(jidx > 1, 1, 0) << 3))
+    return h0, ptr0.astype(jnp.int32)
+
+
+# ------------------------------------------------------------ jax backend
+
+@functools.lru_cache(maxsize=32)
+def _rowscan_fn(match, mismatch, go, ge, max_q):
+    def one(q, t_codes, qlen, tlen):
+        """q (max_q,), t_codes (128,) with lane j = base j-1."""
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        t2 = t_codes[None, :]
+        h0, ptr0 = _row0(jidx, go, ge)
+
+        def step(carry, q_i):
+            h_prev, e_prev = carry
+            h, e, packed = row_step(
+                h_prev, e_prev, t2, q_i[None, None], jidx,
+                match=match, mismatch=mismatch, go=go, ge=ge,
+                roll_fn=_jnp_roll)
+            return (h, e), (h, packed)
+
+        (_h, _e), (hs, ptrs) = jax.lax.scan(
+            step, (h0, jnp.full((1, 128), NEG, jnp.int32)), q)
+        hs = jnp.concatenate([h0[None], hs], axis=0)[:, 0, :]
+        ptrs = jnp.concatenate([ptr0[None], ptrs], axis=0)[:, 0, :]
+        iidx = jnp.arange(max_q + 1)[:, None]
+        jj = jnp.arange(128)[None, :]
+        valid = (iidx >= 1) & (iidx <= qlen) & (jj <= tlen)
+        masked = jnp.where(valid, hs, NEG)
+        flat = jnp.argmax(masked)
+        best_i, best_j = flat // 128, flat % 128
+        best = masked.reshape(-1)[flat]
+        final = hs[qlen, tlen]
+        return ptrs, jnp.stack([best_i, best_j, best, final])
+
+    return jax.jit(jax.vmap(one))
+
+
+def solve_dp_rowscan(problems: Sequence[DpProblem], cfg: AlignConfig
+                     ) -> List[DpResult]:
+    """Pure-JAX backend (no Pallas): same math, runs anywhere."""
+    return _solve_batched(problems, cfg, _dispatch_rowscan)
+
+
+def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
+    fn = _rowscan_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+                     max_q)
+    ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
+                   jnp.asarray(qlen[:, 0]), jnp.asarray(tlen[:, 0]))
+    return np.asarray(ptr), np.asarray(meta)
+
+
+# --------------------------------------------------------- pallas backend
+
+def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, h_ref,
+               h_scr, e_scr, *, match, mismatch, go, ge, max_q):
+    """DP state lives in VMEM scratch (fori_loop carries of mixed layouts
+    trip Mosaic relayout); every row's H and pointer bits stream to HBM via
+    the leading (untiled) output dim; the host picks best cells."""
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, max_q), 1)
+    t_codes = t_ref[:, :]
+    q_codes = q_ref[:, :]
+    h0, ptr0 = _row0(jidx, go, ge)
+    ptr_ref[0, :, :] = ptr0
+    h_ref[0, :, :] = h0
+    h_scr[:, :] = h0
+    e_scr[:, :] = jnp.full((TILE, 128), NEG, jnp.int32)
+
+    def body(i, _):
+        h_prev = h_scr[:, :]
+        e_prev = e_scr[:, :]
+        # row i's query code via masked lane reduction (Mosaic forbids a
+        # dynamic lane index)
+        q_col = jnp.sum(jnp.where(kidx == i, q_codes, 0), axis=1,
+                        keepdims=True)
+        h_row, e_row, packed = row_step(
+            h_prev, e_prev, t_codes, q_col, jidx,
+            match=match, mismatch=mismatch, go=go, ge=ge)
+        ptr_ref[pl.ds(i + 1, 1), :, :] = packed[None, :, :]
+        h_ref[pl.ds(i + 1, 1), :, :] = h_row[None, :, :]
+        h_scr[:, :] = h_row
+        e_scr[:, :] = e_row
+        return 0
+
+    jax.lax.fori_loop(0, max_q, body, 0)
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_fn(match, mismatch, go, ge, n_tiles, max_q, interpret):
+    kernel = functools.partial(_dp_kernel, match=match, mismatch=mismatch,
+                               go=go, ge=ge, max_q=max_q)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, max_q), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((max_q + 1, TILE, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_q + 1, TILE, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((max_q + 1, n_tiles * TILE, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((max_q + 1, n_tiles * TILE, 128),
+                                 jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE, 128), jnp.int32),
+            pltpu.VMEM((TILE, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
+    n_tiles = q_arr.shape[0] // TILE
+    fn = _pallas_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+                    n_tiles, max_q, interpret)
+    ptr, hs = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
+                 jnp.asarray(qlen), jnp.asarray(tlen))
+    # layouts (rows, N, 128) -> (N, rows, 128)
+    ptr = np.asarray(ptr).transpose(1, 0, 2)
+    hs = np.asarray(hs).transpose(1, 0, 2)
+    # host-side meta: best valid cell (extend) + final score (global)
+    N = ptr.shape[0]
+    rows = np.arange(max_q + 1)[None, :, None]
+    lanes = np.arange(128)[None, None, :]
+    valid = ((rows >= 1) & (rows <= qlen[:, :1, None])
+             & (lanes <= tlen[:, :1, None]))
+    masked = np.where(valid, hs, NEG)
+    flat = masked.reshape(N, -1)
+    arg = np.argmax(flat, axis=1)
+    meta = np.zeros((N, 4), np.int64)
+    meta[:, 0] = arg // 128
+    meta[:, 1] = arg % 128
+    meta[:, 2] = flat[np.arange(N), arg]
+    meta[:, 3] = hs[np.arange(N), qlen[:, 0], tlen[:, 0]]
+    return ptr, meta
+
+
+def solve_dp_pallas(problems: Sequence[DpProblem], cfg: AlignConfig,
+                    interpret: bool = False) -> List[DpResult]:
+    return _solve_batched(problems, cfg, _dispatch_pallas,
+                          interpret=interpret)
+
+
+# ------------------------------------------------------------ shared glue
+
+def _traceback(ptr: np.ndarray, qi: int, tj: int
+               ) -> List[Tuple[str, int, int]]:
+    """Walk packed pointer bits to merged op runs (oracle-compatible)."""
+    ops: List[Tuple[str, int, int]] = []
+    i, j = qi, tj
+    state = "H"
+    while i > 0 or j > 0:
+        p = int(ptr[i, j])
+        if state == "H":
+            code = p & 3
+            if code == 0 and i > 0 and j > 0:
+                ops.append(("M", 1, 1))
+                i -= 1
+                j -= 1
+            elif code == 1:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            ops.append(("I", 1, 0))
+            state = "E" if (p >> 2) & 1 else "H"
+            i -= 1
+        else:
+            ops.append(("D", 0, 1))
+            state = "F" if (p >> 3) & 1 else "H"
+            j -= 1
+    ops.reverse()
+    merged: List[Tuple[str, int, int]] = []
+    for op, dq, dt in ops:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + dq, merged[-1][2] + dt)
+        else:
+            merged.append((op, dq, dt))
+    return merged
+
+
+def _solve_batched(problems: Sequence[DpProblem], cfg: AlignConfig,
+                   dispatch, interpret: bool = False,
+                   max_rows: int = 256) -> List[DpResult]:
+    results: List[DpResult] = [None] * len(problems)  # type: ignore
+    fit = set()
+    for i, p in enumerate(problems):
+        if 0 < len(p.q) <= max_rows and 0 < len(p.t) <= MAXT:
+            fit.add(i)
+        else:
+            results[i] = _solve_one(p, cfg)
+    fit_idx = sorted(fit)
+    if not fit_idx:
+        return results
+
+    n = len(fit_idx)
+    n_tiles = (n + TILE - 1) // TILE
+    N = n_tiles * TILE
+    max_q = 8
+    longest = max(len(problems[i].q) for i in fit_idx)
+    while max_q < longest:
+        max_q *= 2
+    q_arr = np.zeros((N, max_q), np.int32)
+    t_arr = np.full((N, 128), 9, np.int32)   # 9 matches nothing
+    qlen = np.zeros((N, 1), np.int32)
+    tlen = np.zeros((N, 1), np.int32)
+    for slot, i in enumerate(fit_idx):
+        p = problems[i]
+        q_arr[slot, :len(p.q)] = p.q
+        t_arr[slot, 1:1 + len(p.t)] = p.t
+        qlen[slot, 0] = len(p.q)
+        tlen[slot, 0] = len(p.t)
+
+    ptr, meta = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret)
+
+    for slot, i in enumerate(fit_idx):
+        p = problems[i]
+        nq, nt = len(p.q), len(p.t)
+        if p.mode == "global":
+            qi, tj = nq, nt
+        else:
+            qi, tj = int(meta[slot, 0]), int(meta[slot, 1])
+            if int(meta[slot, 2]) <= 0:
+                results[i] = DpResult([], 0, 0)
+                continue
+        results[i] = DpResult(_traceback(ptr[slot], qi, tj), qi, tj)
+    return results

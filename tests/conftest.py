@@ -3,11 +3,17 @@ sharding logic is exercised without TPU hardware (SURVEY §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may export axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The image's sitecustomize registers the axon (TPU tunnel) backend and
+# pins jax_platforms to "axon,cpu"; tests must run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import sys  # noqa: E402
 

@@ -1,0 +1,81 @@
+"""DP backend equivalence: numpy oracle == pure-JAX rowscan == Pallas
+kernel (interpret mode). The rowscan shares the kernel's row math, so the
+broad random sweep runs against it cheaply; a small interpret-mode sweep
+checks the Pallas plumbing bit-for-bit."""
+
+import numpy as np
+import pytest
+
+from mandalorion_tpu.align.extend import DpProblem, solve_dp_numpy
+from mandalorion_tpu.align.kernels import (
+    MAXT, solve_dp_pallas, solve_dp_rowscan)
+from mandalorion_tpu.config import AlignConfig
+
+CFG = AlignConfig()
+
+
+def _random_problems(rng, n, mode, max_len=100):
+    problems = []
+    for _ in range(n):
+        nq = int(rng.integers(1, max_len))
+        q = rng.integers(0, 4, size=nq).astype(np.uint8)
+        t = list(q)
+        for _e in range(int(rng.integers(0, 6))):
+            kind = rng.integers(0, 3)
+            p = int(rng.integers(0, max(len(t), 1)))
+            if kind == 0 and t:
+                t[p] = int(rng.integers(0, 4))
+            elif kind == 1:
+                t.insert(p, int(rng.integers(0, 4)))
+            elif t:
+                del t[p]
+        t = np.asarray(t[:MAXT], np.uint8)
+        problems.append(DpProblem(q, t, mode))
+    return problems
+
+
+def _assert_same(ref, got, tag):
+    for k, (r, g) in enumerate(zip(ref, got)):
+        assert g.ops == r.ops, f"{tag} problem {k}: {g.ops} != {r.ops}"
+        assert (g.q_len, g.t_len) == (r.q_len, r.t_len), f"{tag} {k}"
+
+
+@pytest.mark.parametrize("mode", ["global", "extend_right"])
+def test_rowscan_matches_oracle(mode):
+    rng = np.random.default_rng(abs(hash(mode)) % 2 ** 31)
+    problems = _random_problems(rng, 60, mode)
+    _assert_same(solve_dp_numpy(problems, CFG),
+                 solve_dp_rowscan(problems, CFG), mode)
+
+
+def test_rowscan_dissimilar_extend():
+    rng = np.random.default_rng(5)
+    problems = []
+    for _ in range(24):
+        nq = int(rng.integers(8, 100))
+        q = rng.integers(0, 4, size=nq).astype(np.uint8)
+        t = q.copy()
+        cut = int(rng.integers(1, nq))
+        t[cut:] = (t[cut:] + 1 + rng.integers(0, 3, size=nq - cut)) % 4
+        problems.append(DpProblem(q, t, "extend_right"))
+    _assert_same(solve_dp_numpy(problems, CFG),
+                 solve_dp_rowscan(problems, CFG), "dissimilar")
+
+
+def test_rowscan_oversize_falls_back():
+    rng = np.random.default_rng(6)
+    q = rng.integers(0, 4, size=400).astype(np.uint8)
+    problems = [DpProblem(q, q.copy(), "global"),
+                DpProblem(q[:20], q[:20].copy(), "global")]
+    _assert_same(solve_dp_numpy(problems, CFG),
+                 solve_dp_rowscan(problems, CFG), "oversize")
+
+
+@pytest.mark.parametrize("mode", ["global", "extend_right"])
+def test_pallas_interpret_matches_oracle(mode):
+    # small sweep: interpret mode is slow; rowscan covers the math broadly
+    rng = np.random.default_rng(7)
+    problems = _random_problems(rng, 8, mode, max_len=24)
+    _assert_same(solve_dp_numpy(problems, CFG),
+                 solve_dp_pallas(problems, CFG, interpret=True),
+                 f"pallas-{mode}")
