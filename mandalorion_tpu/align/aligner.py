@@ -184,6 +184,12 @@ class SpliceAligner:
     def _emit(self, pend: _Pending, results: List[DpResult],
               modes: List[str]) -> Optional[PslRecord]:
         """Stitch structural + DP ops into runs and build the PSL record."""
+        runs = self._build_runs(pend, results, modes)
+        return self._runs_to_psl(pend, runs)
+
+    def _build_runs(self, pend: _Pending, results: List[DpResult],
+                    modes: List[str]) -> List[Tuple[str, int, int, int]]:
+        """Resolve DP slots into concrete (op, q0, t0, len) runs, sorted."""
         runs: List[Tuple[str, int, int, int]] = []  # (op, q0, t0, len)
 
         def push(op: str, q0: int, t0: int, ln: int) -> None:
@@ -212,7 +218,7 @@ class SpliceAligner:
                 push(kind, q0, t0, ln)
 
         runs.sort(key=lambda r: (r[1], r[2]))
-        return self._runs_to_psl(pend, runs)
+        return runs
 
     def _runs_to_psl(self, pend: _Pending,
                      runs: List[Tuple[str, int, int, int]]
@@ -324,6 +330,37 @@ class SpliceAligner:
             rec = self._emit(pend, results, modes)
             if rec is not None:
                 out.append(rec)
+        return out
+
+    def map_batch_runs(self, reads: Sequence[Tuple[str, str]]):
+        """Like map_batch but returns raw (name, strand, q_codes, runs)
+        tuples — the op-level interface used by the star consensus
+        (poa/star.py)."""
+        problems: List[DpProblem] = []
+        pendings: List[_Pending] = []
+        for name, seq in reads:
+            codes = encode(seq)
+            rc = revcomp_codes(codes)
+            chain_f, score_f, ci_f = self._chain_for(codes)
+            chain_r, score_r, ci_r = self._chain_for(rc)
+            if chain_f is None and chain_r is None:
+                continue
+            if score_f >= score_r:
+                chain, strand, ci, q_codes = chain_f, "+", ci_f, codes
+            else:
+                chain, strand, ci, q_codes = chain_r, "-", ci_r, rc
+            if chain is None:
+                continue
+            pend = self._fill(name, seq, strand, q_codes, chain, ci,
+                              problems)
+            if pend is not None:
+                pendings.append(pend)
+        modes = [p.mode for p in problems]
+        results = self.dp_backend(problems, self.cfg)
+        out = []
+        for pend in pendings:
+            runs = self._build_runs(pend, results, modes)
+            out.append((pend.name, pend.strand, pend.q_codes, runs))
         return out
 
 

@@ -57,6 +57,8 @@ class PoaConfig:
     band_width: int = 128          # adaptive band half width
     max_reads: int = 100           # consensus subsample cap (`SDC.py:884-885`)
     seed: int = 0                  # our subsampling is seeded (reference: unseeded)
+    engine: str = "star"           # 'star' (backbone+vote, fast path) or
+                                   # 'graph' (full partial-order alignment)
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,13 @@ def determine_consensus(
     if len(oriented) <= 2:
         return _decode(oriented[0]), names
 
+    if cfg.engine == "star":
+        from mandalorion_tpu.poa.star import star_consensus
+        cons_str = star_consensus([_decode(c) for c in oriented])
+        if not cons_str:
+            return _decode(oriented[0]), names
+        return cons_str, names
+
     band = cfg.band_width
     if float(np.median(lengths)) >= cfg.adaptive_band_threshold:
         band = max(band, 256)  # abPOA -S analogue: wider adaptive band
