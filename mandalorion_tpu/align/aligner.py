@@ -332,6 +332,46 @@ class SpliceAligner:
                 out.append(rec)
         return out
 
+    def map_all_targets(self, name: str, seq: str) -> List[PslRecord]:
+        """Emit one alignment per target sequence with a viable chain (both
+        strands considered, better one kept) — the `-N <many>` analogue
+        used for allele typing (utils/hla.py)."""
+        cfg = self.cfg
+        per_chrom: Dict[int, Tuple[List[Segment], float, str, np.ndarray]] = {}
+        codes = encode(seq)
+        for strand, q_codes in (("+", codes), ("-", revcomp_codes(codes))):
+            pos, hashes = minimizers(q_codes, cfg.kmer, cfg.window)
+            if len(pos) == 0:
+                continue
+            qidx, gpos = self.index.lookup(hashes, cfg.max_occ)
+            if len(qidx) == 0:
+                continue
+            qpos = pos[qidx]
+            ci, _local = self.index.position_to_chrom(gpos)
+            for c in np.unique(ci):
+                mask = ci == c
+                segs = collapse_anchors(qpos[mask], gpos[mask], cfg.kmer)
+                chain, score = chain_segments(
+                    segs, min_intron=cfg.min_intron,
+                    max_intron=cfg.max_intron)
+                if chain and (int(c) not in per_chrom
+                              or score > per_chrom[int(c)][1]):
+                    per_chrom[int(c)] = (chain, score, strand, q_codes)
+        out: List[PslRecord] = []
+        for c, (chain, score, strand, q_codes) in sorted(per_chrom.items()):
+            if score < cfg_min_len(cfg):
+                continue
+            problems: List[DpProblem] = []
+            pend = self._fill(name, seq, strand, q_codes, chain, c, problems)
+            if pend is None:
+                continue
+            modes = [p.mode for p in problems]
+            results = self.dp_backend(problems, cfg)
+            rec = self._emit(pend, results, modes)
+            if rec is not None:
+                out.append(rec)
+        return out
+
     def map_batch_runs(self, reads: Sequence[Tuple[str, str]]):
         """Like map_batch but returns raw (name, strand, q_codes, runs)
         tuples — the op-level interface used by the star consensus

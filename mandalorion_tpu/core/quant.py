@@ -102,7 +102,8 @@ def convert_quant_to_tpm(quant_path: str, out_path: str) -> None:
     TPM definition (`utils/convertQuantToTPM.py`, SURVEY §5.9)."""
     with open(quant_path) as fh:
         header = fh.readline()
-        rows = [line.rstrip("\n").split("\t") for line in fh if line.strip()]
+        # strip() drops the quant rows' trailing tab, as the reference does
+        rows = [line.strip().split("\t") for line in fh if line.strip()]
     if not rows:
         with open(out_path, "w") as out:
             out.write(header)
