@@ -23,11 +23,12 @@ from mandalorion_tpu.align.index import GenomeIndex, build_index
 from mandalorion_tpu.config import AlignConfig
 from mandalorion_tpu.io.psl import PslRecord
 
-_DECODE = np.array(list("ACGTN"))
+_DECODE_TABLE = np.frombuffer(b"ACGTN" + b"N" * 251, np.uint8)
 
 
 def _decode(codes: np.ndarray) -> str:
-    return "".join(_DECODE[np.minimum(codes, 4)])
+    """codes -> bases via one bytes translation (C speed)."""
+    return _DECODE_TABLE[codes.astype(np.uint8)].tobytes().decode()
 
 
 @dataclass

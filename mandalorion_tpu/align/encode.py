@@ -77,7 +77,18 @@ def minimizers(codes: np.ndarray, k: int, w: int
                ) -> Tuple[np.ndarray, np.ndarray]:
     """(positions, hashes) of (k, w) minimizers: the smallest-hash k-mer in
     every window of w consecutive k-mers (leftmost tie-break), deduplicated.
-    """
+    Dispatches to the native C++ path when available (bit-identical,
+    ~10-20x faster; tests/test_native.py asserts equality)."""
+    from mandalorion_tpu.native import native_minimizers
+    res = native_minimizers(codes, k, w)
+    if res is not None:
+        return res
+    return _minimizers_numpy(codes, k, w)
+
+
+def _minimizers_numpy(codes: np.ndarray, k: int, w: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy minimizer reference (the native oracle)."""
     h, valid = kmer_hashes(codes, k)
     m = len(h)
     if m == 0:

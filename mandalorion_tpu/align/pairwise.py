@@ -32,13 +32,15 @@ class OrientationAligner:
         keep = (counts > 0) & (counts <= 16)
         if not keep.any():
             return 0.0
-        q_list, t_list = [], []
-        for qi in np.nonzero(keep)[0]:
-            for t in self.sorted_pos[lo[qi]:hi[qi]]:
-                q_list.append(pos[qi])
-                t_list.append(t)
-        segs = collapse_anchors(np.asarray(q_list, np.int64),
-                                np.asarray(t_list, np.int64), self.kmer)
+        lo, hi = lo[keep], hi[keep]
+        reps = (hi - lo).astype(np.int64)
+        q_all = np.repeat(pos[keep], reps)
+        total = int(reps.sum())
+        idx = np.repeat(lo, reps) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps))
+        t_all = self.sorted_pos[idx]
+        segs = collapse_anchors(q_all, t_all, self.kmer)
         _chain, score = chain_segments(segs, min_intron=10 ** 9,
                                        max_intron=10 ** 9)
         return score

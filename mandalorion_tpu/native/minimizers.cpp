@@ -1,0 +1,110 @@
+// Native minimizer extraction — C++ twin of align/encode.py's vectorized
+// rolling-hash minimizers (bit-identical output; tests assert it).
+//
+// The host-side data path feeding the TPU: encode -> rolling polynomial
+// hash (mod 2^64) -> xorshift scramble -> windowed leftmost-min selection.
+// Replaces the role mappy's C layer plays in the reference (SURVEY §2.2).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+static const uint64_t B = 0x9E3779B97F4A7C15ULL;
+
+// h ^= h >> 33; h *= C; h ^= h >> 33  (matches encode.kmer_hashes)
+static inline uint64_t scramble(uint64_t h) {
+    h ^= h >> 33;
+    h *= 0xFF51AFD7ED558CCDULL;
+    h ^= h >> 33;
+    return h;
+}
+
+// Encode ASCII bases to 0-4 codes (A=0 C=1 G=2 T=3, other=4).
+void encode_seq(const char* seq, int64_t n, uint8_t* out) {
+    static uint8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        memset(lut, 4, 256);
+        lut[(unsigned char)'A'] = lut[(unsigned char)'a'] = 0;
+        lut[(unsigned char)'C'] = lut[(unsigned char)'c'] = 1;
+        lut[(unsigned char)'G'] = lut[(unsigned char)'g'] = 2;
+        lut[(unsigned char)'T'] = lut[(unsigned char)'t'] = 3;
+        init = true;
+    }
+    for (int64_t i = 0; i < n; i++) out[i] = lut[(unsigned char)seq[i]];
+}
+
+// (k, w) minimizers of encoded sequence. out_pos/out_hash must hold up to
+// n - k + 1 entries. Returns the number of minimizers written.
+int64_t minimizers_c(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+                     int64_t* out_pos, uint64_t* out_hash) {
+    int64_t m = n - k + 1;
+    if (m <= 0) return 0;
+
+    // rolling hash h[i] = sum_j (codes[i+j]+1) * B^(k-1-j)  (mod 2^64)
+    std::vector<uint64_t> h(m);
+    std::vector<uint8_t> valid(m);
+    uint64_t bk = 1;  // B^(k-1)
+    for (int32_t j = 0; j < k - 1; j++) bk *= B;
+    uint64_t cur = 0;
+    int32_t bad_run = 0;
+    for (int64_t i = 0; i < n; i++) {
+        cur = cur * B + (uint64_t)(codes[i] + 1);
+        if (codes[i] >= 4) bad_run = k;  // poisons k windows
+        else if (bad_run > 0) bad_run--;
+        if (i >= k - 1) {
+            int64_t p = i - k + 1;
+            h[p] = scramble(cur);
+            valid[p] = bad_run == 0 ? 1 : 0;
+            cur -= (uint64_t)(codes[p] + 1) * bk;  // pre-multiply next round
+        }
+    }
+
+    const uint64_t INF = 0xFFFFFFFFFFFFFFFFULL;
+    int64_t count = 0;
+    if (m <= w) {
+        uint64_t best = INF;
+        int64_t arg = -1;
+        for (int64_t i = 0; i < m; i++) {
+            uint64_t hv = valid[i] ? h[i] : INF;
+            if (hv < best) { best = hv; arg = i; }
+        }
+        bool any_valid = false;
+        for (int64_t i = 0; i < m; i++) if (valid[i]) any_valid = true;
+        if (!any_valid) return 0;
+        out_pos[0] = arg;
+        out_hash[0] = h[arg];
+        return 1;
+    }
+
+    // leftmost window-min per window, dedup consecutive (monotone deque)
+    std::vector<int64_t> deque_idx(m);
+    int64_t head = 0, tail = 0;  // [head, tail)
+    int64_t last_emitted = -1;
+    for (int64_t i = 0; i < m; i++) {
+        uint64_t hv = valid[i] ? h[i] : INF;
+        // strict <: keeps the LEFTMOST minimum at the deque front
+        while (tail > head) {
+            uint64_t back = valid[deque_idx[tail - 1]]
+                                ? h[deque_idx[tail - 1]] : INF;
+            if (back > hv) tail--; else break;
+        }
+        deque_idx[tail++] = i;
+        int64_t win_start = i - w + 1;
+        if (deque_idx[head] < win_start) head++;
+        if (win_start >= 0) {
+            int64_t p = deque_idx[head];
+            if (p != last_emitted && valid[p]) {
+                out_pos[count] = p;
+                out_hash[count] = h[p];
+                count++;
+                last_emitted = p;
+            }
+        }
+    }
+    return count;
+}
+
+}  // extern "C"

@@ -84,6 +84,15 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
              aligner: Optional[SpliceAligner] = None) -> None:
     _banner("Module A - Alignment")
     fasta_list = expand_fofn(fasta_files)
+    if cfg.pacbio:
+        from mandalorion_tpu.io.bam import bam_to_fasta
+        print("\tConverting PacBio BAM input to FASTA")
+        converted = []
+        for bam in fasta_list:
+            out_fa = paths.t(os.path.basename(bam).replace(".bam", ".fa"))
+            bam_to_fasta(bam, out_fa)
+            converted.append(out_fa)
+        fasta_list = converted
     combined, ok = combine_fastx(fasta_list,
                                  paths.t("Combined.fasta"))
     if not ok:
@@ -142,6 +151,13 @@ def module_p(paths: Paths, cfg: PipelineConfig) -> None:
 
 
 # ------------------------------------------------------------- module D
+
+def _locus_worker(locus_psl, chrom, lb, rb, cfg):
+    """Picklable per-locus job for the worker pool; workers are seeded
+    from the pipeline seed (the reference is unseeded here, SURVEY §5.9)."""
+    return process_locus(locus_psl, chrom, lb, rb, cfg,
+                         np.random.default_rng(cfg.seed))
+
 
 def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
                   right_bounds: Dict[str, List[int]], cfg: PipelineConfig,
@@ -203,25 +219,34 @@ def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
                 bed.write(f"{chrom}\t{p - cfg.whitelist_pad}\t"
                           f"{p + cfg.whitelist_pad}\t{tid}\t0\t{direction}\n")
     roots = discover_loci(paths.tmp_ss)
-    print(f"\tprocessing {len(roots)} loci")
-    rng = np.random.default_rng(cfg.seed)
+    print(f"\tprocessing {len(roots)} loci on {cfg.threads} workers")
+    jobs = []
+    for root in roots:
+        chrom, start, end = root.split("~")
+        start, end = int(start), int(end)
+        lb = {"5": [], "3": []}
+        rb = {"5": [], "3": []}
+        if ann is not None and chrom in ann.left_bounds:
+            for side in ("5", "3"):
+                lb[side] = [p for p in ann.left_bounds[chrom][side]
+                            if start < p < end]
+                rb[side] = [p for p in ann.right_bounds[chrom][side]
+                            if start < p < end]
+        jobs.append((os.path.join(paths.tmp_ss, root + ".psl"), chrom,
+                     lb, rb, cfg))
+
+    if cfg.threads > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(cfg.threads, maxtasksperchild=8) as pool:
+            all_results = pool.starmap(_locus_worker, jobs)
+    else:
+        all_results = [_locus_worker(*j) for j in jobs]
+
     counter = 0
     with open(paths.t("Isoform_Consensi.fasta"), "w") as out, \
             open(paths.t("reads2isoforms.txt"), "w") as r2i:
-        for root in roots:
-            chrom, start, end = root.split("~")
-            start, end = int(start), int(end)
-            lb = {"5": [], "3": []}
-            rb = {"5": [], "3": []}
-            if ann is not None and chrom in ann.left_bounds:
-                for side in ("5", "3"):
-                    lb[side] = [p for p in ann.left_bounds[chrom][side]
-                                if start < p < end]
-                    rb[side] = [p for p in ann.right_bounds[chrom][side]
-                                if start < p < end]
-            results = process_locus(
-                os.path.join(paths.tmp_ss, root + ".psl"), chrom, lb, rb,
-                cfg, rng)
+        for results in all_results:  # deterministic sorted-locus order
             for consensus, names in results:
                 counter += 1
                 iso_name = f"Isoform{counter}_{len(names)}"

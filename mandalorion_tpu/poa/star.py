@@ -19,11 +19,11 @@ import numpy as np
 from mandalorion_tpu.align.aligner import SpliceAligner
 from mandalorion_tpu.config import AlignConfig
 
-_DECODE = np.array(list("ACGTN"))
+_DECODE_TABLE = np.frombuffer(b"ACGTN" + b"N" * 251, np.uint8)
 
 
 def _decode(codes: np.ndarray) -> str:
-    return "".join(_DECODE[np.minimum(codes, 4)])
+    return _DECODE_TABLE[codes.astype(np.uint8)].tobytes().decode()
 
 
 def _star_align_cfg() -> AlignConfig:
@@ -89,7 +89,7 @@ def star_consensus(oriented_seqs: Sequence[str],
         if pos == L:
             break
         if uncovered[pos]:
-            out_parts.append(_DECODE[min(int(bb[pos]), 4)])
+            out_parts.append("ACGTN"[min(int(bb[pos]), 4)])
         elif keep[pos] and best_count[pos] > 0:
             out_parts.append("ACGT"[int(best_base[pos])])
         # else: deletion majority — emit nothing
