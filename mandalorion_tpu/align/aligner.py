@@ -247,20 +247,24 @@ class SpliceAligner:
             if op == "M":
                 open_block(q0, t0, ln)
                 eq = q[q0:q0 + ln] == g[t0:t0 + ln]
-                matches += int(eq.sum())
-                mismatches += int(ln - eq.sum())
-                # emit cs: runs of = and *
-                idx = 0
-                edges = np.flatnonzero(np.diff(eq.astype(np.int8))) + 1
-                bounds = [0] + edges.tolist() + [ln]
-                for b0, b1 in zip(bounds, bounds[1:]):
-                    if eq[b0]:
-                        cs_parts.append("=" + _decode(q[q0 + b0:q0 + b1]))
-                    else:
-                        for o in range(b0, b1):
-                            cs_parts.append(
-                                "*" + _decode(g[t0 + o:t0 + o + 1]).lower()
-                                + _decode(q[q0 + o:q0 + o + 1]).lower())
+                n_eq = int(eq.sum())
+                matches += n_eq
+                mismatches += ln - n_eq
+                # emit cs: decode whole run once, slice strings per segment
+                q_str = _decode(q[q0:q0 + ln])
+                if n_eq == ln:
+                    cs_parts.append("=" + q_str)
+                else:
+                    g_low = _decode(g[t0:t0 + ln]).lower()
+                    q_low = q_str.lower()
+                    edges = np.flatnonzero(np.diff(eq.astype(np.int8))) + 1
+                    bounds = [0] + edges.tolist() + [ln]
+                    for b0, b1 in zip(bounds, bounds[1:]):
+                        if eq[b0]:
+                            cs_parts.append("=" + q_str[b0:b1])
+                        else:
+                            for o in range(b0, b1):
+                                cs_parts.append("*" + g_low[o] + q_low[o])
             elif op == "I":
                 nI += 1
                 I += ln

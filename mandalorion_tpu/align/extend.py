@@ -56,6 +56,12 @@ def _solve_one(p: DpProblem, cfg: AlignConfig) -> DpResult:
     States: H (match), E (gap in target, consumes query = insertion),
     F (gap in query, consumes target = deletion)."""
     nq, nt = len(p.q), len(p.t)
+    # fast path: an extension whose query is an exact prefix of the target
+    # is optimally all-match (any other path scores lower) — the common
+    # case for clean read ends
+    if p.mode != "global" and 0 < nq <= nt and np.array_equal(
+            p.q, p.t[:nq]):
+        return DpResult([("M", nq, nq)], nq, nq)
     if nq == 0 and nt == 0:
         return DpResult([], 0, 0)
     if nq == 0:

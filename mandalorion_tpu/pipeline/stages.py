@@ -41,6 +41,7 @@ from mandalorion_tpu.io.gtf import (
 from mandalorion_tpu.io.psl import (
     PslRecord, format_psl, parse_psl_line, read_psl, sort_psl_file)
 from mandalorion_tpu.io.sam import sam_to_psl
+from mandalorion_tpu.pipeline.observe import StageTimer
 from mandalorion_tpu.poa.consensus import determine_consensus
 
 VERSION = "mandalorion-tpu 0.1.0"
@@ -79,6 +80,14 @@ def _banner(title: str) -> None:
 
 # ------------------------------------------------------------- module A
 
+_A_ALIGNER: Optional[SpliceAligner] = None
+
+
+def _align_chunk_worker(batch: List[Tuple[str, str]]) -> List[str]:
+    """Fork-pool worker: align one read chunk with the inherited index."""
+    return [format_psl(rec) + "\n" for rec in _A_ALIGNER.map_batch(batch)]
+
+
 def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
              genome_path: str,
              aligner: Optional[SpliceAligner] = None) -> None:
@@ -104,22 +113,26 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
     t0 = time.time()
     n_reads = 0
     with open(paths.t("mm2Alignments.psl"), "w") as out:
-        batch: List[Tuple[str, str]] = []
-
-        def flush():
-            nonlocal n_reads
-            if not batch:
-                return
-            for rec in aligner.map_batch(batch):
-                out.write(format_psl(rec) + "\n")
-            n_reads += len(batch)
-            batch.clear()
-
+        batches: List[List[Tuple[str, str]]] = [[]]
         for name, seq, _q in read_fastx(combined):
-            batch.append((name, seq))
-            if len(batch) >= cfg.align.batch_reads:
-                flush()
-        flush()
+            if len(batches[-1]) >= cfg.align.batch_reads:
+                batches.append([])
+            batches[-1].append((name, seq))
+        n_reads = sum(len(b) for b in batches)
+        if cfg.threads > 1 and len(batches) > 1:
+            # fork workers inherit the index copy-on-write; this is the
+            # data-parallel 'reads' axis on a single host (SURVEY §2.3)
+            import multiprocessing as mp
+            global _A_ALIGNER
+            _A_ALIGNER = aligner
+            ctx = mp.get_context("fork")
+            with ctx.Pool(cfg.threads) as pool:
+                for lines in pool.map(_align_chunk_worker, batches):
+                    out.writelines(lines)
+        else:
+            for batch in batches:
+                for rec in aligner.map_batch(batch):
+                    out.write(format_psl(rec) + "\n")
     dt = time.time() - t0
     print(f"\taligned {n_reads} reads in {dt:.1f}s "
           f"({n_reads / max(dt, 1e-9):.1f} reads/s)")
@@ -340,17 +353,26 @@ def run_pipeline(out_path: str, genome_path: str, annotation_path: str,
     paths = Paths(out_path)
     os.makedirs(paths.tmp, exist_ok=True)
     _log(paths, cfg)
+    timer = StageTimer(paths.t("timing.tsv"))
     aligner: Optional[SpliceAligner] = None
     if "A" in cfg.modules or "F" in cfg.modules:
-        aligner = SpliceAligner(fastx_to_dict(genome_path), cfg.align)
+        with timer.stage("index_build"):
+            aligner = SpliceAligner(fastx_to_dict(genome_path), cfg.align)
     if "A" in cfg.modules:
-        module_a(paths, cfg, fasta_files, genome_path, aligner)
+        with timer.stage("A_alignment"):
+            module_a(paths, cfg, fasta_files, genome_path, aligner)
     if "P" in cfg.modules:
-        module_p(paths, cfg)
+        with timer.stage("P_parsing"):
+            module_p(paths, cfg)
     if "D" in cfg.modules:
-        module_d(paths, cfg, annotation_path)
+        with timer.stage("D_define"):
+            module_d(paths, cfg, annotation_path)
     if "F" in cfg.modules:
-        module_f(paths, cfg, genome_path, annotation_path, aligner)
+        with timer.stage("F_filter"):
+            module_f(paths, cfg, genome_path, annotation_path, aligner)
     if "Q" in cfg.modules:
-        module_q(paths, cfg, fasta_files)
+        with timer.stage("Q_quant"):
+            module_q(paths, cfg, fasta_files)
+    print("\n\tstage timing:")
+    print(timer.summary())
     return paths
