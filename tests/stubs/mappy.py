@@ -17,6 +17,9 @@ def revcomp(seq):
 
 
 def fastx_read(path):
+    import os as _os
+    if not _os.path.exists(path):
+        return  # tolerate missing files (e.g. abpoa output when absent)
     op = _gzip.open if path.endswith(".gz") else open
     with op(path, "rt") as fh:
         name, chunks = None, []
