@@ -64,6 +64,8 @@ def make_dataset(tmp, n_genes=8, n_reads_per_gene=100, genome_len=200_000):
 
 
 def main():
+    import contextlib
+
     from mandalorion_tpu.config import PipelineConfig
     from mandalorion_tpu.pipeline.stages import run_pipeline
 
@@ -71,10 +73,11 @@ def main():
         n_reads = make_dataset(tmp)
         cfg = PipelineConfig()
         t0 = time.time()
-        run_pipeline(os.path.join(tmp, "out"),
-                     os.path.join(tmp, "genome.fasta"),
-                     os.path.join(tmp, "ann.gtf"),
-                     os.path.join(tmp, "reads.fasta"), cfg)
+        with contextlib.redirect_stdout(sys.stderr):  # ONE json line only
+            run_pipeline(os.path.join(tmp, "out"),
+                         os.path.join(tmp, "genome.fasta"),
+                         os.path.join(tmp, "ann.gtf"),
+                         os.path.join(tmp, "reads.fasta"), cfg)
         dt = time.time() - t0
         quant = os.path.join(tmp, "out", "Isoforms.filtered.clean.quant")
         assert os.path.exists(quant) and os.path.getsize(quant) > 0

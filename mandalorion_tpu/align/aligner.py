@@ -52,7 +52,15 @@ class SpliceAligner:
                  cfg: Optional[AlignConfig] = None):
         self.cfg = cfg or AlignConfig()
         self.index = build_index(genome, self.cfg.kmer, self.cfg.window)
-        self.dp_backend = solve_dp_numpy
+        backend = getattr(self.cfg, "dp_backend", "numpy")
+        if backend == "rowscan":
+            from mandalorion_tpu.align.kernels import solve_dp_rowscan
+            self.dp_backend = solve_dp_rowscan
+        elif backend == "pallas":
+            from mandalorion_tpu.align.kernels import solve_dp_pallas
+            self.dp_backend = solve_dp_pallas
+        else:
+            self.dp_backend = solve_dp_numpy
 
     # ------------------------------------------------------------ seeding
 

@@ -40,6 +40,9 @@ class AlignConfig:
     max_end_extend: int = 2048     # max bases of end extension DP
     secondary: bool = False        # --secondary=no
     batch_reads: int = 512         # reads per device batch
+    dp_backend: str = "numpy"      # 'numpy' | 'rowscan' (pure JAX) |
+                                   # 'pallas' (TPU kernel); all three are
+                                   # bit-identical (tests/test_kernels.py)
 
 
 @dataclass(frozen=True)

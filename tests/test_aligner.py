@@ -160,3 +160,22 @@ def test_multi_chrom_and_unmapped(setup):
     assert len(recs) == 1
     assert recs[0].t_name == "chrB"
     assert recs[0].t_start == 3000 and recs[0].t_end == 3800
+
+
+def test_dp_backend_rowscan_identical(setup):
+    import numpy as np
+    from mandalorion_tpu.io.psl import format_psl
+    genome, _ = setup
+    rng = np.random.default_rng(13)
+    seq = synthdata.transcript_seq(genome, EXONS)
+    reads = []
+    for i in range(6):
+        r, _ = synthdata.mutate_read(seq, rng, 0.02)
+        p = int(rng.integers(100, 1200))
+        r = r[:p] + r[p + 2:]  # force an indel DP problem
+        reads.append((f"x{i}", r))
+    a_np = SpliceAligner({"chr1": genome}, AlignConfig(dp_backend="numpy"))
+    a_js = SpliceAligner({"chr1": genome}, AlignConfig(dp_backend="rowscan"))
+    out_np = [format_psl(r) for r in a_np.map_batch(reads)]
+    out_js = [format_psl(r) for r in a_js.map_batch(reads)]
+    assert out_np == out_js
