@@ -154,3 +154,36 @@ def test_module_resume(run, dataset):
                    "-f", str(tmp / "reads.fofn"), "-M", "FQ"])
     assert rc == 0
     assert (out / "Isoforms.filtered.clean.quant").read_text() == before
+
+
+def test_multi_sample_quant(tmp_path):
+    """Config-5 shape: several sample files via fofn; per-sample columns."""
+    rng = np.random.default_rng(5)
+    genome = synthdata.make_genome(9000, seed=50)
+    exons = [(2000, 2500), (3500, 4200)]
+    genome = synthdata.plant_introns(genome, exons)
+    (tmp_path / "genome.fasta").write_text(f">chr1\n{genome}\n")
+    t = synthdata.transcript_seq(genome, exons)
+    per_sample = [6, 4, 9]
+    paths = []
+    for s, n in enumerate(per_sample):
+        reads = []
+        for i in range(n):
+            r, _ = synthdata.mutate_read(t, rng, 0.01)
+            reads.append((f"s{s}read{i}", r))
+        p = tmp_path / f"sample{s}.fasta"
+        write_fasta(str(p), reads)
+        paths.append(str(p))
+    (tmp_path / "multi.fofn").write_text("\n".join(paths) + "\n")
+    out = tmp_path / "out"
+    rc = cli_main(["-p", str(out), "-G", str(tmp_path / "genome.fasta"),
+                   "-f", str(tmp_path / "multi.fofn"), "-R", "3"])
+    assert rc == 0
+    lines = (out / "Isoforms.filtered.clean.quant").read_text().splitlines()
+    header = [h for h in lines[0].split("\t")[1:] if h]
+    assert header == paths
+    counts = [int(x) for x in lines[1].split("\t")[1:] if x != ""]
+    assert counts == per_sample
+    tpm = (out / "Isoforms.filtered.clean.tpm").read_text().splitlines()
+    vals = [float(x) for x in tpm[1].split("\t")[1:] if x != ""]
+    assert all(abs(v - 1_000_000) < 1 for v in vals)
