@@ -25,6 +25,7 @@ class Segment:
     q_end: int
     t_start: int
     t_end: int
+    n_anchors: int = 1
 
     @property
     def diag(self) -> int:
@@ -53,7 +54,8 @@ def collapse_anchors(q_pos: np.ndarray, t_pos: np.ndarray, k: int,
     for s, e in zip(starts, ends):
         segments.append(Segment(
             q_start=int(q[s]), q_end=int(q[e - 1]) + k,
-            t_start=int(t[s]), t_end=int(t[e - 1]) + k))
+            t_start=int(t[s]), t_end=int(t[e - 1]) + k,
+            n_anchors=int(e - s)))
     return segments
 
 
@@ -67,6 +69,28 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
     query start. Returns (chain segments in order, score)."""
     if not segments:
         return [], 0.0
+    # spurious random k-mer hits produce single-anchor segments scattered
+    # across distant diagonals; when multi-anchor segments already cover a
+    # solid fraction of the read, drop singletons that sit far (> intron
+    # range aside, off-diagonal) from every multi segment — true end/gap
+    # anchors share (or nearly share) a diagonal and survive
+    multi = [s for s in segments if s.n_anchors > 1]
+    if multi and len(multi) < len(segments):
+        covered = sum(s.length for s in multi)
+        read_span = max(s.q_end for s in segments) - min(
+            s.q_start for s in segments)
+        if covered >= 0.3 * max(read_span, 1):
+            multi_diags = np.array([s.diag for s in multi])
+            kept = list(multi)
+            for s in segments:
+                if s.n_anchors > 1:
+                    continue
+                gap = int(np.abs(s.diag - multi_diags).min())
+                # same-diagonal neighborhood or a plausible intron jump
+                # from some multi segment (terminal small exons)
+                if gap <= max_intron:
+                    kept.append(s)
+            segments = kept
     if len(segments) > max_segments:
         segments = sorted(segments, key=lambda s: -s.length)[:max_segments]
     segments = sorted(segments, key=lambda s: (s.q_start, s.t_start))

@@ -123,9 +123,14 @@ def _solve_one(p: DpProblem, cfg: AlignConfig) -> DpResult:
     if p.mode == "global":
         qi, tj = nq, nt
     else:
-        flat = int(np.argmax(H))
+        # end_bonus: reward consuming the whole query, so real read tails
+        # align through trailing mismatches instead of soft-clipping
+        eff = H if cfg.end_bonus == 0 else H.copy()
+        if cfg.end_bonus:
+            eff[nq, :] += cfg.end_bonus
+        flat = int(np.argmax(eff))
         qi, tj = divmod(flat, nt + 1)
-        if H[qi, tj] <= 0:
+        if eff[qi, tj] <= 0:
             return DpResult([], 0, 0)
 
     ops: List[Tuple[str, int, int]] = []

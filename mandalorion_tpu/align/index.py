@@ -28,6 +28,7 @@ class GenomeIndex:
     chrom_sizes: np.ndarray
     sorted_hashes: np.ndarray      # minimizer hashes, ascending (uint64)
     sorted_positions: np.ndarray   # global genome positions (int64)
+    bucket_lo: np.ndarray = None   # 2^16+1 offsets over hash top-16 bits
 
     @property
     def total_length(self) -> int:
@@ -43,9 +44,17 @@ class GenomeIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         """For query minimizer hashes, return (query_idx, genome_position)
         anchor pairs; hashes occurring more than max_occ times in the genome
-        are dropped (repeat masking, minimap2's -f analogue)."""
-        lo = np.searchsorted(self.sorted_hashes, hashes, side="left")
-        hi = np.searchsorted(self.sorted_hashes, hashes, side="right")
+        are dropped (repeat masking, minimap2's -f analogue). Uses the
+        native bucketed binary search when available."""
+        from mandalorion_tpu.native import native_lookup_ranges
+        res = (native_lookup_ranges(self.sorted_hashes, self.bucket_lo,
+                                    hashes)
+               if self.bucket_lo is not None else None)
+        if res is not None:
+            lo, hi = res
+        else:
+            lo = np.searchsorted(self.sorted_hashes, hashes, side="left")
+            hi = np.searchsorted(self.sorted_hashes, hashes, side="right")
         counts = hi - lo
         keep = (counts > 0) & (counts <= max_occ)
         lo, hi = lo[keep], hi[keep]
@@ -97,6 +106,11 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
     all_hash = (np.concatenate(hash_parts) if hash_parts
                 else np.zeros(0, np.uint64))
     order = np.argsort(all_hash, kind="stable")
+    sorted_hashes = all_hash[order]
+    # bucket table over the hash's top 16 bits for the native lookup
+    bucket_edges = (np.arange(1 << 16, dtype=np.uint64) << np.uint64(48))
+    bucket_lo = np.searchsorted(sorted_hashes, bucket_edges, side="left")
+    bucket_lo = np.append(bucket_lo, len(sorted_hashes)).astype(np.int64)
     return GenomeIndex(
         kmer=kmer, window=window,
         seq_codes=np.concatenate(code_parts) if code_parts
@@ -104,6 +118,7 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
         chrom_names=names,
         chrom_offsets=np.asarray(offsets, np.int64),
         chrom_sizes=np.asarray(sizes, np.int64),
-        sorted_hashes=all_hash[order],
+        sorted_hashes=sorted_hashes,
         sorted_positions=all_pos[order],
+        bucket_lo=bucket_lo,
     )

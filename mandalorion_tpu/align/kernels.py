@@ -102,7 +102,7 @@ def _row0(jidx, go, ge):
 # ------------------------------------------------------------ jax backend
 
 @functools.lru_cache(maxsize=32)
-def _rowscan_fn(match, mismatch, go, ge, max_q):
+def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0):
     def one(q, t_codes, qlen, tlen):
         """q (max_q,), t_codes (128,) with lane j = base j-1."""
         jidx = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -125,6 +125,7 @@ def _rowscan_fn(match, mismatch, go, ge, max_q):
         jj = jnp.arange(128)[None, :]
         valid = (iidx >= 1) & (iidx <= qlen) & (jj <= tlen)
         masked = jnp.where(valid, hs, NEG)
+        masked = masked + jnp.where((iidx == qlen) & valid, end_bonus, 0)
         flat = jnp.argmax(masked)
         best_i, best_j = flat // 128, flat % 128
         best = masked.reshape(-1)[flat]
@@ -142,7 +143,7 @@ def solve_dp_rowscan(problems: Sequence[DpProblem], cfg: AlignConfig
 
 def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
     fn = _rowscan_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-                     max_q)
+                     max_q, cfg.end_bonus)
     ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
                    jnp.asarray(qlen[:, 0]), jnp.asarray(tlen[:, 0]))
     return np.asarray(ptr), np.asarray(meta)
@@ -238,6 +239,9 @@ def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
     valid = ((rows >= 1) & (rows <= qlen[:, :1, None])
              & (lanes <= tlen[:, :1, None]))
     masked = np.where(valid, hs, NEG)
+    if cfg.end_bonus:
+        masked = masked + np.where(
+            (rows == qlen[:, :1, None]) & valid, cfg.end_bonus, 0)
     flat = masked.reshape(N, -1)
     arg = np.argmax(flat, axis=1)
     meta = np.zeros((N, 4), np.int64)

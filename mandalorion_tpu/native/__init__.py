@@ -48,6 +48,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.encode_seq.restype = None
         lib.encode_seq.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.lookup_ranges_c.restype = None
+        lib.lookup_ranges_c.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
     except (subprocess.SubprocessError, OSError) as exc:
         sys.stderr.write(f"native build unavailable ({exc}); "
@@ -71,3 +74,18 @@ def native_minimizers(codes: np.ndarray, k: int, w: int
     n = lib.minimizers_c(codes.ctypes.data, len(codes), k, w,
                          pos.ctypes.data, hsh.ctypes.data)
     return pos[:n].copy(), hsh[:n].copy()
+
+
+def native_lookup_ranges(sorted_hashes: np.ndarray, bucket_lo: np.ndarray,
+                         queries: np.ndarray):
+    """Per-query [lo, hi) ranges in the sorted hash array, or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    queries = np.ascontiguousarray(queries, np.uint64)
+    lo = np.empty(len(queries), np.int64)
+    hi = np.empty(len(queries), np.int64)
+    lib.lookup_ranges_c(sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+                        queries.ctypes.data, len(queries),
+                        lo.ctypes.data, hi.ctypes.data)
+    return lo, hi

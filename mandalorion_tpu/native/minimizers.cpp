@@ -108,3 +108,35 @@ int64_t minimizers_c(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Bucketed binary search: for each query hash, find [lo, hi) in the sorted
+// hash array, restricted to its top-16-bit bucket (bucket_lo has 65537
+// entries). Cuts probe count and cache misses vs full-range binary search.
+void lookup_ranges_c(const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+                     const uint64_t* queries, int64_t n_queries,
+                     int64_t* out_lo, int64_t* out_hi) {
+    for (int64_t qi = 0; qi < n_queries; qi++) {
+        uint64_t q = queries[qi];
+        uint32_t b = (uint32_t)(q >> 48);
+        int64_t lo = bucket_lo[b], hi = bucket_lo[b + 1];
+        // lower bound
+        int64_t l = lo, r = hi;
+        while (l < r) {
+            int64_t m = (l + r) >> 1;
+            if (sorted_hashes[m] < q) l = m + 1; else r = m;
+        }
+        int64_t first = l;
+        // upper bound
+        r = hi;
+        while (l < r) {
+            int64_t m = (l + r) >> 1;
+            if (sorted_hashes[m] <= q) l = m + 1; else r = m;
+        }
+        out_lo[qi] = first;
+        out_hi[qi] = l;
+    }
+}
+
+}  // extern "C"

@@ -32,7 +32,8 @@ def _star_align_cfg() -> AlignConfig:
     return AlignConfig(kmer=13, window=5, max_occ=64,
                        min_intron=1_000_000_000,
                        max_intron=1_000_000_000,
-                       min_chain_score=20, max_end_extend=256)
+                       min_chain_score=20, max_end_extend=256,
+                       end_bonus=12)
 
 
 def star_consensus(oriented_seqs: Sequence[str],

@@ -90,3 +90,17 @@ def test_star_matches_graph_engine():
     star, _ = determine_consensus(reads, PoaConfig(engine="star"))
     graph, _ = determine_consensus(reads, PoaConfig(engine="graph"))
     assert star == graph == true
+
+
+def test_backbone_tail_error_corrected():
+    """A backbone error in the last 3 bases must not survive: without the
+    extension end-bonus, other reads' alignments stop before the error and
+    only the backbone votes there (regression test)."""
+    true = synthdata.make_genome(800, seed=21)
+    bad_tail = true[:-3] + ("T" if true[-3] != "T" else "G") + true[-2:]
+    reads = [bad_tail] + [true] * 9
+    assert star_consensus(reads) == true
+    # and symmetrically at the start
+    bad_head = ("C" if true[2] != "C" else "A").join([true[:2], true[3:]])
+    reads = [bad_head] + [true] * 9
+    assert star_consensus(reads) == true
