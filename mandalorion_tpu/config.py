@@ -43,6 +43,7 @@ class AlignConfig:
     dp_backend: str = "numpy"      # 'numpy' | 'rowscan' (pure JAX) |
                                    # 'pallas' (TPU kernel); all three are
                                    # bit-identical (tests/test_kernels.py)
+    emit_sam: bool = False         # also write tmp/mm2Alignments.sam
 
 
 @dataclass(frozen=True)

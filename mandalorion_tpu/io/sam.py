@@ -148,3 +148,46 @@ def filter_sam(sam_path: str, out_path: str) -> None:
             if flag & 0x100 or flag & 0x800:
                 continue
             out.write(line)
+
+
+def psl_to_sam_line(rec, min_intron: int = 30) -> str:
+    """Extended PSL record -> SAM line (interop out). Blocks break at every
+    indel/intron, so the CIGAR reconstructs exactly: gaps between blocks
+    with dq>0 emit I, dt>=min_intron emit N, else D."""
+    cigar = []
+    if rec.q_start > 0:
+        cigar.append(f"{rec.q_start}S")
+    for i, size in enumerate(rec.block_sizes):
+        cigar.append(f"{size}M")
+        if i + 1 < len(rec.block_sizes):
+            dq = rec.q_starts[i + 1] - (rec.q_starts[i] + size)
+            dt = rec.t_starts[i + 1] - (rec.t_starts[i] + size)
+            if dq > 0:
+                cigar.append(f"{dq}I")
+            if dt > 0:
+                cigar.append(f"{dt}N" if dt >= min_intron else f"{dt}D")
+    tail = rec.q_size - rec.q_end
+    if tail > 0:
+        cigar.append(f"{tail}S")
+    flag = 16 if rec.strand == "-" else 0
+    seq = rec.sequence or "*"
+    if rec.strand == "-" and seq != "*":
+        seq = revcomp(seq)  # SAM stores target-forward orientation
+    nm = rec.mismatches + rec.q_base_insert + rec.t_base_insert
+    fields = [rec.q_name, str(flag), rec.t_name, str(rec.t_start + 1),
+              "60", "".join(cigar), "*", "0", "0", seq,
+              "*", f"NM:i:{nm}", "ts:A:+"]
+    if rec.cs:
+        fields.append(f"cs:Z:{rec.cs}")
+    return "\t".join(fields)
+
+
+def write_sam(path: str, records, chrom_sizes) -> None:
+    """Write SAM with @SQ headers from a chrom -> size mapping."""
+    with open(path, "w") as out:
+        out.write("@HD\tVN:1.6\tSO:unknown\n")
+        for name, size in chrom_sizes.items():
+            out.write(f"@SQ\tSN:{name}\tLN:{size}\n")
+        out.write("@PG\tID:mando-tpu\tPN:mando-tpu\n")
+        for rec in records:
+            out.write(psl_to_sam_line(rec) + "\n")

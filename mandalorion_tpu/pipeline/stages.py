@@ -136,6 +136,13 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
     dt = time.time() - t0
     print(f"\taligned {n_reads} reads in {dt:.1f}s "
           f"({n_reads / max(dt, 1e-9):.1f} reads/s)")
+    if cfg.align.emit_sam:
+        from mandalorion_tpu.io.psl import read_psl
+        from mandalorion_tpu.io.sam import write_sam
+        sizes = {n: int(z) for n, z in zip(aligner.index.chrom_names,
+                                           aligner.index.chrom_sizes)}
+        write_sam(paths.t("mm2Alignments.sam"),
+                  read_psl(paths.t("mm2Alignments.psl")), sizes)
 
 
 # ------------------------------------------------------------- module P

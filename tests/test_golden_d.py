@@ -104,3 +104,43 @@ def test_annotated_bins_used(pipeline_front):
     assert len(bed) == 2
     chroms = {l.split("\t")[0] for l in bed}
     assert chroms == {"chr1"}
+
+
+
+def test_reference_emtrey_on_our_sam(pipeline_front, tmp_path):
+    """Our SAM interop output fed to the REFERENCE emtrey.py must
+    reproduce our extended PSL columns (coordinates, blocks, counts,
+    accuracy) — the reference's own converter validates our alignment
+    emission."""
+    tmp, paths, cfg = pipeline_front
+    from mandalorion_tpu.io.psl import read_psl
+    from mandalorion_tpu.io.sam import write_sam
+    from mandalorion_tpu.io.fastx import fastx_to_dict
+
+    recs = list(read_psl(paths.t("mm2Alignments.psl")))
+    genome = fastx_to_dict(str(tmp / "genome.fasta"))
+    sam = tmp_path / "ours.sam"
+    write_sam(str(sam), recs, {k: len(v) for k, v in genome.items()})
+    out_psl = tmp_path / "emtrey.psl"
+    r = oracle.run_script("emtrey.py", ["-i", str(sam), "-o", str(out_psl),
+                                        "-m", "-t", "1"])
+    assert r.returncode == 0, r.stderr
+    theirs = {}
+    for line in open(out_psl):
+        a = line.rstrip("\n").split("\t")
+        theirs[a[9]] = a
+    assert len(theirs) == len(recs)
+    for rec in recs:
+        a = theirs[rec.q_name]
+        assert int(a[0]) == rec.matches
+        assert int(a[1]) == rec.mismatches
+        assert int(a[3]) == rec.n_count
+        assert int(a[5]) == rec.q_base_insert
+        assert int(a[7]) == rec.t_base_insert
+        assert a[8] == rec.strand
+        assert int(a[15]) == rec.t_start and int(a[16]) == rec.t_end
+        assert a[18] == ",".join(map(str, rec.block_sizes)) + ","
+        assert a[20] == ",".join(map(str, rec.t_starts)) + ","
+        assert abs(float(a[21]) - rec.accuracy) < 1e-9
+        assert a[22] == rec.cs
+        assert a[23] == rec.sequence
