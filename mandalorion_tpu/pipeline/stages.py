@@ -280,6 +280,16 @@ def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
 
 # ------------------------------------------------------------- module F
 
+def _filter_chrom_worker(chrom, clean_psl, chr_seq, polya_bed, cfg):
+    """Picklable per-chromosome filter job: returns (kept names, psl lines,
+    filter-reason log text)."""
+    parts: List[str] = []
+    kept, table = process_chromosome(chrom, clean_psl, chr_seq, polya_bed,
+                                     cfg, lambda m: parts.append(m + "\n"))
+    lines = {name: "\t".join(table.lines[name]) for name in kept}
+    return kept, lines, "".join(parts)
+
+
 def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
              annotation_path: str,
              aligner: Optional[SpliceAligner] = None) -> None:
@@ -306,22 +316,26 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
     chromosomes = sorted({line.split("\t")[13] for line in
                           open(paths.t("Isoforms.aligned.out.clean.psl"))
                           if line.strip()})
-    reasons = open(paths.t("filter_reasons.txt"), "w")
+    jobs = [(chrom, paths.t("Isoforms.aligned.out.clean.psl"),
+             genome.get(chrom, ""), paths.t("polyAWhiteList.bed"), cfg)
+            for chrom in chromosomes]
+    if cfg.threads > 1 and len(jobs) > 1:
+        # per-chromosome fan-out, ordered merge (filterIsoforms.py:497-509)
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(min(cfg.threads, len(jobs))) as pool:
+            chrom_results = pool.starmap(_filter_chrom_worker, jobs)
+    else:
+        chrom_results = [_filter_chrom_worker(*j) for j in jobs]
 
-    def reason(msg: str) -> None:
-        reasons.write(msg + "\n")
-
-    with open(paths.t("Isoforms.filtered.fasta"), "w") as ffa, \
+    with open(paths.t("filter_reasons.txt"), "w") as reasons, \
+            open(paths.t("Isoforms.filtered.fasta"), "w") as ffa, \
             open(paths.t("Isoforms.filtered.clean.psl"), "w") as fpsl:
-        for chrom in chromosomes:
-            kept, table = process_chromosome(
-                chrom, paths.t("Isoforms.aligned.out.clean.psl"),
-                genome.get(chrom, ""), paths.t("polyAWhiteList.bed"),
-                cfg, reason)
+        for kept, lines, reason_log in chrom_results:
+            reasons.write(reason_log)
             for name in kept:
                 ffa.write(f">{name}\n{isoforms[name]}\n")
-                fpsl.write("\t".join(table.lines[name]) + "\n")
-    reasons.close()
+                fpsl.write(lines[name] + "\n")
     write_gtf_from_psl(paths.t("Isoforms.filtered.clean.psl"),
                        paths.t("Isoforms.filtered.clean.gtf"))
     sort_psl_file(paths.t("Isoforms.filtered.clean.psl"),

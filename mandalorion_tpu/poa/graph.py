@@ -206,10 +206,18 @@ class PoaGraph:
         return np.array([self.base[v] for v in out], np.uint8)
 
 
+MAX_GRAPH_LEN = 20_000  # DP rows are O(nodes x len); guard runaway memory
+
+
 def poa_consensus(seq_codes_list: List[np.ndarray],
                   params: Optional[PoaParams] = None) -> np.ndarray:
     """Consensus of oriented sequences (codes)."""
     params = params or PoaParams()
+    longest = max(len(s) for s in seq_codes_list)
+    if longest > MAX_GRAPH_LEN:
+        raise ValueError(
+            f"graph POA engine capped at {MAX_GRAPH_LEN} nt (got {longest});"
+            " use the star engine (PoaConfig.engine='star') for long reads")
     graph = PoaGraph(seq_codes_list[0])
     for q in seq_codes_list[1:]:
         graph.add_read(q, params)
