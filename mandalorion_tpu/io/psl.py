@@ -100,11 +100,13 @@ def write_psl(path: str, records, append: bool = False) -> None:
 
 
 def psl_sort_key(line: str):
-    """Sort key matching `sort -k 14,14 -k 16,17n` (`Mando.py:346-349`)
-    with a fixed C collation for the chromosome column (the reference's
-    chromosome order is locale-dependent; we pin bytewise order)."""
+    """Sort key matching GNU `sort -k 14,14 -k 16,17n` under C collation
+    (`Mando.py:346-349`): chromosome bytewise, then tStart numerically
+    (GNU's numeric parse of the field-16..17 span stops at the tab, so
+    tEnd only matters via the last-resort comparison), then GNU's
+    last-resort whole-line bytewise tie-break."""
     a = line.split("\t")
-    return (a[13], int(a[15]), int(a[16]))
+    return (a[13].encode(), int(a[15]), line.encode())
 
 
 def sort_psl_file(in_path: str, out_path: str) -> None:

@@ -1,0 +1,147 @@
+"""Full-pipeline golden test: the REFERENCE Mando.py run end-to-end (with
+stub minimap2 replaying OUR alignments and stub abpoa forcing its
+first-sequence consensus fallback) against our pipeline on the same data.
+
+Strict equality: read->isoform assignment (Mando_isoforms.read_stat.txt)
+and the quant matrix (same isoform names, same per-sample counts).
+Structural equality: filtered-isoform exon architecture (the consensus
+SEQUENCES differ by design — star consensus corrects read errors the
+reference's fallback keeps — so realigned coordinates may wobble by a few
+bases at soft ends; junction structure must match)."""
+
+import os
+import stat
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import oracle
+import synthdata
+from mandalorion_tpu.config import AlignConfig, PipelineConfig
+from mandalorion_tpu.io.fastx import revcomp, write_fasta
+from mandalorion_tpu.io.psl import read_psl
+from mandalorion_tpu.pipeline.stages import run_pipeline
+
+pytestmark = pytest.mark.skipif(
+    not oracle.reference_available(), reason="reference tree not mounted")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("golden_e2e")
+    rng = np.random.default_rng(321)
+    genome = synthdata.make_genome(25000, seed=99)
+    g1 = [(3000, 3600), (5000, 5500), (7000, 7700)]
+    g2 = [(14000, 14800), (16000, 16600)]
+    genome = synthdata.plant_introns(genome, g1)
+    genome = synthdata.plant_introns(genome, g2, strand="-")
+    (tmp / "genome.fasta").write_text(f">chr1\n{genome}\n")
+    t1 = synthdata.transcript_seq(genome, g1)
+    t2 = revcomp(synthdata.transcript_seq(genome, g2))
+    reads = []
+    for i in range(30):
+        r, _ = synthdata.mutate_read(t1, rng, 0.01)
+        reads.append((f"a{i}", r))
+    for i in range(18):
+        r, _ = synthdata.mutate_read(t2, rng, 0.01)
+        reads.append((f"b{i}", r))
+    write_fasta(str(tmp / "reads.fasta"), reads)
+    (tmp / "ann.gtf").write_text(
+        synthdata.gtf_lines("chr1", "G1", "T1", g1)
+        + synthdata.gtf_lines("chr1", "G2", "T2", g2, strand="-"))
+
+    # ours (also emits the SAM the reference replay stub uses)
+    ours = tmp / "ours"
+    cfg = PipelineConfig(align=AlignConfig(emit_sam=True), threads=2)
+    run_pipeline(str(ours), str(tmp / "genome.fasta"),
+                 str(tmp / "ann.gtf"), str(tmp / "reads.fasta"), cfg)
+    reads_sam = ours / "tmp" / "mm2Alignments.sam"
+
+    # stub tools for the reference
+    bin_dir = tmp / "bin"
+    bin_dir.mkdir()
+    mm2 = bin_dir / "minimap2"
+    mm2.write_text(f"""#!/bin/bash
+for arg in "$@"; do
+  if [[ "$arg" == *Isoform_Consensi* ]]; then
+    python3 {REPO}/tools/_align_stub.py {tmp}/genome.fasta "$arg"
+    exit 0
+  fi
+done
+cat {reads_sam}
+""")
+    mm2.chmod(0o755)
+    (bin_dir / "abpoa").write_text("#!/bin/bash\nexit 0\n")
+    (bin_dir / "abpoa").chmod(0o755)
+    (bin_dir / "scp").write_text("#!/bin/bash\ncp \"$@\"\n")
+    (bin_dir / "scp").chmod(0o755)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.join(REPO, "tests", "stubs")
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env["PATH"] = str(bin_dir) + os.pathsep + env.get("PATH", "")
+    ref = tmp / "ref"
+    ref.mkdir()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(oracle.REFERENCE, "Mando.py"),
+         "-p", str(ref), "-g", str(tmp / "ann.gtf"),
+         "-G", str(tmp / "genome.fasta"),
+         "-f", str(tmp / "reads.fasta"),
+         "-t", "2", "--mm2_path", str(mm2)],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return tmp, ours, ref
+
+
+def test_read_assignment_identical(golden):
+    _tmp, ours, ref = golden
+    assert (ours / "Mando_isoforms.read_stat.txt").read_text() == \
+           (ref / "Mando_isoforms.read_stat.txt").read_text()
+
+
+def test_quant_identical(golden):
+    _tmp, ours, ref = golden
+    mine = (ours / "Isoforms.filtered.clean.quant").read_text().splitlines()
+    theirs = (ref / "Isoforms.filtered.clean.quant").read_text().splitlines()
+    # same isoforms, same counts (header carries the same sample path)
+    assert mine == theirs
+
+
+def test_structures_match(golden):
+    _tmp, ours, ref = golden
+
+    def structures(path):
+        out = {}
+        for r in read_psl(str(path)):
+            out[r.q_name] = (r.strand, len(r.block_sizes),
+                             tuple(r.t_starts[1:]),  # junction starts
+                             tuple(t + s for t, s in
+                                   zip(r.t_starts, r.block_sizes))[:-1])
+        return out
+
+    mine = structures(ours / "Isoforms.filtered.clean.psl")
+    theirs = structures(ref / "Isoforms.filtered.clean.psl")
+    assert set(mine) == set(theirs)
+    for name in mine:
+        assert mine[name] == theirs[name], name
+
+
+def test_genes_identical(golden):
+    _tmp, ours, ref = golden
+    mine = (ours / "Isoforms.filtered.clean.genes").read_text().splitlines()
+    theirs = (ref / "Isoforms.filtered.clean.genes").read_text().splitlines()
+
+    def norm(lines):
+        # pin the reference's nondeterministic set-ordered overlap column
+        out = []
+        for l in lines:
+            a = l.split("\t")
+            a[6] = ",".join(sorted(a[6].split(","))) if len(a) > 6 else ""
+            out.append("\t".join(a))
+        return out
+
+    assert norm(mine) == norm(theirs)
