@@ -1,0 +1,140 @@
+"""Batched segment chaining on device (pure JAX, jit/vmap).
+
+The same collinear-chain DP as align/chain.chain_segments, expressed over
+padded (B, MAX_SEG) segment arrays: lax.scan over segment index i with the
+candidate-predecessor max vectorized across the lane axis, vmapped over the
+read batch. Tie-breaks match the numpy path exactly (first max), so the two
+backends are interchangeable (tests/test_chain_kernel.py).
+
+This is the 'chain' stage of the seed-chain-extend TPU pipeline
+(BASELINE.json north star); the extend stage is align/kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mandalorion_tpu.align.chain import Segment
+
+NEG = np.float32(-1e18)
+MAX_SEG = 128
+
+
+@functools.lru_cache(maxsize=16)
+def _chain_fn(min_intron: int, max_intron: int, match: int,
+              intron_penalty: float, indel_open: float, indel_scale: float,
+              max_seg: int):
+    def one(qs, qe, ts, te, n_seg):
+        """Positions are int32 (per-read offsets; coordinates normalized
+        host-side so spans fit int32 exactly); scores are float32."""
+        lens_i = qe - qs
+        lens = lens_i.astype(jnp.float32)
+        valid_seg = jnp.arange(max_seg) < n_seg
+        score0 = jnp.where(valid_seg, lens * match, NEG)
+
+        def step(carry, i):
+            score, parent = carry
+            dq = qs[i] - qe
+            dt = ts[i] - te
+            overlap = jnp.maximum(jnp.maximum(-dq, -dt), 0
+                                  ).astype(jnp.float32)
+            j_idx = jnp.arange(max_seg)
+            valid = ((j_idx < i) & valid_seg
+                     & (dq > -lens_i) & (dt > -lens_i)
+                     & (dt <= max_intron)
+                     & (qe <= qe[i]) & (te <= te[i]))
+            gap_q = jnp.maximum(dq, 0)
+            gap_t = jnp.maximum(dt, 0)
+            diff = jnp.abs(gap_t - gap_q).astype(jnp.float32)
+            is_intron = (gap_t - gap_q) >= min_intron
+            cost = jnp.where(
+                is_intron,
+                intron_penalty + 0.01 * jnp.log2(jnp.maximum(diff, 1.0)),
+                indel_open + indel_scale * diff)
+            cand = score + lens[i] * match - cost - overlap * match
+            cand = jnp.where(valid, cand, -jnp.inf)
+            j = jnp.argmax(cand)
+            better = (cand[j] > score[i]) & valid_seg[i]
+            score = score.at[i].set(jnp.where(better, cand[j], score[i]))
+            parent = parent.at[i].set(jnp.where(better, j, -1))
+            return (score, parent), None
+
+        parent0 = jnp.full(max_seg, -1, jnp.int32)
+        (score, parent), _ = jax.lax.scan(
+            step, (score0, parent0), jnp.arange(1, max_seg))
+        best = jnp.argmax(score)
+        return score, parent, best
+
+    return jax.jit(jax.vmap(one))
+
+
+def chain_batch_jax(per_read_segments: List[List[Segment]], *,
+                    min_intron: int, max_intron: int, match: int = 1,
+                    intron_penalty: float = 12.0, indel_open: float = 4.0,
+                    indel_scale: float = 0.3
+                    ) -> List[Tuple[List[Segment], float]]:
+    """Chain many reads' segments in one device call. Oversized reads
+    (> MAX_SEG segments after the same prefilter/sort as the numpy path)
+    are truncated to the longest MAX_SEG segments, matching
+    chain_segments' cap. Segments must share one chromosome per read
+    (normalized t offsets must fit int32)."""
+    B = len(per_read_segments)
+    if B == 0:
+        return []
+    prepped: List[List[Segment]] = []
+    for segs in per_read_segments:
+        segs = sorted(segs, key=lambda s: -s.length)[:MAX_SEG]
+        segs = sorted(segs, key=lambda s: (s.q_start, s.t_start))
+        prepped.append(segs)
+
+    qs = np.zeros((B, MAX_SEG), np.int32)
+    qe = np.zeros((B, MAX_SEG), np.int32)
+    ts = np.zeros((B, MAX_SEG), np.int32)
+    te = np.zeros((B, MAX_SEG), np.int32)
+    n_seg = np.zeros(B, np.int32)
+    for b, segs in enumerate(prepped):
+        n_seg[b] = len(segs)
+        t_base = min((s.t_start for s in segs), default=0)
+        for i, s in enumerate(segs):
+            qs[b, i], qe[b, i] = s.q_start, s.q_end
+            ts[b, i] = s.t_start - t_base
+            te[b, i] = s.t_end - t_base
+
+    fn = _chain_fn(min_intron, max_intron, match, intron_penalty,
+                   indel_open, indel_scale, MAX_SEG)
+    score, parent, best = fn(jnp.asarray(qs), jnp.asarray(qe),
+                             jnp.asarray(ts), jnp.asarray(te),
+                             jnp.asarray(n_seg))
+    score = np.asarray(score)
+    parent = np.asarray(parent)
+    best = np.asarray(best)
+
+    out: List[Tuple[List[Segment], float]] = []
+    for b, segs in enumerate(prepped):
+        if not segs:
+            out.append(([], 0.0))
+            continue
+        chain_idx = []
+        at = int(best[b])
+        while at >= 0:
+            chain_idx.append(at)
+            at = int(parent[b, at])
+        chain_idx.reverse()
+        chain: List[Segment] = []
+        prev_q = prev_t = -1
+        for idx in chain_idx:
+            s = segs[idx]
+            trim = max(prev_q - s.q_start, prev_t - s.t_start, 0)
+            q0, t0 = s.q_start + trim, s.t_start + trim
+            if q0 >= s.q_end or t0 >= s.t_end:
+                continue
+            chain.append(Segment(q0, s.q_end, t0, s.t_end))
+            prev_q, prev_t = s.q_end, s.t_end
+        out.append((chain, float(score[b, best[b]])))
+    return out

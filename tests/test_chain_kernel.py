@@ -1,0 +1,51 @@
+"""Device chaining kernel vs numpy chain: identical chains and scores on
+random segment sets (spliced, indel, overlapping, noisy)."""
+
+import numpy as np
+import pytest
+
+from mandalorion_tpu.align.chain import Segment, chain_segments
+from mandalorion_tpu.align.chain_kernel import chain_batch_jax
+
+
+def _random_segments(rng):
+    segs = []
+    q = int(rng.integers(0, 30))
+    t = int(rng.integers(0, 5000))
+    for _ in range(int(rng.integers(1, 12))):
+        ln = int(rng.integers(15, 300))
+        segs.append(Segment(q, q + ln, t, t + ln, n_anchors=3))
+        q += ln + int(rng.integers(0, 20))
+        t += ln + int(rng.choice([0, 5, 40, 300, 5000, 60000]))
+    # sprinkle off-chain noise on nearby diagonals (survives the diagonal
+    # prefilter, exercising the DP's selection)
+    for _ in range(int(rng.integers(0, 6))):
+        ln = 15
+        nq = int(rng.integers(0, max(q, 1)))
+        segs.append(Segment(nq, nq + ln,
+                            nq + int(rng.integers(0, 60000)), 0,
+                            n_anchors=3))
+        segs[-1].t_end = segs[-1].t_start + ln
+    return segs
+
+
+def test_chain_kernel_matches_numpy():
+    rng = np.random.default_rng(17)
+    batches = [_random_segments(rng) for _ in range(40)]
+    got = chain_batch_jax(batches, min_intron=30, max_intron=400000)
+    for segs, (chain_j, score_j) in zip(batches, got):
+        chain_n, score_n = chain_segments(segs, min_intron=30,
+                                          max_intron=400000)
+        assert score_j == pytest.approx(score_n)
+        assert [(c.q_start, c.q_end, c.t_start, c.t_end)
+                for c in chain_j] == \
+               [(c.q_start, c.q_end, c.t_start, c.t_end)
+                for c in chain_n]
+
+
+def test_chain_kernel_empty_and_single():
+    got = chain_batch_jax([[], [Segment(0, 100, 500, 600)]],
+                          min_intron=30, max_intron=400000)
+    assert got[0] == ([], 0.0)
+    chain, score = got[1]
+    assert len(chain) == 1 and score == 100.0
