@@ -187,3 +187,43 @@ def test_multi_sample_quant(tmp_path):
     tpm = (out / "Isoforms.filtered.clean.tpm").read_text().splitlines()
     vals = [float(x) for x in tpm[1].split("\t")[1:] if x != ""]
     assert all(abs(v - 1_000_000) < 1 for v in vals)
+
+
+def test_flag_surface(tmp_path):
+    """Exercise -m multi_exon_only, -w window, -j junctions, gzipped fastq
+    input through the CLI."""
+    import gzip
+    rng = np.random.default_rng(9)
+    genome = synthdata.make_genome(12000, seed=60)
+    spliced = [(2000, 2500), (3500, 4100)]
+    mono = [(7000, 7900)]
+    genome = synthdata.plant_introns(genome, spliced)
+    (tmp_path / "genome.fasta").write_text(f">chr1\n{genome}\n")
+    ts = synthdata.transcript_seq(genome, spliced)
+    tm = synthdata.transcript_seq(genome, mono)
+    with gzip.open(tmp_path / "reads.fastq.gz", "wt") as fh:
+        for i in range(8):
+            r, _ = synthdata.mutate_read(ts, rng, 0.01)
+            fh.write(f"@s{i}\n{r}\n+\n{'I' * len(r)}\n")
+        for i in range(6):
+            r, _ = synthdata.mutate_read(tm, rng, 0.01)
+            fh.write(f"@m{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    out1 = tmp_path / "out1"
+    rc = cli_main(["-p", str(out1), "-G", str(tmp_path / "genome.fasta"),
+                   "-f", str(tmp_path / "reads.fastq.gz"),
+                   "-w", "2", "-j", "gtag"])
+    assert rc == 0
+    names1 = [l for l in (out1 / "Isoforms.filtered.fasta").read_text()
+              .splitlines() if l.startswith(">")]
+    assert len(names1) == 2  # spliced + mono survive
+
+    out2 = tmp_path / "out2"
+    rc = cli_main(["-p", str(out2), "-G", str(tmp_path / "genome.fasta"),
+                   "-f", str(tmp_path / "reads.fastq.gz"), "-m"])
+    assert rc == 0
+    names2 = [l for l in (out2 / "Isoforms.filtered.fasta").read_text()
+              .splitlines() if l.startswith(">")]
+    assert len(names2) == 1  # -m drops the mono-exon isoform
+    reasons = (out2 / "tmp" / "filter_reasons.txt").read_text()
+    assert "single exon" in reasons
