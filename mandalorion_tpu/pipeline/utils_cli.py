@@ -60,6 +60,18 @@ def main(argv=None) -> int:
     sp.add_argument("bam")
     sp.add_argument("fasta")
 
+    sp = sub.add_parser("emtrey", help="SAM -> (extended) PSL")
+    sp.add_argument("-i", "--inputFile", required=True)
+    sp.add_argument("-o", "--outputFile", required=True)
+    sp.add_argument("-m", "--mando", action="store_true",
+                    help="24-col extended PSL for pipeline-internal use")
+
+    sp = sub.add_parser("clean-psl", help="merge sub-intron gaps in a PSL")
+    sp.add_argument("psl")
+    sp.add_argument("out")
+    sp.add_argument("--keep-secondary", action="store_true",
+                    help="keep all alignments per read (default: first only)")
+
     args = p.parse_args(argv)
 
     if args.cmd in ("polya", "polya-nd"):
@@ -99,6 +111,12 @@ def main(argv=None) -> int:
         from mandalorion_tpu.io.bam import bam_to_fasta
         n = bam_to_fasta(args.bam, args.fasta)
         print(f"\t{n} records written")
+    elif args.cmd == "emtrey":
+        from mandalorion_tpu.io.sam import sam_to_psl
+        sam_to_psl(args.inputFile, args.outputFile, mando=args.mando)
+    elif args.cmd == "clean-psl":
+        from mandalorion_tpu.core.cleanpsl import clean_psl_file
+        clean_psl_file(args.psl, args.out, primary=not args.keep_secondary)
     return 0
 
 
