@@ -151,20 +151,27 @@ def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
 
 # --------------------------------------------------------- pallas backend
 
-def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, h_ref,
-               h_scr, e_scr, *, match, mismatch, go, ge, max_q):
-    """DP state lives in VMEM scratch (fori_loop carries of mixed layouts
-    trip Mosaic relayout); every row's H and pointer bits stream to HBM via
-    the leading (untiled) output dim; the host picks best cells."""
+def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
+               h_scr, e_scr, final_scr, bestv_scr, besti_scr, bestj_scr,
+               *, match, mismatch, go, ge, end_bonus, max_q):
+    """DP state and best-cell tracking live in VMEM scratch (fori_loop
+    carries of mixed layouts trip Mosaic relayout); only pointer bits and
+    a small meta row stream to HBM. meta lanes: 0 best_i, 1 best_j,
+    2 best_score (end_bonus applied), 3 final H[qlen][tlen]."""
     jidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, max_q), 1)
+    tlen = tlen_ref[:, 0:1]
+    qlen = qlen_ref[:, 0:1]
     t_codes = t_ref[:, :]
     q_codes = q_ref[:, :]
     h0, ptr0 = _row0(jidx, go, ge)
     ptr_ref[0, :, :] = ptr0
-    h_ref[0, :, :] = h0
     h_scr[:, :] = h0
     e_scr[:, :] = jnp.full((TILE, 128), NEG, jnp.int32)
+    final_scr[:, :] = jnp.full((TILE, 128), NEG, jnp.int32)
+    bestv_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # best = H[0,0] = 0
+    besti_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)
+    bestj_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)
 
     def body(i, _):
         h_prev = h_scr[:, :]
@@ -177,18 +184,45 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, h_ref,
             h_prev, e_prev, t_codes, q_col, jidx,
             match=match, mismatch=mismatch, go=go, ge=ge)
         ptr_ref[pl.ds(i + 1, 1), :, :] = packed[None, :, :]
-        h_ref[pl.ds(i + 1, 1), :, :] = h_row[None, :, :]
         h_scr[:, :] = h_row
         e_scr[:, :] = e_row
+        is_final = qlen == (i + 1)
+        final_scr[:, :] = jnp.where(is_final, h_row, final_scr[:, :])
+        valid = (jidx <= tlen) & ((i + 1) <= qlen)
+        masked = jnp.where(valid, h_row, NEG)
+        if end_bonus:
+            masked = masked + jnp.where(is_final & valid, end_bonus, 0)
+        row_best = jnp.max(masked, axis=1, keepdims=True)
+        # first-max lane (Mosaic lacks int argmax): min index among maxima
+        row_arg = jnp.min(jnp.where(masked == row_best, jidx, 128),
+                          axis=1, keepdims=True)
+        better = row_best > bestv_scr[:, 0:1]
+        zero = 0 * jidx  # broadcast (TILE,1) -> (TILE,128)
+        bestv_scr[:, :] = jnp.where(better, row_best,
+                                    bestv_scr[:, 0:1]) + zero
+        besti_scr[:, :] = jnp.where(better, i + 1,
+                                    besti_scr[:, 0:1]) + zero
+        bestj_scr[:, :] = jnp.where(better, row_arg,
+                                    bestj_scr[:, 0:1]) + zero
         return 0
 
     jax.lax.fori_loop(0, max_q, body, 0)
+    final_row = final_scr[:, :]
+    final_score = jnp.max(jnp.where(jidx == tlen, final_row, NEG),
+                          axis=1, keepdims=True)
+    meta = jnp.where(jidx == 0, besti_scr[:, 0:1],
+                     jnp.where(jidx == 1, bestj_scr[:, 0:1],
+                               jnp.where(jidx == 2, bestv_scr[:, 0:1],
+                                         final_score)))
+    meta_ref[:, :] = meta
 
 
 @functools.lru_cache(maxsize=32)
-def _pallas_fn(match, mismatch, go, ge, n_tiles, max_q, interpret):
+def _pallas_fn(match, mismatch, go, ge, end_bonus, n_tiles, max_q,
+               interpret):
     kernel = functools.partial(_dp_kernel, match=match, mismatch=mismatch,
-                               go=go, ge=ge, max_q=max_q)
+                               go=go, ge=ge, end_bonus=end_bonus,
+                               max_q=max_q)
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -205,19 +239,16 @@ def _pallas_fn(match, mismatch, go, ge, n_tiles, max_q, interpret):
         out_specs=[
             pl.BlockSpec((max_q + 1, TILE, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_q + 1, TILE, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((max_q + 1, n_tiles * TILE, 128),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((max_q + 1, n_tiles * TILE, 128),
-                                 jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * TILE, 128), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((TILE, 128), jnp.int32),
-            pltpu.VMEM((TILE, 128), jnp.int32),
-        ],
+        scratch_shapes=[pltpu.VMEM((TILE, 128), jnp.int32)
+                        for _ in range(6)],
         interpret=interpret,
     )
     return jax.jit(fn)
@@ -226,30 +257,11 @@ def _pallas_fn(match, mismatch, go, ge, n_tiles, max_q, interpret):
 def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
     n_tiles = q_arr.shape[0] // TILE
     fn = _pallas_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-                    n_tiles, max_q, interpret)
-    ptr, hs = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
-                 jnp.asarray(qlen), jnp.asarray(tlen))
-    # layouts (rows, N, 128) -> (N, rows, 128)
-    ptr = np.asarray(ptr).transpose(1, 0, 2)
-    hs = np.asarray(hs).transpose(1, 0, 2)
-    # host-side meta: best valid cell (extend) + final score (global)
-    N = ptr.shape[0]
-    rows = np.arange(max_q + 1)[None, :, None]
-    lanes = np.arange(128)[None, None, :]
-    valid = ((rows >= 1) & (rows <= qlen[:, :1, None])
-             & (lanes <= tlen[:, :1, None]))
-    masked = np.where(valid, hs, NEG)
-    if cfg.end_bonus:
-        masked = masked + np.where(
-            (rows == qlen[:, :1, None]) & valid, cfg.end_bonus, 0)
-    flat = masked.reshape(N, -1)
-    arg = np.argmax(flat, axis=1)
-    meta = np.zeros((N, 4), np.int64)
-    meta[:, 0] = arg // 128
-    meta[:, 1] = arg % 128
-    meta[:, 2] = flat[np.arange(N), arg]
-    meta[:, 3] = hs[np.arange(N), qlen[:, 0], tlen[:, 0]]
-    return ptr, meta
+                    cfg.end_bonus, n_tiles, max_q, interpret)
+    ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
+                   jnp.asarray(qlen), jnp.asarray(tlen))
+    # ptr layout (rows, N, 128) -> (N, rows, 128) for the shared traceback
+    return np.asarray(ptr).transpose(1, 0, 2), np.asarray(meta)
 
 
 def solve_dp_pallas(problems: Sequence[DpProblem], cfg: AlignConfig,
