@@ -27,7 +27,8 @@ class GenomeIndex:
     chrom_offsets: np.ndarray      # start offset of each chrom (int64)
     chrom_sizes: np.ndarray
     sorted_hashes: np.ndarray      # minimizer hashes, ascending (uint64)
-    sorted_positions: np.ndarray   # global genome positions (int64)
+    sorted_positions: np.ndarray   # global genome positions (uint32 when
+                                   # the genome fits 4 Gbp, else int64)
     bucket_lo: np.ndarray = None   # 2^16+1 offsets over hash top-16 bits
 
     @property
@@ -68,7 +69,7 @@ class GenomeIndex:
         idx = np.repeat(lo, reps) + (
             np.arange(total, dtype=np.int64)
             - np.repeat(np.cumsum(reps) - reps, reps))
-        return qout, self.sorted_positions[idx]
+        return qout, self.sorted_positions[idx].astype(np.int64)
 
 
 def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
@@ -111,6 +112,9 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
     bucket_edges = (np.arange(1 << 16, dtype=np.uint64) << np.uint64(48))
     bucket_lo = np.searchsorted(sorted_hashes, bucket_edges, side="left")
     bucket_lo = np.append(bucket_lo, len(sorted_hashes)).astype(np.int64)
+    sorted_positions = all_pos[order]
+    if offset < (1 << 32):  # hg38-scale genomes fit uint32, halving memory
+        sorted_positions = sorted_positions.astype(np.uint32)
     return GenomeIndex(
         kmer=kmer, window=window,
         seq_codes=np.concatenate(code_parts) if code_parts
@@ -119,6 +123,6 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
         chrom_offsets=np.asarray(offsets, np.int64),
         chrom_sizes=np.asarray(sizes, np.int64),
         sorted_hashes=sorted_hashes,
-        sorted_positions=all_pos[order],
+        sorted_positions=sorted_positions,
         bucket_lo=bucket_lo,
     )
