@@ -140,8 +140,6 @@ class SpliceAligner:
                 dt = seg.t_start - prev.t_end
                 if dt - dq >= cfg.min_intron and dq >= 0:
                     q = q_codes[prev.q_end:seg.q_start]
-                    t_left = g[prev.t_end:prev.t_end + dq + 2]
-                    t_right = g[seg.t_start - dq - 2:seg.t_start]
                     splits = np.arange(dq + 1)
                     donor = np.stack([
                         g[prev.t_end + splits],

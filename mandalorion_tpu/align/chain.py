@@ -59,21 +59,12 @@ def collapse_anchors(q_pos: np.ndarray, t_pos: np.ndarray, k: int,
     return segments
 
 
-def chain_segments(segments: List[Segment], *, min_intron: int,
-                   max_intron: int, match: int = 1,
-                   intron_penalty: float = 12.0,
-                   indel_open: float = 4.0, indel_scale: float = 0.3,
-                   max_segments: int = 512
-                   ) -> Tuple[List[Segment], float]:
-    """Best-scoring collinear chain via O(n²) DP over segments sorted by
-    query start. Returns (chain segments in order, score)."""
-    if not segments:
-        return [], 0.0
-    # spurious random k-mer hits produce single-anchor segments scattered
-    # across distant diagonals; when multi-anchor segments already cover a
-    # solid fraction of the read, drop singletons that sit far (> intron
-    # range aside, off-diagonal) from every multi segment — true end/gap
-    # anchors share (or nearly share) a diagonal and survive
+def prepare_segments(segments: List[Segment], max_intron: int,
+                     max_segments: int = 512) -> List[Segment]:
+    """Shared pre-DP segment filter for BOTH chain backends (numpy and
+    chain_kernel): drop spurious single-anchor segments on far-off
+    diagonals once multi-anchor segments cover >=30% of the read, cap at
+    max_segments by length, sort by (q_start, t_start)."""
     multi = [s for s in segments if s.n_anchors > 1]
     if multi and len(multi) < len(segments):
         covered = sum(s.length for s in multi)
@@ -93,15 +84,28 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
             segments = kept
     if len(segments) > max_segments:
         segments = sorted(segments, key=lambda s: -s.length)[:max_segments]
-    segments = sorted(segments, key=lambda s: (s.q_start, s.t_start))
+    return sorted(segments, key=lambda s: (s.q_start, s.t_start))
+
+
+def chain_segments(segments: List[Segment], *, min_intron: int,
+                   max_intron: int, match: int = 1,
+                   intron_penalty: float = 12.0,
+                   indel_open: float = 4.0, indel_scale: float = 0.3,
+                   max_segments: int = 512
+                   ) -> Tuple[List[Segment], float]:
+    """Best-scoring collinear chain via O(n²) DP over segments sorted by
+    query start. Returns (chain segments in order, score)."""
+    if not segments:
+        return [], 0.0
+    segments = prepare_segments(segments, max_intron, max_segments)
     n = len(segments)
     qs = np.array([s.q_start for s in segments])
     qe = np.array([s.q_end for s in segments])
     ts = np.array([s.t_start for s in segments])
     te = np.array([s.t_end for s in segments])
-    lens = (qe - qs).astype(np.float64)
+    lens = (qe - qs).astype(np.float32)  # float32: matches chain_kernel
 
-    score = lens * match
+    score = (lens * match).astype(np.float32)
     parent = np.full(n, -1, np.int64)
     for i in range(1, n):
         # candidate predecessors j < i
@@ -120,8 +124,9 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
             is_intron,
             intron_penalty + 0.01 * np.log2(np.maximum(diff, 1)),
             indel_open + indel_scale * diff,
-        )
-        cand = score[:i] + lens[i] * match - cost - overlap * match
+        ).astype(np.float32)
+        cand = (score[:i] + lens[i] * match - cost
+                - overlap.astype(np.float32) * match)
         cand = np.where(valid, cand, -np.inf)
         j = int(np.argmax(cand)) if len(cand) else -1
         if j >= 0 and cand[j] > score[i]:

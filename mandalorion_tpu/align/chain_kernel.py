@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from mandalorion_tpu.align.chain import Segment
 
 NEG = np.float32(-1e18)
-MAX_SEG = 128
+MAX_SEG = 512  # matches chain_segments' cap
 
 
 @functools.lru_cache(maxsize=16)
@@ -87,11 +87,10 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
     B = len(per_read_segments)
     if B == 0:
         return []
-    prepped: List[List[Segment]] = []
-    for segs in per_read_segments:
-        segs = sorted(segs, key=lambda s: -s.length)[:MAX_SEG]
-        segs = sorted(segs, key=lambda s: (s.q_start, s.t_start))
-        prepped.append(segs)
+    from mandalorion_tpu.align.chain import prepare_segments
+    prepped: List[List[Segment]] = [
+        prepare_segments(segs, max_intron, MAX_SEG) if segs else []
+        for segs in per_read_segments]
 
     qs = np.zeros((B, MAX_SEG), np.int32)
     qe = np.zeros((B, MAX_SEG), np.int32)

@@ -94,12 +94,17 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
         start = 0
         while start < len(codes):
             stop = min(len(codes), start + chunk)
-            sub = codes[start:stop + kmer - 1] if stop < len(codes) \
-                else codes[start:stop]
-            pos, hsh = minimizers(sub, kmer, window)
+            # context: windows touching a position reach w-1 k-mers left
+            # and w-1 k-mers (+ k-1 bases) right of the chunk body
+            lo = max(start - (window - 1), 0)
+            hi = min(stop + kmer + window - 2, len(codes))
+            pos, hsh = minimizers(codes[lo:hi], kmer, window)
             if len(pos):
-                pos_parts.append(pos + offset + start)
-                hash_parts.append(hsh)
+                pos = pos + lo
+                keep = (pos >= start) & (pos < stop)
+                if keep.any():
+                    pos_parts.append(pos[keep] + offset)
+                    hash_parts.append(hsh[keep])
             start = stop
         offset += len(codes) + 1
     all_pos = (np.concatenate(pos_parts) if pos_parts

@@ -16,6 +16,7 @@ from mandalorion_tpu.align.encode import encode, minimizers, revcomp_codes
 class OrientationAligner:
     def __init__(self, target_seq: str, kmer: int = 13, window: int = 5):
         self.kmer = kmer
+        self.window = window
         codes = encode(target_seq)
         pos, hashes = minimizers(codes, kmer, window)
         order = np.argsort(hashes, kind="stable")
@@ -23,7 +24,7 @@ class OrientationAligner:
         self.sorted_pos = pos[order]
 
     def _score(self, codes: np.ndarray) -> float:
-        pos, hashes = minimizers(codes, self.kmer, 5)
+        pos, hashes = minimizers(codes, self.kmer, self.window)
         if len(pos) == 0:
             return 0.0
         lo = np.searchsorted(self.sorted_hashes, hashes, "left")

@@ -29,17 +29,15 @@ class AlignConfig:
     gap_open: int = 2              # affine gap open (positive)
     gap_extend: int = 1            # affine gap extend (positive)
     noncanonical_penalty: int = 9  # splice junction without GT..AG (-C9)
-    forward_splice_only: bool = True  # -uf: transcript strand = read strand
-    chain_lookback: int = 64       # chaining DP window (anchors)
     min_chain_score: int = 40      # discard chains below this score
-    min_chain_anchors: int = 3     # and with fewer anchors than this
     band_width: int = 128          # banded DP half-band for gap fill
     splice_slack: int = 10         # junction slide window for motif search
-    end_bonus: int = 0             # semi-global end extension bonus
-    zdrop: int = 100               # end-extension drop cutoff
+    end_bonus: int = 0             # extension bonus for consuming the
+                                   # whole query (star consensus sets 12)
     max_end_extend: int = 2048     # max bases of end extension DP
-    secondary: bool = False        # --secondary=no
     batch_reads: int = 512         # reads per device batch
+    # note: -uf forward-splice and --secondary=no are structural (strand-
+    # dependent motifs, primary-only emission), not knobs
     dp_backend: str = "numpy"      # 'numpy' | 'rowscan' (pure JAX) |
                                    # 'pallas' (TPU kernel); all three are
                                    # bit-identical (tests/test_kernels.py)
@@ -102,7 +100,8 @@ class PipelineConfig:
     polya_scan_offsets: Tuple[int, int] = (3, 23)  # scan range (filterIsoforms.py:158)
     extend_vote: int = 10              # >=10 covered bases => extending (filterIsoforms.py:173)
     whitelist_pad: int = 20            # polyA whitelist +/-20 (defineIsoforms.py:117-118)
-    coverage_round: int = 10           # myround base (SDC.py:227-229)
+    # note: the 10 nt coverage rounding (SDC.py:227-229) is structural —
+    # it defines the histogram bucketing parity depends on
 
     # ---- sub-configs ----
     align: AlignConfig = field(default_factory=AlignConfig)

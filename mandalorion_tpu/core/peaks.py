@@ -252,7 +252,9 @@ def find_peaks(hist: LocusHistograms, side: str, chrom: str,
                peak_areas: set, cutoff: float, splice_site_width: int,
                minimum_read_count: int, junctions: Tuple[str, ...],
                rng: Optional[np.random.Generator] = None,
-               splice_check_subsample: int = 500) -> List[List[str]]:
+               splice_check_subsample: int = 500,
+               motif_fraction: float = 0.85,
+               flank_accuracy: float = 0.85) -> List[List[str]]:
     """De-novo splice-site peak caller (SDC.py:232-275). side 'l' uses the
     left (block-end) table with reverse coverage walk; 'r' the right table.
     Marks peak_areas in place; returns toWrite rows."""
@@ -297,7 +299,8 @@ def find_peaks(hist: LocusHistograms, side: str, chrom: str,
             sampled = bin_reads
         cs_indices = [hist.reads.cs_index(r) for r in sampled]
         if not characterize_splicing_event(
-                peak_center - w, peak_center + w, cs_indices, junctions):
+                peak_center - w, peak_center + w, cs_indices, junctions,
+                motif_fraction, flank_accuracy):
             continue
         start, end = peak_center - w, peak_center + w
         to_write.append([chrom, str(start), str(end), type_, side,

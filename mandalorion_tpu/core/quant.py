@@ -24,7 +24,10 @@ from mandalorion_tpu.io.fastx import read_fastx
 def map_read_locations(fasta_list: Sequence[str]
                        ) -> Tuple[List[str], Dict[str, str], Dict[str, int]]:
     """read name -> sample path, plus total reads per sample
-    (`mapReadLocation`, :51-69)."""
+    (`mapReadLocation`, :51-69). Missing/empty sample files stay listed
+    with zero reads (module A tolerates them; Q must not crash at the
+    end of a long run)."""
+    import os
     sample_list: List[str] = []
     read_map: Dict[str, str] = {}
     totals: Dict[str, int] = {}
@@ -32,6 +35,8 @@ def map_read_locations(fasta_list: Sequence[str]
         path = path.strip()
         sample_list.append(path)
         totals[path] = 0
+        if not os.path.exists(path) or os.path.getsize(path) == 0:
+            continue
         for name, _seq, _q in read_fastx(path):
             read_map[name] = path
             totals[path] += 1
@@ -91,7 +96,9 @@ def write_quant(filtered_psl_path: str, r2i_path: str,
             outt.write(iso + "\t")
             for j in range(len(sample_list)):
                 outq.write(f"{int(counts[i, j])}\t")
-                tpm = round(int(counts[i, j]) / float(denom[j]) * 1_000_000, 3)
+                total = float(denom[j])
+                tpm = (round(int(counts[i, j]) / total * 1_000_000, 3)
+                       if total > 0 else 0.0)
                 outt.write(f"{tpm}\t")
             outq.write("\n")
             outt.write("\n")

@@ -196,10 +196,12 @@ def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
                                 cfg.splice_site_window)
     rows_n_l = find_peaks(hist, "l", chrom, areas_l, cfg.locus_cutoff,
                           cfg.splice_site_window, cfg.minimum_feature_count,
-                          cfg.junctions, rng, cfg.splice_check_subsample)
+                          cfg.junctions, rng, cfg.splice_check_subsample,
+                          cfg.motif_fraction, cfg.flank_accuracy)
     rows_n_r = find_peaks(hist, "r", chrom, areas_r, cfg.locus_cutoff,
                           cfg.splice_site_window, cfg.minimum_feature_count,
-                          cfg.junctions, rng, cfg.splice_check_subsample)
+                          cfg.junctions, rng, cfg.splice_check_subsample,
+                          cfg.motif_fraction, cfg.flank_accuracy)
     splice = build_splice_dict([rows_a_l, rows_a_r, rows_n_l, rows_n_r])
     spliced, mono = sort_reads_into_splice_junctions(
         splice, reads, chrom, cfg.junction_gap)
@@ -355,6 +357,11 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
 def module_q(paths: Paths, cfg: PipelineConfig, fasta_files: str) -> None:
     _banner("Module Q - quantifying isoforms")
     fasta_list = expand_fofn(fasta_files)
+    if cfg.pacbio:
+        # quantify against the fastas module A converted from the BAMs
+        # (assignReadsToIsoforms.py:97-98)
+        fasta_list = [paths.t(os.path.basename(x).replace(".bam", ".fa"))
+                      for x in fasta_list]
     write_quant(paths.t("Isoforms.filtered.clean.psl"),
                 paths.t("reads2isoforms.txt"), fasta_list,
                 paths.t("Isoforms.filtered.clean.quant"),

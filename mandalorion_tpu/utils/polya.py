@@ -21,47 +21,11 @@ import numpy as np
 from mandalorion_tpu.io.fastx import read_fastx, revcomp
 
 
-def _state_machine(reverse: str, start: int, astretch: int
-                   ) -> Tuple[int, bool, int]:
-    """Run the reference state machine from `start` (already armed when
-    astretch >= 6 handling happens in caller). Returns
-    (trim_pos, astate, last_a)."""
-    astate = False
-    vstretch = 0
-    trim_pos = 0
-    last_a = 0
-    i = start
-    n = len(reverse)
-    while i < n:
-        base = reverse[i]
-        if not astate:
-            if base == "A":
-                astretch += 1
-                if astretch == 6:
-                    astate = True
-                    last_a = i
-            else:
-                astretch = 0
-        if astate:
-            if base != "A":
-                vstretch += 1
-                astretch = 0
-            else:
-                astretch += 1
-                if astretch >= 3:
-                    vstretch = 0
-                    last_a = i
-            if vstretch >= 3:
-                trim_pos = last_a
-                break
-        i += 1
-    return trim_pos, astate, last_a
-
-
 def remove_polya(seq: str) -> Tuple[str, bool]:
     """Trim the 3' polyA tail; returns (trimmed_seq, had_tail)."""
     reverse = seq[::-1]
-    # vectorized arming check: does any 6-A run exist?
+    # vectorized arming scan: position of the FIRST 6-A run (the state
+    # machine up to that point only counts the run, so it can be skipped)
     arr = np.frombuffer(reverse.encode(), np.uint8) == ord("A")
     if len(arr) >= 6:
         run = np.convolve(arr.astype(np.int8), np.ones(6, np.int8), "valid")
@@ -70,10 +34,31 @@ def remove_polya(seq: str) -> Tuple[str, bool]:
         armed_at = np.zeros(0, np.int64)
     if len(armed_at) == 0:
         return seq, False
-    trim_pos, astate, _ = _state_machine(reverse, 0, 0)
-    if not astate:
-        return seq, False
+    # arming position = 6th A of the first run; replicate the reference's
+    # same-iteration fallthrough (Astretch becomes 7, last_a = arm_pos)
+    arm_pos = int(armed_at[0]) + 5
+    trim_pos = _armed_scan(reverse, arm_pos)
     return reverse[trim_pos:][::-1], True
+
+
+def _armed_scan(reverse: str, arm_pos: int) -> int:
+    """The armed phase of the reference state machine, starting just after
+    the arming position. Returns trim position (0 = no trim)."""
+    astretch = 7
+    vstretch = 0
+    last_a = arm_pos
+    for pos in range(arm_pos + 1, len(reverse)):
+        if reverse[pos] != "A":
+            vstretch += 1
+            astretch = 0
+        else:
+            astretch += 1
+            if astretch >= 3:
+                vstretch = 0
+                last_a = pos
+        if vstretch >= 3:
+            return last_a
+    return 0
 
 
 def remove_polya_detailed(seq: str) -> Tuple[str, bool, int, int]:

@@ -179,3 +179,14 @@ def test_dp_backend_rowscan_identical(setup):
     out_np = [format_psl(r) for r in a_np.map_batch(reads)]
     out_js = [format_psl(r) for r in a_js.map_batch(reads)]
     assert out_np == out_js
+
+
+def test_index_chunk_boundaries_lossless():
+    """Chunked index building must produce the same minimizer set as a
+    single-chunk build (windows spanning chunk boundaries included)."""
+    from mandalorion_tpu.align.index import build_index
+    genome = {"c": synthdata.make_genome(5000, seed=71)}
+    a = build_index(genome, 15, 5, chunk=1000)
+    b = build_index(genome, 15, 5, chunk=1 << 24)
+    assert np.array_equal(a.sorted_hashes, b.sorted_hashes)
+    assert np.array_equal(a.sorted_positions, b.sorted_positions)

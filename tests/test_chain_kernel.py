@@ -17,15 +17,16 @@ def _random_segments(rng):
         segs.append(Segment(q, q + ln, t, t + ln, n_anchors=3))
         q += ln + int(rng.integers(0, 20))
         t += ln + int(rng.choice([0, 5, 40, 300, 5000, 60000]))
-    # sprinkle off-chain noise on nearby diagonals (survives the diagonal
-    # prefilter, exercising the DP's selection)
-    for _ in range(int(rng.integers(0, 6))):
+    # sprinkle noise: single-anchor segments both near (survive the
+    # prefilter) and far (dropped) — exercises the shared prepare path
+    for _ in range(int(rng.integers(0, 8))):
         ln = 15
         nq = int(rng.integers(0, max(q, 1)))
-        segs.append(Segment(nq, nq + ln,
-                            nq + int(rng.integers(0, 60000)), 0,
-                            n_anchors=3))
-        segs[-1].t_end = segs[-1].t_start + ln
+        far = int(rng.choice([0, 10_000_000]))
+        s = Segment(nq, nq + ln, nq + far + int(rng.integers(0, 60000)), 0,
+                    n_anchors=1)
+        s.t_end = s.t_start + ln
+        segs.append(s)
     return segs
 
 
