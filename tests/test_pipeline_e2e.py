@@ -227,3 +227,26 @@ def test_flag_surface(tmp_path):
     assert len(names2) == 1  # -m drops the mono-exon isoform
     reasons = (out2 / "tmp" / "filter_reasons.txt").read_text()
     assert "single exon" in reasons
+
+
+def test_pacbio_bam_end_to_end(tmp_path):
+    """-P flag: BAM input through A (conversion) and Q (converted paths)."""
+    from test_bam import _write_bam
+    rng = np.random.default_rng(31)
+    genome = synthdata.make_genome(9000, seed=70)
+    exons = [(2000, 2600), (4000, 4700)]
+    genome = synthdata.plant_introns(genome, exons)
+    (tmp_path / "genome.fasta").write_text(f">chr1\n{genome}\n")
+    t = synthdata.transcript_seq(genome, exons)
+    records = []
+    for i in range(8):
+        r, _ = synthdata.mutate_read(t, rng, 0.01)
+        records.append((f"ccs{i}", 4, r))
+    _write_bam(str(tmp_path / "movie.bam"), records)
+    out = tmp_path / "out"
+    rc = cli_main(["-p", str(out), "-G", str(tmp_path / "genome.fasta"),
+                   "-f", str(tmp_path / "movie.bam"), "-P"])
+    assert rc == 0
+    quant = (out / "Isoforms.filtered.clean.quant").read_text().splitlines()
+    assert len(quant) == 2
+    assert quant[1].split("\t")[1] == "8"
