@@ -105,31 +105,33 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
     te = np.array([s.t_end for s in segments])
     lens = (qe - qs).astype(np.float32)  # float32: matches chain_kernel
 
+    # precompute the full (i, j) transition matrix in one shot; the
+    # sequential DP loop then reduces to one masked argmax per row
+    dq = qs[:, None] - qe[None, :]
+    dt = ts[:, None] - te[None, :]
+    overlap = np.maximum(np.maximum(-dq, -dt), 0).astype(np.float32)
+    tri = np.tril(np.ones((n, n), bool), -1)  # j < i
+    valid = (tri & (dq > -lens[None, :]) & (dt > -lens[None, :])
+             & (dt <= max_intron)
+             & (qe[None, :] <= qe[:, None]) & (te[None, :] <= te[:, None]))
+    gap_q = np.maximum(dq, 0)
+    gap_t = np.maximum(dt, 0)
+    diff = np.abs(gap_t - gap_q)
+    is_intron = (gap_t - gap_q) >= min_intron
+    cost = np.where(
+        is_intron,
+        intron_penalty + 0.01 * np.log2(np.maximum(diff, 1)),
+        indel_open + indel_scale * diff,
+    ).astype(np.float32)
+    gain = (lens[:, None] * match - cost - overlap * match)
+    gain = np.where(valid, gain, -np.inf)
+
     score = (lens * match).astype(np.float32)
     parent = np.full(n, -1, np.int64)
     for i in range(1, n):
-        # candidate predecessors j < i
-        dq = qs[i] - qe[:i]
-        dt = ts[i] - te[:i]
-        # allow bounded overlap (anchors overlap across indels); the fill
-        # step trims it
-        overlap = np.maximum(np.maximum(-dq, -dt), 0)
-        valid = (dq > -lens[:i]) & (dt > -lens[:i]) & (dt <= max_intron) \
-            & (qe[:i] <= qe[i]) & (te[:i] <= te[i])
-        gap_q = np.maximum(dq, 0)
-        gap_t = np.maximum(dt, 0)
-        diff = np.abs(gap_t - gap_q)
-        is_intron = (gap_t - gap_q) >= min_intron
-        cost = np.where(
-            is_intron,
-            intron_penalty + 0.01 * np.log2(np.maximum(diff, 1)),
-            indel_open + indel_scale * diff,
-        ).astype(np.float32)
-        cand = (score[:i] + lens[i] * match - cost
-                - overlap.astype(np.float32) * match)
-        cand = np.where(valid, cand, -np.inf)
-        j = int(np.argmax(cand)) if len(cand) else -1
-        if j >= 0 and cand[j] > score[i]:
+        cand = score[:i] + gain[i, :i]
+        j = int(np.argmax(cand))
+        if cand[j] > score[i]:
             score[i] = cand[j]
             parent[i] = j
 
