@@ -15,6 +15,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from mandalorion_tpu.core.coverage import CoverageIntervals, build_coverage
 from mandalorion_tpu.core.csparse import (
     CsIndex, build_cs_index, characterize_splicing_event)
 from mandalorion_tpu.io.psl import PslRecord
@@ -24,18 +25,6 @@ def myround(x, base: int = 10) -> int:
     """Round to the nearest `base` with banker's rounding (reference
     `myround`, SDC.py:227-229 — Python round())."""
     return int(base * round(float(x) / base))
-
-
-def _block_cov_positions(blockstart: int, blocksize: int) -> np.ndarray:
-    """Rounded coverage buckets contributed by one block: every 10th offset
-    plus the tail run (the reference's leaked-`y` loop, SDC.py:305-310)."""
-    if blocksize <= 0:
-        return np.zeros(0, np.int64)
-    tens = np.arange(0, blocksize, 10, dtype=np.int64)
-    tail_from = tens[-1]
-    tail = np.arange(tail_from, blocksize, dtype=np.int64)
-    offs = np.concatenate([tens, tail]) + blockstart
-    return np.unique(np.round(offs / 10.0).astype(np.int64) * 10)
 
 
 @dataclass
@@ -102,36 +91,32 @@ class EdgeTable:
 class LocusHistograms:
     left: EdgeTable
     right: EdgeTable
-    cov: Dict[int, int]                      # rounded position -> read count
-    cov_sets: List[np.ndarray]               # per read: rounded cov buckets
+    coverage: CoverageIntervals              # per-read bucket intervals
     reads: LocusReads
+
+    @property
+    def cov(self) -> Dict[int, int]:
+        """Sparse position -> count view (reference histo_cov shape)."""
+        return self.coverage.cov_dict()
 
 
 def collect_reads(reads: LocusReads,
                   accuracy_gate: float = 0.9) -> LocusHistograms:
-    """Coverage histogram (10 nt buckets) + splice-edge tables.
+    """Coverage histogram (10 nt buckets) + splice-edge tables as one
+    flattened segment sweep (core/coverage.py).
 
     Edge tables only include reads with accuracy >= accuracy_gate; the
     coverage histogram includes ALL reads (SDC.py:316-330). Left edges are
     block ends != alignment end; right edges are block starts != alignment
     start."""
-    cov: Dict[int, int] = {}
-    cov_sets: List[np.ndarray] = []
+    coverage = build_coverage(reads.block_starts, reads.block_sizes)
     left = EdgeTable([], {})
     right = EdgeTable([], {})
     for i in range(len(reads)):
-        starts = reads.block_starts[i]
-        sizes = reads.block_sizes[i]
-        per_block = [_block_cov_positions(int(s), int(z))
-                     for s, z in zip(starts, sizes)]
-        cov_set = (np.unique(np.concatenate(per_block))
-                   if per_block else np.zeros(0, np.int64))
-        cov_sets.append(cov_set)
-        for p in cov_set:
-            cov[int(p)] = cov.get(int(p), 0) + 1
-
         if reads.accuracies[i] < accuracy_gate:
             continue
+        starts = reads.block_starts[i]
+        sizes = reads.block_sizes[i]
         begin, span = int(reads.begins[i]), int(reads.spans[i])
         ends = starts + sizes
         for e in ends:
@@ -148,7 +133,7 @@ def collect_reads(reads: LocusReads,
                     right.items[s] = []
                     right.order.append(s)
                 right.items[s].append(i)
-    return LocusHistograms(left, right, cov, cov_sets, reads)
+    return LocusHistograms(left, right, coverage, reads)
 
 
 def make_genome_bins(bounds: Dict[str, List[int]], side: str, chrom: str,
@@ -230,9 +215,7 @@ def _determine_cov(hist: LocusHistograms, bin_reads: List[int],
     first 4 such positions, max coverage-histogram value."""
     if not bin_reads:
         return 0
-    all_pos = np.concatenate([hist.cov_sets[r] for r in bin_reads])
-    pos, counts = np.unique(all_pos, return_counts=True)
-    multi = pos[counts > 1]
+    multi = hist.coverage.multi_covered(bin_reads)
     ordered = multi[::-1] if reverse else multi
     cov = 0
     taken = 0
@@ -242,7 +225,7 @@ def _determine_cov(hist: LocusHistograms, bin_reads: List[int],
         if beyond:
             if taken <= 3:
                 taken += 1
-                cov = max(cov, hist.cov.get(myround(base), 0))
+                cov = max(cov, hist.coverage.histo_at(myround(base)))
             else:
                 break
     return cov

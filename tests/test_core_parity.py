@@ -144,7 +144,7 @@ def test_collect_reads_parity(tmp_path, sdc, locus_data):
     for p, items in hl[CHROM].items():
         ref_sets = {x[0]: x[3] for x in items}
         for i in hist.left.items[p]:
-            assert set(map(int, hist.cov_sets[i])) == \
+            assert set(map(int, hist.coverage.read_positions(i))) == \
                    ref_sets[hist.reads.names[i]]
 
 
