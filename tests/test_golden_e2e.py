@@ -131,17 +131,20 @@ def test_structures_match(golden):
 
 
 def test_genes_identical(golden):
+    """Names, loci, chromosomes, best genes and overlap sets must match;
+    locus coordinates get a small tolerance — the reference's consensus is
+    a RANDOMLY chosen member read (unseeded permutation, SURVEY §5.9), so
+    its realigned ends wobble by a few bases run to run when that read has
+    end errors."""
     _tmp, ours, ref = golden
     mine = (ours / "Isoforms.filtered.clean.genes").read_text().splitlines()
     theirs = (ref / "Isoforms.filtered.clean.genes").read_text().splitlines()
-
-    def norm(lines):
-        # pin the reference's nondeterministic set-ordered overlap column
-        out = []
-        for l in lines:
-            a = l.split("\t")
-            a[6] = ",".join(sorted(a[6].split(","))) if len(a) > 6 else ""
-            out.append("\t".join(a))
-        return out
-
-    assert norm(mine) == norm(theirs)
+    assert len(mine) == len(theirs)
+    for m_line, t_line in zip(mine, theirs):
+        m = m_line.split("\t")
+        t = t_line.split("\t")
+        assert m[0] == t[0] and m[1] == t[1] and m[2] == t[2]
+        assert abs(int(m[3]) - int(t[3])) <= 10
+        assert abs(int(m[4]) - int(t[4])) <= 10
+        assert m[5] == t[5]
+        assert sorted(m[6].split(",")) == sorted(t[6].split(","))
