@@ -1,10 +1,13 @@
 """Partial-order-alignment consensus engine (replaces `abpoa -M 5 -r 0
 [-S]`, SDC.py:915-919).
 
-Sequence-to-graph affine DP over topologically ordered node arrays with a
-query band, incremental graph growth per read, and heaviest-bundle
-consensus extraction. The DP inner loop is layout-compatible with the
-batched Pallas kernel (poa/kernels.py); the numpy path is its oracle.
+Two engines: the default STAR path (poa/star.py) — backbone alignment +
+column votes, whose DP fills ride the same batched backends as genome
+alignment (numpy / rowscan / Pallas TPU kernel) — and the general graph
+engine (poa/graph.py): sequence-to-DAG affine DP over topologically
+ordered node arrays with a query band, incremental graph growth per read,
+and heaviest-bundle consensus extraction. A dedicated batched
+sequence-to-graph Pallas kernel is round-2 roadmap (NOTES.md).
 """
 
 from mandalorion_tpu.poa.consensus import determine_consensus  # noqa: F401

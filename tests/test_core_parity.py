@@ -288,3 +288,38 @@ def test_mono_grouping_parity(sdc):
     mine = group_mono_exon_transcripts({}, mono, reads)
     my_groups = {k: [names[p.read_index] for p in v] for k, v in mine.items()}
     assert my_groups == ref_groups
+
+
+@pytest.mark.parametrize("w,cutoff,min_count", [(2, 0.1, 2), (1, 0.4, 3),
+                                                (3, 0.05, 1)])
+def test_find_peaks_parity_parameterized(tmp_path, sdc, locus_data,
+                                         w, cutoff, min_count):
+    """Peak-caller parity across splice windows, cutoffs and feature
+    counts (the -w/-c/-n surface)."""
+    genome, lines = locus_data
+    ref_l, ref_r = _reference_peaks(sdc, tmp_path, lines, cutoff=cutoff,
+                                    w=w, min_count=min_count)
+    reads = LocusReads.from_records([parse_psl_line(l) for l in lines])
+    hist = collect_reads(reads)
+    al, ar = set(), set()
+    my_l = find_peaks(hist, "l", CHROM, al, cutoff, w, min_count, JUNCTIONS)
+    my_r = find_peaks(hist, "r", CHROM, ar, cutoff, w, min_count, JUNCTIONS)
+    assert my_l == ref_l
+    assert my_r == ref_r
+
+
+@pytest.mark.parametrize("u,d,n", [(5, 20, 1), (20, 100, 3)])
+def test_find_ends_parity_buffers(sdc, u, d, n):
+    """End-caller parity across -u/-d/-n settings."""
+    rng = np.random.default_rng(9)
+    starts, ends = [], []
+    for c in rng.integers(0, 3000, size=5):
+        starts.extend((c + rng.integers(-40, 40, size=15)).tolist())
+        ends.extend((c + 700 + rng.integers(-40, 40, size=15)).tolist())
+    count_dict = {k: set() for k in
+                  ["start_left", "start_right", "end_left", "end_right",
+                   "+", "-"]}
+    ref_s, ref_e, _ = sdc.find_ends(list(starts), list(ends), "id",
+                                    count_dict, u, d, n)
+    my_s, my_e = find_ends(starts, ends, u, d, n)
+    assert my_s == ref_s and my_e == ref_e
