@@ -250,3 +250,44 @@ def test_pacbio_bam_end_to_end(tmp_path):
     quant = (out / "Isoforms.filtered.clean.quant").read_text().splitlines()
     assert len(quant) == 2
     assert quant[1].split("\t")[1] == "8"
+
+
+def test_multi_chromosome_and_junk_reads(tmp_path):
+    """Two chromosomes + unmappable junk reads: junk is dropped silently,
+    per-chromosome filtering and gene grouping stay correct."""
+    rng = np.random.default_rng(41)
+    g1 = synthdata.make_genome(9000, seed=81)
+    g2 = synthdata.make_genome(9000, seed=82)
+    e1 = [(2000, 2500), (3500, 4200)]
+    e2 = [(2500, 3000), (4500, 5100)]
+    g1 = synthdata.plant_introns(g1, e1)
+    g2 = synthdata.plant_introns(g2, e2, strand="-")
+    (tmp_path / "genome.fasta").write_text(f">chrA\n{g1}\n>chrB\n{g2}\n")
+    t1 = synthdata.transcript_seq(g1, e1)
+    t2 = revcomp(synthdata.transcript_seq(g2, e2))
+    reads = []
+    for i in range(7):
+        r, _ = synthdata.mutate_read(t1, rng, 0.01)
+        reads.append((f"a{i}", r))
+    for i in range(5):
+        r, _ = synthdata.mutate_read(t2, rng, 0.01)
+        reads.append((f"b{i}", r))
+    for i in range(3):  # junk: unrelated random sequence
+        reads.append((f"junk{i}", synthdata.make_genome(800, seed=900 + i)))
+    write_fasta(str(tmp_path / "reads.fasta"), reads)
+    gtf = (synthdata.gtf_lines("chrA", "GA", "TA", e1)
+           + synthdata.gtf_lines("chrB", "GB", "TB", e2, strand="-"))
+    (tmp_path / "ann.gtf").write_text(gtf)
+    out = tmp_path / "out"
+    rc = cli_main(["-p", str(out), "-G", str(tmp_path / "genome.fasta"),
+                   "-g", str(tmp_path / "ann.gtf"),
+                   "-f", str(tmp_path / "reads.fasta")])
+    assert rc == 0
+    recs = list(read_psl(str(out / "Isoforms.filtered.clean.psl")))
+    assert {r.t_name for r in recs} == {"chrA", "chrB"}
+    assert len(recs) == 2
+    quant = (out / "Isoforms.filtered.clean.quant").read_text().splitlines()
+    counts = sorted(int(l.split("\t")[1]) for l in quant[1:])
+    assert counts == [5, 7]          # junk reads unassigned
+    genes = (out / "Isoforms.filtered.clean.genes").read_text()
+    assert "GA_GAN" in genes and "GB_GBN" in genes
