@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="modules to run: subset of APDFQ")
     p.add_argument("-P", "--pacbio", default=False, action="store_true",
                    help=argparse.SUPPRESS)
+    p.add_argument("--external_sam", default=None, type=str,
+                   help="use alignments from this SAM file instead of the "
+                        "built-in aligner (the reference's --mm2_path "
+                        "interop: run with -M PDFQ)")
     p.add_argument("-v", "--version", action="version", version=VERSION)
     return p
 
@@ -63,6 +67,15 @@ def main(argv=None) -> int:
         return 0
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    if args.external_sam:
+        import os
+        import shutil
+        from mandalorion_tpu.pipeline.stages import Paths
+        paths = Paths(args.path)
+        os.makedirs(paths.tmp, exist_ok=True)
+        shutil.copy(args.external_sam, paths.t("mm2Alignments.sam"))
+        if "A" in cfg.modules:
+            cfg = cfg.replace(modules=cfg.modules.replace("A", ""))
     run_pipeline(args.path, args.genome_sequence, args.genome_annotation,
                  args.Consensus_reads, cfg)
     return 0

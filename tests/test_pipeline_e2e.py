@@ -291,3 +291,26 @@ def test_multi_chromosome_and_junk_reads(tmp_path):
     assert counts == [5, 7]          # junk reads unassigned
     genes = (out / "Isoforms.filtered.clean.genes").read_text()
     assert "GA_GAN" in genes and "GB_GBN" in genes
+
+
+def test_external_sam_interop(tmp_path, dataset):
+    """--external_sam: run PDFQ from an outside aligner's SAM (the
+    reference's --mm2_path interop path)."""
+    tmp, genome = dataset
+    # produce a SAM with our aligner, then feed it back as 'external'
+    from mandalorion_tpu.config import AlignConfig
+    first = tmp_path / "first"
+    cfg_args = ["-G", str(tmp / "genome.fasta"), "-g", str(tmp / "ann.gtf"),
+                "-f", str(tmp / "reads.fofn")]
+    import mandalorion_tpu.pipeline.stages as stages
+    cfg = PipelineConfig(align=AlignConfig(emit_sam=True))
+    stages.run_pipeline(str(first), str(tmp / "genome.fasta"),
+                        str(tmp / "ann.gtf"), str(tmp / "reads.fofn"), cfg)
+    sam = first / "tmp" / "mm2Alignments.sam"
+
+    out = tmp_path / "ext"
+    rc = cli_main(["-p", str(out), "--external_sam", str(sam)] + cfg_args)
+    assert rc == 0
+    a = (out / "Isoforms.filtered.clean.quant").read_text()
+    b = (first / "Isoforms.filtered.clean.quant").read_text()
+    assert a == b
