@@ -19,16 +19,11 @@ from mandalorion_tpu.align.chain import (
 from mandalorion_tpu.align.encode import encode, minimizers, revcomp_codes
 from mandalorion_tpu.align.extend import (
     DpProblem, DpResult, solve_dp_numpy, splice_fill)
-from mandalorion_tpu.align.index import GenomeIndex, build_index
+from mandalorion_tpu.align.index import build_index
 from mandalorion_tpu.config import AlignConfig
 from mandalorion_tpu.io.psl import PslRecord
 
-_DECODE_TABLE = np.frombuffer(b"ACGTN" + b"N" * 251, np.uint8)
-
-
-def _decode(codes: np.ndarray) -> str:
-    """codes -> bases via one bytes translation (C speed)."""
-    return _DECODE_TABLE[codes.astype(np.uint8)].tobytes().decode()
+from mandalorion_tpu.align.encode import decode as _decode
 
 
 @dataclass

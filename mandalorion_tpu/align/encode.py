@@ -13,6 +13,12 @@ for i, b in enumerate("ACGT"):
     _LUT[ord(b.lower())] = i
 
 _COMP_CODE = np.array([3, 2, 1, 0, 4], np.uint8)
+_DECODE_TABLE = np.frombuffer(b"ACGTN" + b"N" * 251, np.uint8)
+
+
+def decode(codes: np.ndarray) -> str:
+    """codes -> bases via one bytes translation (C speed)."""
+    return _DECODE_TABLE[codes.astype(np.uint8)].tobytes().decode()
 
 # odd 64-bit mix constant for the polynomial rolling hash
 _B = np.uint64(0x9E3779B97F4A7C15)

@@ -16,11 +16,10 @@ problem layout), then ops are stitched and emitted as extended PSL.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from mandalorion_tpu.align.chain import Segment
 from mandalorion_tpu.config import AlignConfig
 
 # op codes: (kind, q0, t0, length) — kind M diagonal run / I insert /

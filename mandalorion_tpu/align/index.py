@@ -18,6 +18,18 @@ import numpy as np
 from mandalorion_tpu.align.encode import encode, minimizers
 
 
+def ragged_gather(values: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                  source_ids: np.ndarray):
+    """Gather values[lo[i]:hi[i]] for every range i, flattened, plus the
+    repeated source_ids — the shared anchor-expansion primitive."""
+    reps = (hi - lo).astype(np.int64)
+    total = int(reps.sum())
+    idx = np.repeat(lo, reps) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(reps) - reps, reps))
+    return np.repeat(source_ids, reps), values[idx]
+
+
 @dataclass
 class GenomeIndex:
     kmer: int
@@ -62,14 +74,8 @@ class GenomeIndex:
         qidx = np.nonzero(keep)[0]
         if len(lo) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        reps = (hi - lo).astype(np.int64)
-        qout = np.repeat(qidx, reps)
-        # gather genome positions for each [lo, hi) run
-        total = int(reps.sum())
-        idx = np.repeat(lo, reps) + (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(np.cumsum(reps) - reps, reps))
-        return qout, self.sorted_positions[idx].astype(np.int64)
+        qout, gpos = ragged_gather(self.sorted_positions, lo, hi, qidx)
+        return qout, gpos.astype(np.int64)
 
 
 def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,

@@ -5,7 +5,7 @@ per strand; the better-scoring orientation wins."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -33,14 +33,9 @@ class OrientationAligner:
         keep = (counts > 0) & (counts <= 16)
         if not keep.any():
             return 0.0
-        lo, hi = lo[keep], hi[keep]
-        reps = (hi - lo).astype(np.int64)
-        q_all = np.repeat(pos[keep], reps)
-        total = int(reps.sum())
-        idx = np.repeat(lo, reps) + (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(np.cumsum(reps) - reps, reps))
-        t_all = self.sorted_pos[idx]
+        from mandalorion_tpu.align.index import ragged_gather
+        q_all, t_all = ragged_gather(self.sorted_pos, lo[keep], hi[keep],
+                                     pos[keep])
         segs = collapse_anchors(q_all, t_all, self.kmer)
         _chain, score = chain_segments(segs, min_intron=10 ** 9,
                                        max_intron=10 ** 9)

@@ -13,9 +13,7 @@ debugging API (SURVEY §5.5).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
-
-import numpy as np
+from typing import Callable, Dict, List, Sequence, Set, Tuple
 
 from mandalorion_tpu.config import PipelineConfig
 

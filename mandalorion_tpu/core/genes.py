@@ -11,10 +11,7 @@ nondeterministic under hash randomization; we pin an order, SURVEY §5.9).
 
 from __future__ import annotations
 
-from typing import Dict, List, Set, TextIO, Tuple
-
-import numpy as np
-
+from typing import Dict, List, Set, TextIO
 
 def _match_isoforms(iso_lines: List[str], chrom: str, start: int, end: int,
                     direction: str, locus: int,

@@ -11,9 +11,7 @@ mono-exon reads on such chromosomes are routed to the spliced dict
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Dict, List, Sequence, Tuple
 
 from mandalorion_tpu.core.peaks import LocusReads
 

@@ -15,7 +15,7 @@ exists for SAM interop and parity testing.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterator, Optional, TextIO
+from typing import Dict, Optional
 
 from mandalorion_tpu.io.fastx import revcomp
 

@@ -12,12 +12,10 @@ reference's pool-and-merge structure (SURVEY §2.3).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mandalorion_tpu.align.kernels import row_step, _jnp_roll, _row0, NEG
 

@@ -20,11 +20,7 @@ from mandalorion_tpu.align.pairwise import OrientationAligner
 from mandalorion_tpu.config import PoaConfig
 from mandalorion_tpu.poa.graph import PoaParams, poa_consensus
 
-_DECODE_TABLE = np.frombuffer(b"ACGTN" + b"N" * 251, np.uint8)
-
-
-def _decode(codes: np.ndarray) -> str:
-    return _DECODE_TABLE[codes.astype(np.uint8)].tobytes().decode()
+from mandalorion_tpu.align.encode import decode as _decode
 
 
 def determine_consensus(

@@ -9,7 +9,7 @@ heaviest-bundle path (max edge-weight DP over topological order), abPOA's
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

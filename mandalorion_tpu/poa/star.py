@@ -19,11 +19,7 @@ import numpy as np
 from mandalorion_tpu.align.aligner import SpliceAligner
 from mandalorion_tpu.config import AlignConfig
 
-_DECODE_TABLE = np.frombuffer(b"ACGTN" + b"N" * 251, np.uint8)
-
-
-def _decode(codes: np.ndarray) -> str:
-    return _DECODE_TABLE[codes.astype(np.uint8)].tobytes().decode()
+from mandalorion_tpu.align.encode import decode as _decode
 
 
 def _star_align_cfg() -> AlignConfig:
