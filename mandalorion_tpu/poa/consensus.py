@@ -40,6 +40,19 @@ def determine_consensus(
         subsample = list(reads)
 
     first_seq = subsample[0][1]
+
+    if cfg.engine == "star":
+        # the backbone alignment inside the star engine determines each
+        # read's orientation itself (both strands are chained); a separate
+        # orientation pass would be redundant work
+        if len(subsample) <= 2:
+            return first_seq, names
+        from mandalorion_tpu.poa.star import star_consensus
+        cons_str = star_consensus([seq for _n, seq in subsample])
+        if not cons_str:
+            return first_seq, names
+        return cons_str, names
+
     orienter = OrientationAligner(first_seq)
     oriented: List[np.ndarray] = []
     lengths: List[int] = []
@@ -55,13 +68,6 @@ def determine_consensus(
         return first_seq, names
     if len(oriented) <= 2:
         return _decode(oriented[0]), names
-
-    if cfg.engine == "star":
-        from mandalorion_tpu.poa.star import star_consensus
-        cons_str = star_consensus([_decode(c) for c in oriented])
-        if not cons_str:
-            return _decode(oriented[0]), names
-        return cons_str, names
 
     band = cfg.band_width
     if float(np.median(lengths)) >= cfg.adaptive_band_threshold:
