@@ -95,3 +95,50 @@ def mutate_read(seq: str, rng: np.random.Generator, sub_rate: float = 0.0):
         repl = rng.choice(BASES, size=subs)
         arr[mask] = repl
     return "".join(arr), subs
+
+
+def noisy_psl_line(name, genome, exons, rng, sub_rate=0.02, chrom="chr1"):
+    """Extended PSL line for a read with substitution errors: cs string
+    carries '=' runs and '*' tokens; accuracy reflects the mismatches."""
+    pieces = []
+    n_bases = 0
+    matches = 0
+    mismatches = 0
+    read_parts = []
+    for i, (s, e) in enumerate(exons):
+        ref = genome[s:e]
+        mut, _ = mutate_read(ref, rng, sub_rate)
+        read_parts.append(mut)
+        run = ""
+        for r_base, m_base in zip(ref, mut):
+            if r_base == m_base:
+                run += m_base
+                matches += 1
+            else:
+                if run:
+                    pieces.append("=" + run)
+                    run = ""
+                pieces.append("*" + r_base.lower() + m_base.lower())
+                mismatches += 1
+        if run:
+            pieces.append("=" + run)
+        if i + 1 < len(exons):
+            gap = exons[i + 1][0] - e
+            n_bases += gap
+            pieces.append(f"~{genome[e:e+2].lower()}{gap}"
+                          f"{genome[exons[i+1][0]-2:exons[i+1][0]].lower()}")
+    seq = "".join(read_parts)
+    sizes = [e - s for s, e in exons]
+    t_starts = [s for s, _ in exons]
+    q_starts = [0]
+    for z in sizes[:-1]:
+        q_starts.append(q_starts[-1] + z)
+    accuracy = matches / (matches + mismatches)
+    cols = [matches, mismatches, 0, n_bases, 0, 0, 0, 0, "+", name,
+            len(seq), 0, len(seq), chrom, len(genome), t_starts[0],
+            exons[-1][1], len(sizes),
+            ",".join(map(str, sizes)) + ",",
+            ",".join(map(str, q_starts)) + ",",
+            ",".join(map(str, t_starts)) + ",",
+            accuracy, "".join(pieces), seq]
+    return "\t".join(str(c) for c in cols)

@@ -323,3 +323,68 @@ def test_find_ends_parity_buffers(sdc, u, d, n):
                                     count_dict, u, d, n)
     my_s, my_e = find_ends(starts, ends, u, d, n)
     assert my_s == ref_s and my_e == ref_e
+
+
+@pytest.mark.parametrize("seed,sub_rate", [(1, 0.02), (2, 0.05), (3, 0.1)])
+def test_find_peaks_parity_noisy_cs(tmp_path, sdc, seed, sub_rate):
+    """Peak calling + cs-walk motif/flank gates on reads WITH substitution
+    errors: exercises the '*' token paths of getCSaroundSS vs csparse,
+    the accuracy gate, and flank-accuracy rejection."""
+    rng = np.random.default_rng(seed)
+    genome = synthdata.make_genome(9000, seed=40 + seed)
+    iso = [(1000, 1500), (2200, 2700), (4000, 4700)]
+    genome = synthdata.plant_introns(genome, iso)
+    lines = [synthdata.noisy_psl_line(f"n{i}", genome, iso, rng, sub_rate)
+             for i in range(12)]
+    ref_l, ref_r = _reference_peaks(sdc, tmp_path, lines)
+    reads = LocusReads.from_records([parse_psl_line(l) for l in lines])
+    hist = collect_reads(reads)
+    al, ar = set(), set()
+    my_l = find_peaks(hist, "l", CHROM, al, 0.1, 1, 2, JUNCTIONS)
+    my_r = find_peaks(hist, "r", CHROM, ar, 0.1, 1, 2, JUNCTIONS)
+    assert my_l == ref_l
+    assert my_r == ref_r
+
+
+def test_junction_grouping_parity_noisy(tmp_path, sdc):
+    """Full D-core grouping parity on noisy reads (mixed accuracies
+    straddling the 0.9 gate)."""
+    rng = np.random.default_rng(8)
+    genome = synthdata.make_genome(9000, seed=47)
+    iso = [(1000, 1500), (2200, 2700)]
+    genome = synthdata.plant_introns(genome, iso)
+    lines = []
+    for i in range(10):
+        rate = 0.02 if i % 3 else 0.12  # every third read below the gate
+        lines.append(synthdata.noisy_psl_line(f"m{i}", genome, iso, rng,
+                                              rate))
+    src = _write(tmp_path, "noisy.psl", "\n".join(lines) + "\n")
+    hl, hr, hc, cs = sdc.collect_reads(src, CHROM)
+    peak_areas = {CHROM: {"l": {}, "r": {}}}
+    pa, rows_l = sdc.find_peaks(hl[CHROM], True, 0.1, hc, "l", peak_areas,
+                                CHROM, cs, 0, 0, 1, 2, list(JUNCTIONS))
+    pa, rows_r = sdc.find_peaks(hr[CHROM], False, 0.1, hc, "r", pa, CHROM,
+                                cs, 0, 0, 1, 2, list(JUNCTIONS))
+    peak_counter = {"l": 0, "r": 0}
+    splice_ref = {CHROM: {}}
+    for rows in [[], [], rows_l, rows_r]:
+        for chrom, start, end, type1, side, prop in rows:
+            peak_counter[side] += 1
+            for base in range(int(start), int(end) + 1):
+                splice_ref[CHROM][base] = type1 + side + str(peak_counter[side])
+    sed, sed_mono = sdc.sort_reads_into_splice_junctions(splice_ref, src)
+    ref_iso = sdc.define_start_end_sites(dict(sed), dict(sed_mono), 10, 50, 2)
+    ref_groups = {k: sorted(n for n, s in v) for k, v in ref_iso.items()}
+
+    reads = LocusReads.from_records([parse_psl_line(l) for l in lines])
+    hist = collect_reads(reads)
+    al, ar = set(), set()
+    my_l = find_peaks(hist, "l", CHROM, al, 0.1, 1, 2, JUNCTIONS)
+    my_r = find_peaks(hist, "r", CHROM, ar, 0.1, 1, 2, JUNCTIONS)
+    assert my_l == rows_l and my_r == rows_r
+    splice = build_splice_dict([[], [], my_l, my_r])
+    sp, mono = sort_reads_into_splice_junctions(splice, reads, CHROM)
+    iso_mine = define_start_end_sites(sp, mono, reads, 10, 50, 2)
+    my_groups = {k: sorted(reads.names[i] for i in g.read_indices)
+                 for k, g in iso_mine.items()}
+    assert my_groups == ref_groups
