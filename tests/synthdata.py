@@ -15,7 +15,8 @@ BASES = np.array(list("ACGT"))
 
 def make_genome(length: int, seed: int = 7) -> str:
     rng = np.random.default_rng(seed)
-    return "".join(rng.choice(BASES, size=length))
+    codes = rng.integers(0, 4, size=length, dtype=np.uint8)
+    return np.frombuffer(b"ACGT", np.uint8)[codes].tobytes().decode()
 
 
 def plant_introns(genome: str, exons, strand: str = "+") -> str:
