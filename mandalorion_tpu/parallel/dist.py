@@ -18,6 +18,12 @@ try:
     from jax import shard_map  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+import inspect as _inspect
+
+# the replication-check kwarg was renamed check_rep -> check_vma in 0.8
+_CHECK_KW = ("check_vma" if "check_vma"
+             in _inspect.signature(shard_map).parameters else "check_rep")
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mandalorion_tpu.align.kernels import row_step, _jnp_roll, _row0, NEG
@@ -100,8 +106,8 @@ def training_step(mesh: Mesh, q_codes, t_codes, iso_ids, sample_ids,
                    P(None, None),   # merged counts: replicated
                    P(None),         # all_gathered maxima: replicated
                    in_reads),
-        check_rep=False)  # all_gather replication is real; the checker
-                          # is conservative about it
+        **{_CHECK_KW: False})  # all_gather replication is real; the
+                               # checker is conservative about it
     def step(q, t, iso, sample):
         scores = _score_batch(q, t)
         # per-shard (isoform, sample) partial counts via one segment-sum
