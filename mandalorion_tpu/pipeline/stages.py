@@ -78,6 +78,14 @@ def _banner(title: str) -> None:
     print(f"\n{'-' * 44}\n    {title}\n{'-' * 44}")
 
 
+def _fork_safe() -> bool:
+    """Fork pools are only safe before JAX initializes its thread pools
+    (the production numpy path never imports jax; tests do). When jax is
+    already loaded, run serially instead of risking a forked deadlock."""
+    import sys
+    return "jax" not in sys.modules
+
+
 # ------------------------------------------------------------- module A
 
 _A_ALIGNER: Optional[SpliceAligner] = None
@@ -119,7 +127,7 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
                 batches.append([])
             batches[-1].append((name, seq))
         n_reads = sum(len(b) for b in batches)
-        if cfg.threads > 1 and len(batches) > 1:
+        if cfg.threads > 1 and len(batches) > 1 and _fork_safe():
             # fork workers inherit the index copy-on-write; this is the
             # data-parallel 'reads' axis on a single host (SURVEY §2.3)
             import multiprocessing as mp
@@ -257,7 +265,7 @@ def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
         jobs.append((os.path.join(paths.tmp_ss, root + ".psl"), chrom,
                      lb, rb, cfg))
 
-    if cfg.threads > 1 and len(jobs) > 1:
+    if cfg.threads > 1 and len(jobs) > 1 and _fork_safe():
         import multiprocessing as mp
         ctx = mp.get_context("fork")
         with ctx.Pool(cfg.threads, maxtasksperchild=8) as pool:
@@ -321,7 +329,7 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
     jobs = [(chrom, paths.t("Isoforms.aligned.out.clean.psl"),
              genome.get(chrom, ""), paths.t("polyAWhiteList.bed"), cfg)
             for chrom in chromosomes]
-    if cfg.threads > 1 and len(jobs) > 1:
+    if cfg.threads > 1 and len(jobs) > 1 and _fork_safe():
         # per-chromosome fan-out, ordered merge (filterIsoforms.py:497-509)
         import multiprocessing as mp
         ctx = mp.get_context("fork")
