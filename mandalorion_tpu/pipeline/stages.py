@@ -79,11 +79,18 @@ def _banner(title: str) -> None:
 
 
 def _fork_safe() -> bool:
-    """Fork pools are only safe before JAX initializes its thread pools
-    (the production numpy path never imports jax; tests do). When jax is
-    already loaded, run serially instead of risking a forked deadlock."""
+    """Fork pools are only safe before JAX initializes a backend and its
+    thread pools (merely importing jax — which this image's sitecustomize
+    does in every process — is fine). With live backends, run serially
+    instead of risking a forked deadlock."""
     import sys
-    return "jax" not in sys.modules
+    if "jax" not in sys.modules:
+        return True
+    try:
+        from jax._src import xla_bridge
+        return not xla_bridge._backends
+    except Exception:
+        return False
 
 
 # ------------------------------------------------------------- module A
