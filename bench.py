@@ -75,7 +75,7 @@ def main():
 
     with tempfile.TemporaryDirectory() as tmp:
         n_reads = make_dataset(tmp)
-        cfg = PipelineConfig()
+        cfg = PipelineConfig(threads=os.cpu_count() or 8)
         best_dt = None
         for attempt in range(2):  # best of two: damp shared-host noise
             out_dir = os.path.join(tmp, f"out{attempt}")

@@ -78,6 +78,11 @@ def _banner(title: str) -> None:
     print(f"\n{'-' * 44}\n    {title}\n{'-' * 44}")
 
 
+def _pool_size(requested: int, n_jobs: int) -> int:
+    """Workers beyond physical cores only add fork/contention overhead."""
+    return max(1, min(requested, os.cpu_count() or 1, n_jobs))
+
+
 def _fork_safe() -> bool:
     """Fork pools are only safe before JAX initializes a backend and its
     thread pools (merely importing jax — which this image's sitecustomize
@@ -141,7 +146,7 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
             global _A_ALIGNER
             _A_ALIGNER = aligner
             ctx = mp.get_context("fork")
-            with ctx.Pool(cfg.threads) as pool:
+            with ctx.Pool(_pool_size(cfg.threads, len(batches))) as pool:
                 for lines in pool.map(_align_chunk_worker, batches):
                     out.writelines(lines)
         else:
@@ -275,7 +280,8 @@ def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
     if cfg.threads > 1 and len(jobs) > 1 and _fork_safe():
         import multiprocessing as mp
         ctx = mp.get_context("fork")
-        with ctx.Pool(cfg.threads, maxtasksperchild=8) as pool:
+        with ctx.Pool(_pool_size(cfg.threads, len(jobs)),
+                      maxtasksperchild=8) as pool:
             all_results = pool.starmap(_locus_worker, jobs)
     else:
         all_results = [_locus_worker(*j) for j in jobs]
@@ -340,7 +346,7 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
         # per-chromosome fan-out, ordered merge (filterIsoforms.py:497-509)
         import multiprocessing as mp
         ctx = mp.get_context("fork")
-        with ctx.Pool(min(cfg.threads, len(jobs))) as pool:
+        with ctx.Pool(_pool_size(cfg.threads, len(jobs))) as pool:
             chrom_results = pool.starmap(_filter_chrom_worker, jobs)
     else:
         chrom_results = [_filter_chrom_worker(*j) for j in jobs]
