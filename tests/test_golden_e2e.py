@@ -148,3 +148,66 @@ def test_genes_identical(golden):
         assert abs(int(m[4]) - int(t[4])) <= 10
         assert m[5] == t[5]
         assert sorted(m[6].split(",")) == sorted(t[6].split(","))
+
+
+def test_golden_with_whitelist(tmp_path):
+    """-W whitelisting end-to-end vs the reference: polyA BED written from
+    the annotation, whitelist honored through module F."""
+    rng = np.random.default_rng(55)
+    genome = synthdata.make_genome(20000, seed=60)
+    g1 = [(3000, 3700), (5000, 5900)]
+    genome = synthdata.plant_introns(genome, g1)
+    (tmp_path / "genome.fasta").write_text(f">chr1\n{genome}\n")
+    t1 = synthdata.transcript_seq(genome, g1)
+    reads = []
+    for i in range(20):
+        r, _ = synthdata.mutate_read(t1, rng, 0.01)
+        reads.append((f"w{i}", r))
+    write_fasta(str(tmp_path / "reads.fasta"), reads)
+    (tmp_path / "ann.gtf").write_text(
+        synthdata.gtf_lines("chr1", "G1", "T1", g1, tags=' tag "basic";'))
+
+    ours = tmp_path / "ours"
+    cfg = PipelineConfig(align=AlignConfig(emit_sam=True), threads=1,
+                         white_list_polyA=("basic",))
+    run_pipeline(str(ours), str(tmp_path / "genome.fasta"),
+                 str(tmp_path / "ann.gtf"), str(tmp_path / "reads.fasta"),
+                 cfg)
+    my_bed = (ours / "tmp" / "polyAWhiteList.bed").read_text()
+    assert my_bed.strip()
+
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    (bin_dir / "minimap2").write_text(f"""#!/bin/bash
+for arg in "$@"; do
+  if [[ "$arg" == *Isoform_Consensi* ]]; then
+    python3 {REPO}/tools/_align_stub.py {tmp_path}/genome.fasta "$arg"
+    exit 0
+  fi
+done
+cat {ours}/tmp/mm2Alignments.sam
+""")
+    (bin_dir / "minimap2").chmod(0o755)
+    (bin_dir / "abpoa").write_text("#!/bin/bash\nexit 0\n")
+    (bin_dir / "abpoa").chmod(0o755)
+    (bin_dir / "scp").write_text("#!/bin/bash\ncp \"$@\"\n")
+    (bin_dir / "scp").chmod(0o755)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.join(REPO, "tests", "stubs")
+    env["PATH"] = str(bin_dir) + os.pathsep + env.get("PATH", "")
+    ref = tmp_path / "ref"
+    ref.mkdir()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(oracle.REFERENCE, "Mando.py"),
+         "-p", str(ref), "-g", str(tmp_path / "ann.gtf"),
+         "-G", str(tmp_path / "genome.fasta"),
+         "-f", str(tmp_path / "reads.fasta"),
+         "-t", "1", "-W", "basic", "--mm2_path", str(bin_dir / "minimap2")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ref_bed = (ref / "tmp" / "polyAWhiteList.bed").read_text()
+    assert my_bed == ref_bed
+    assert (ours / "Mando_isoforms.read_stat.txt").read_text() == \
+           (ref / "Mando_isoforms.read_stat.txt").read_text()
+    assert (ours / "Isoforms.filtered.clean.quant").read_text() == \
+           (ref / "Isoforms.filtered.clean.quant").read_text()
