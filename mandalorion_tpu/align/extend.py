@@ -25,6 +25,7 @@ from mandalorion_tpu.config import AlignConfig
 # op codes: (kind, q0, t0, length) — kind M diagonal run / I insert /
 # D delete / N intron
 BASES = "ACGT"
+NEG = -(10 ** 9)
 
 
 @dataclass
@@ -50,10 +51,84 @@ def solve_dp_numpy(problems: Sequence[DpProblem],
     return [_solve_one(p, cfg) for p in problems]
 
 
+def _row_step_np(h_prev, e_prev, sub, jidx, go, ge):
+    """Numpy twin of kernels.row_step (same values, same tie-breaks):
+    one DP row with the collapsed prefix-max deletion state.
+    Returns (h_row, e_row, packed_ptr_bits)."""
+    open_e = h_prev - go - ge
+    ext_e = e_prev - ge
+    e_row = np.maximum(open_e, ext_e)
+    e_ext = ext_e > open_e
+    diag = np.empty_like(h_prev)
+    diag[0] = NEG
+    diag[1:] = h_prev[:-1] + sub
+    b = np.maximum(diag, e_row)
+    b[0] = e_row[0]
+    scan = np.maximum.accumulate(b + ge * jidx)
+    f_row = np.empty_like(h_prev)
+    f_row[0] = NEG
+    f_row[1:] = scan[:-1] - go - ge * jidx[1:]
+    f_shift = np.empty_like(f_row)
+    f_shift[0] = NEG
+    f_shift[1:] = f_row[:-1]
+    b_shift = np.empty_like(b)
+    b_shift[0] = NEG
+    b_shift[1:] = b[:-1]
+    f_ext = (f_shift - ge) > (b_shift - go - ge)
+    h_row = diag.copy()
+    code = np.zeros(len(jidx), np.uint8)
+    take_e = e_row > h_row
+    h_row[take_e] = e_row[take_e]
+    code[take_e] = 1
+    take_f = f_row > h_row
+    h_row[take_f] = f_row[take_f]
+    code[take_f] = 2
+    h_row[0] = e_row[0]
+    code[0] = 1
+    packed = (code | (e_ext.astype(np.uint8) << 2)
+              | (f_ext.astype(np.uint8) << 3))
+    return h_row, e_row, packed
+
+
+def _traceback_bits(ptr: np.ndarray, qi: int, tj: int):
+    """Walk packed pointer bits (H source 2b | E-ext | F-ext) to merged op
+    runs — shared with the rowscan/Pallas backends (align/kernels.py)."""
+    ops: List[Tuple[str, int, int]] = []
+    i, j = qi, tj
+    state = "H"
+    while i > 0 or j > 0:
+        p = int(ptr[i, j])
+        if state == "H":
+            code = p & 3
+            if code == 0 and i > 0 and j > 0:
+                ops.append(("M", 1, 1))
+                i -= 1
+                j -= 1
+            elif code == 1:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            ops.append(("I", 1, 0))
+            state = "E" if (p >> 2) & 1 else "H"
+            i -= 1
+        else:
+            ops.append(("D", 0, 1))
+            state = "F" if (p >> 3) & 1 else "H"
+            j -= 1
+    ops.reverse()
+    merged: List[Tuple[str, int, int]] = []
+    for op, dq, dt in ops:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + dq, merged[-1][2] + dt)
+        else:
+            merged.append((op, dq, dt))
+    return merged
+
+
 def _solve_one(p: DpProblem, cfg: AlignConfig) -> DpResult:
-    """Gotoh affine-gap DP with full three-state traceback.
-    States: H (match), E (gap in target, consumes query = insertion),
-    F (gap in query, consumes target = deletion)."""
+    """Affine-gap DP, fully row-vectorized (the same collapsed prefix-max
+    row math as the rowscan/Pallas kernels, numpy edition)."""
     nq, nt = len(p.q), len(p.t)
     # fast path: an extension whose query is an exact prefix of the target
     # is optimally all-match (any other path scores lower) — the common
@@ -72,96 +147,33 @@ def _solve_one(p: DpProblem, cfg: AlignConfig) -> DpResult:
 
     match, mis = cfg.match, -cfg.mismatch
     go, ge = cfg.gap_open, cfg.gap_extend
-    NEG = -(10 ** 9)
-
-    H = np.full((nq + 1, nt + 1), NEG, np.int64)
-    E = np.full((nq + 1, nt + 1), NEG, np.int64)
-    F = np.full((nq + 1, nt + 1), NEG, np.int64)
-    ptrH = np.zeros((nq + 1, nt + 1), np.uint8)  # 0 diag, 1 E, 2 F
-    ptrE = np.zeros((nq + 1, nt + 1), np.uint8)  # 0 open, 1 extend
-    ptrF = np.zeros((nq + 1, nt + 1), np.uint8)
-    H[0, 0] = 0
-    F[0, 1:] = -(go + ge * np.arange(1, nt + 1))
-    ptrF[0, 2:] = 1
-    H[0, 1:] = F[0, 1:]
-    ptrH[0, 1:] = 2
-    sub = np.where(p.q[:, None] == p.t[None, :], match, mis).astype(np.int64)
-
+    width = nt + 1
+    jidx = np.arange(width, dtype=np.int64)
+    h = np.where(jidx == 0, 0, -(go + ge * jidx)).astype(np.int64)
+    e = np.full(width, NEG, np.int64)
+    ptr = np.zeros((nq + 1, width), np.uint8)
+    ptr[0, 1:] = 2
+    ptr[0, 2:] |= 1 << 3
+    best_val, best_i, best_j = 0, 0, 0
+    final_row = None
     for i in range(1, nq + 1):
-        # E (vertical, query-consuming) — fully vectorized over j
-        open_e = H[i - 1] - go - ge
-        ext_e = E[i - 1] - ge
-        E[i] = np.maximum(open_e, ext_e)
-        ptrE[i] = (ext_e > open_e).astype(np.uint8)
-        H[i, 0] = E[i, 0]
-        ptrH[i, 0] = 1
-        diag = H[i - 1, :-1] + sub[i - 1]
-        # F has the in-row dependency: scalar scan
-        f = NEG
-        hrow = H[i]
-        for j in range(1, nt + 1):
-            open_f = hrow[j - 1] - go - ge
-            ext_f = f - ge
-            if ext_f > open_f:
-                f = ext_f
-                ptrF[i, j] = 1
-            else:
-                f = open_f
-            F[i, j] = f
-            h = diag[j - 1]
-            code = 0
-            if E[i, j] > h:
-                h = E[i, j]
-                code = 1
-            if f > h:
-                h = f
-                code = 2
-            hrow[j] = h
-            ptrH[i, j] = code
-
+        sub = np.where(p.t == p.q[i - 1], match, mis).astype(np.int64)
+        h, e, packed = _row_step_np(h, e, sub, jidx, go, ge)
+        ptr[i] = packed
+        if p.mode != "global":
+            eff = h if (cfg.end_bonus == 0 or i != nq) else h + cfg.end_bonus
+            row_best = int(eff.max())
+            if row_best > best_val:
+                best_val = row_best
+                best_i = i
+                best_j = int(eff.argmax())
     if p.mode == "global":
         qi, tj = nq, nt
     else:
-        # end_bonus: reward consuming the whole query, so real read tails
-        # align through trailing mismatches instead of soft-clipping
-        eff = H if cfg.end_bonus == 0 else H.copy()
-        if cfg.end_bonus:
-            eff[nq, :] += cfg.end_bonus
-        flat = int(np.argmax(eff))
-        qi, tj = divmod(flat, nt + 1)
-        if eff[qi, tj] <= 0:
+        if best_val <= 0:
             return DpResult([], 0, 0)
-
-    ops: List[Tuple[str, int, int]] = []
-    i, j = qi, tj
-    state = "H"
-    while i > 0 or j > 0:
-        if state == "H":
-            code = ptrH[i, j]
-            if code == 0 and i > 0 and j > 0:
-                ops.append(("M", 1, 1))
-                i -= 1
-                j -= 1
-            elif code == 1:
-                state = "E"
-            else:
-                state = "F"
-        elif state == "E":
-            ops.append(("I", 1, 0))
-            state = "E" if ptrE[i, j] else "H"
-            i -= 1
-        else:
-            ops.append(("D", 0, 1))
-            state = "F" if ptrF[i, j] else "H"
-            j -= 1
-    ops.reverse()
-    merged: List[Tuple[str, int, int]] = []
-    for op, dq, dt in ops:
-        if merged and merged[-1][0] == op:
-            merged[-1] = (op, merged[-1][1] + dq, merged[-1][2] + dt)
-        else:
-            merged.append((op, dq, dt))
-    return DpResult(merged, qi, tj)
+        qi, tj = best_i, best_j
+    return DpResult(_traceback_bits(ptr, qi, tj), qi, tj)
 
 
 def splice_fill(q: np.ndarray, t_left: np.ndarray, t_right: np.ndarray,
