@@ -124,6 +124,45 @@ def split_loci(sorted_psl_path: str, out_dir: str) -> Dict[str, str]:
     return read_to_root
 
 
+def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
+                     out_dir: str, minimum_intron_size: int = 10
+                     ) -> Dict[str, str]:
+    """One-pass module P: parse each alignment once, clean it, then write
+    all three stage artifacts (clean, clean.sorted, per-locus files) from
+    the in-memory lines — the -M resume contract unchanged, the extended
+    PSL (long lines carry read sequences) parsed only once."""
+    import os
+
+    from mandalorion_tpu.io.psl import psl_sort_key
+
+    used = set()
+    cleaned: List[str] = []
+    with open(psl_path) as fh, open(clean_path, "w") as out:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = parse_psl_line(line)
+            if rec.q_name in used:  # primary only
+                continue
+            used.add(rec.q_name)
+            cleaned_line = format_psl(
+                clean_record(rec, minimum_intron_size)) + "\n"
+            out.write(cleaned_line)
+            cleaned.append(cleaned_line)
+    cleaned.sort(key=psl_sort_key)
+    with open(sorted_path, "w") as out:
+        out.writelines(cleaned)
+    os.makedirs(out_dir, exist_ok=True)
+    read_to_root: Dict[str, str] = {}
+    for chrom, start, end, lines in iter_loci(cleaned):
+        root = f"{chrom}~{start}~{end}"
+        with open(os.path.join(out_dir, root + ".psl"), "w") as out:
+            for line in lines:
+                out.write(line)
+                read_to_root[line.split("\t", 10)[9]] = root
+    return read_to_root
+
+
 def discover_loci(out_dir: str) -> List[str]:
     """Re-discover locus roots from a tmp_SS directory, sorted by
     (chrom, start) like `defineIsoforms.py:126`."""

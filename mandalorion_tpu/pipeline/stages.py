@@ -178,16 +178,13 @@ def module_p(paths: Paths, cfg: PipelineConfig) -> None:
         else:
             print("\tno alignments found; skipping")
             return
-    print("\tcleaning psl file of small indels")
-    clean_psl_file(psl, paths.t("mm2Alignments.clean.psl"), True,
-                   cfg.minimum_intron_size)
-    print("\tsorting clean psl file")
-    sort_psl_file(paths.t("mm2Alignments.clean.psl"),
-                  paths.t("mm2Alignments.clean.sorted.psl"))
-    print("\tsplitting psl into loci")
+    print("\tcleaning, sorting and splitting psl (one pass)")
     if os.path.isdir(paths.tmp_ss):
         shutil.rmtree(paths.tmp_ss)
-    split_loci(paths.t("mm2Alignments.clean.sorted.psl"), paths.tmp_ss)
+    from mandalorion_tpu.core.cleanpsl import clean_sort_split
+    clean_sort_split(psl, paths.t("mm2Alignments.clean.psl"),
+                     paths.t("mm2Alignments.clean.sorted.psl"),
+                     paths.tmp_ss, cfg.minimum_intron_size)
 
 
 # ------------------------------------------------------------- module D
