@@ -103,9 +103,15 @@ def _fork_safe() -> bool:
 _A_ALIGNER: Optional[SpliceAligner] = None
 
 
-def _align_chunk_worker(batch: List[Tuple[str, str]]) -> List[str]:
-    """Fork-pool worker: align one read chunk with the inherited index."""
-    return [format_psl(rec) + "\n" for rec in _A_ALIGNER.map_batch(batch)]
+def _align_chunk_worker(job) -> str:
+    """Fork-pool worker: align one read chunk with the inherited index and
+    write its own part-file (returning big PSL strings through the pool
+    pipe would pickle the whole batch; paths are cheap)."""
+    batch, part_path = job
+    with open(part_path, "w") as out:
+        for rec in _A_ALIGNER.map_batch(batch):
+            out.write(format_psl(rec) + "\n")
+    return part_path
 
 
 def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
@@ -146,9 +152,13 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
             global _A_ALIGNER
             _A_ALIGNER = aligner
             ctx = mp.get_context("fork")
+            jobs = [(b, paths.t(f"mm2Alignments.part{k}.psl"))
+                    for k, b in enumerate(batches)]
             with ctx.Pool(_pool_size(cfg.threads, len(batches))) as pool:
-                for lines in pool.map(_align_chunk_worker, batches):
-                    out.writelines(lines)
+                for part in pool.map(_align_chunk_worker, jobs):
+                    with open(part) as pf:
+                        shutil.copyfileobj(pf, out)
+                    os.remove(part)
         else:
             for batch in batches:
                 for rec in aligner.map_batch(batch):
