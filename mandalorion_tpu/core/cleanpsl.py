@@ -141,12 +141,43 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
         for line in fh:
             if not line.strip():
                 continue
-            rec = parse_psl_line(line)
-            if rec.q_name in used:  # primary only
+            # cleaning only rewrites cols 17-20; surgical splice avoids a
+            # full record parse/format round-trip on the long lines
+            a = line.rstrip("\n").split("\t")
+            name = a[9]
+            if name in used:  # primary only
                 continue
-            used.add(rec.q_name)
-            cleaned_line = format_psl(
-                clean_record(rec, minimum_intron_size)) + "\n"
+            used.add(name)
+            sizes = [int(x) for x in a[18].split(",")[:-1]]
+            starts = [int(x) for x in a[20].split(",")[:-1]]
+            merged = 0
+            pending: List[Tuple[int, int]] = []
+            for i, size in enumerate(sizes):
+                merged += size
+                if i + 1 < len(sizes):
+                    gap = starts[i + 1] - (starts[i] + size)
+                    if gap < minimum_intron_size:
+                        merged += gap
+                    else:
+                        pending.append((merged, gap))
+                        merged = 0
+            t_pos = int(a[15])
+            q_pos = int(a[11])
+            ns, nq, nt = [], [], []
+            for block, gap in pending:
+                nt.append(t_pos)
+                ns.append(block)
+                nq.append(q_pos)
+                t_pos += block + gap
+                q_pos += block
+            nt.append(t_pos)
+            ns.append(merged)
+            nq.append(q_pos)
+            a[17] = str(len(ns))
+            a[18] = ",".join(map(str, ns)) + ","
+            a[19] = ",".join(map(str, nq)) + ","
+            a[20] = ",".join(map(str, nt)) + ","
+            cleaned_line = "\t".join(a) + "\n"
             out.write(cleaned_line)
             cleaned.append(cleaned_line)
     cleaned.sort(key=psl_sort_key)
