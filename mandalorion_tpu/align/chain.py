@@ -106,7 +106,10 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
     lens = (qe - qs).astype(np.float32)  # float32: matches chain_kernel
 
     # precompute the full (i, j) transition matrix in one shot; the
-    # sequential DP loop then reduces to one masked argmax per row
+    # sequential DP loop then reduces to one masked argmax per row.
+    # All cost arithmetic is float32 with the same expression shape as
+    # chain_kernel so the two backends agree (up to transcendental-ulp
+    # differences in log2, see CLAUDE.md)
     dq = qs[:, None] - qe[None, :]
     dt = ts[:, None] - te[None, :]
     overlap = np.maximum(np.maximum(-dq, -dt), 0).astype(np.float32)
@@ -116,20 +119,22 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
              & (qe[None, :] <= qe[:, None]) & (te[None, :] <= te[:, None]))
     gap_q = np.maximum(dq, 0)
     gap_t = np.maximum(dt, 0)
-    diff = np.abs(gap_t - gap_q)
+    diff32 = np.abs(gap_t - gap_q).astype(np.float32)
     is_intron = (gap_t - gap_q) >= min_intron
     cost = np.where(
         is_intron,
-        intron_penalty + 0.01 * np.log2(np.maximum(diff, 1)),
-        indel_open + indel_scale * diff,
+        np.float32(intron_penalty)
+        + np.float32(0.01) * np.log2(np.maximum(diff32, np.float32(1.0))),
+        np.float32(indel_open) + np.float32(indel_scale) * diff32,
     ).astype(np.float32)
-    gain = (lens[:, None] * match - cost - overlap * match)
-    gain = np.where(valid, gain, -np.inf)
 
     score = (lens * match).astype(np.float32)
     parent = np.full(n, -1, np.int64)
+    neg_inf = np.float32(-np.inf)
     for i in range(1, n):
-        cand = score[:i] + gain[i, :i]
+        # same association as chain_kernel: ((score + len*m) - cost) - o*m
+        cand = (score[:i] + np.float32(lens[i] * match)) - cost[i, :i]             - overlap[i, :i] * np.float32(match)
+        cand = np.where(valid[i, :i], cand, neg_inf)
         j = int(np.argmax(cand))
         if cand[j] > score[i]:
             score[i] = cand[j]

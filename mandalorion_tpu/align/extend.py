@@ -155,7 +155,6 @@ def _solve_one(p: DpProblem, cfg: AlignConfig) -> DpResult:
     ptr[0, 1:] = 2
     ptr[0, 2:] |= 1 << 3
     best_val, best_i, best_j = 0, 0, 0
-    final_row = None
     for i in range(1, nq + 1):
         sub = np.where(p.t == p.q[i - 1], match, mis).astype(np.int64)
         h, e, packed = _row_step_np(h, e, sub, jidx, go, ge)

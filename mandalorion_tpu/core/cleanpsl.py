@@ -19,14 +19,13 @@ from typing import Dict, Iterable, Iterator, List, Tuple
 from mandalorion_tpu.io.psl import PslRecord, parse_psl_line, format_psl
 
 
-def clean_record(rec: PslRecord, minimum_intron_size: int = 10) -> PslRecord:
-    """Merge sub-intron gaps into blocks; recompute qStarts cumulatively."""
-    sizes = rec.block_sizes
-    starts = rec.t_starts
-    new_sizes: List[int] = []
-    new_tstarts: List[int] = []
-    new_qstarts: List[int] = []
-
+def merge_small_gaps(sizes: List[int], starts: List[int], t_start: int,
+                     q_start: int, minimum_intron_size: int
+                     ) -> Tuple[List[int], List[int], List[int]]:
+    """The clean_psl core: merge sub-intron gaps into blocks and recompute
+    qStarts cumulatively (dropping insertion offsets, the probed quirk).
+    Returns (sizes, q_starts, t_starts). Single source of truth for
+    clean_record and clean_sort_split."""
     merged = 0
     pending: List[Tuple[int, int]] = []  # (merged_block_size, following_gap)
     for i, size in enumerate(sizes):
@@ -38,10 +37,11 @@ def clean_record(rec: PslRecord, minimum_intron_size: int = 10) -> PslRecord:
             else:
                 pending.append((merged, gap))
                 merged = 0
-    last_block = merged
-
-    t_pos = rec.t_start
-    q_pos = rec.q_start
+    new_sizes: List[int] = []
+    new_tstarts: List[int] = []
+    new_qstarts: List[int] = []
+    t_pos = t_start
+    q_pos = q_start
     for block, gap in pending:
         new_tstarts.append(t_pos)
         new_sizes.append(block)
@@ -49,14 +49,21 @@ def clean_record(rec: PslRecord, minimum_intron_size: int = 10) -> PslRecord:
         t_pos += block + gap
         q_pos += block
     new_tstarts.append(t_pos)
-    new_sizes.append(last_block)
+    new_sizes.append(merged)
     new_qstarts.append(q_pos)
+    return new_sizes, new_qstarts, new_tstarts
 
+
+def clean_record(rec: PslRecord, minimum_intron_size: int = 10) -> PslRecord:
+    """Merge sub-intron gaps into blocks; recompute qStarts cumulatively."""
+    ns, nq, nt = merge_small_gaps(rec.block_sizes, rec.t_starts,
+                                  rec.t_start, rec.q_start,
+                                  minimum_intron_size)
     out = PslRecord(**{**rec.__dict__})
-    out.block_count = len(new_sizes)
-    out.block_sizes = new_sizes
-    out.q_starts = new_qstarts
-    out.t_starts = new_tstarts
+    out.block_count = len(ns)
+    out.block_sizes = ns
+    out.q_starts = nq
+    out.t_starts = nt
     return out
 
 
@@ -150,29 +157,8 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
             used.add(name)
             sizes = [int(x) for x in a[18].split(",")[:-1]]
             starts = [int(x) for x in a[20].split(",")[:-1]]
-            merged = 0
-            pending: List[Tuple[int, int]] = []
-            for i, size in enumerate(sizes):
-                merged += size
-                if i + 1 < len(sizes):
-                    gap = starts[i + 1] - (starts[i] + size)
-                    if gap < minimum_intron_size:
-                        merged += gap
-                    else:
-                        pending.append((merged, gap))
-                        merged = 0
-            t_pos = int(a[15])
-            q_pos = int(a[11])
-            ns, nq, nt = [], [], []
-            for block, gap in pending:
-                nt.append(t_pos)
-                ns.append(block)
-                nq.append(q_pos)
-                t_pos += block + gap
-                q_pos += block
-            nt.append(t_pos)
-            ns.append(merged)
-            nq.append(q_pos)
+            ns, nq, nt = merge_small_gaps(sizes, starts, int(a[15]),
+                                          int(a[11]), minimum_intron_size)
             a[17] = str(len(ns))
             a[18] = ",".join(map(str, ns)) + ","
             a[19] = ",".join(map(str, nq)) + ","

@@ -94,21 +94,29 @@ def build_coverage(block_starts: List[np.ndarray],
     read_ids = np.repeat(np.arange(n_reads), counts_per_read)
     starts = np.concatenate([b for b in block_starts if len(b)])
     sizes = np.concatenate([b for b in block_sizes if len(b)])
+    # zero-size blocks contribute no coverage (reference's empty range
+    # loop, SDC.py:300-310)
+    nonzero = sizes > 0
+    if not nonzero.all():
+        read_ids = read_ids[nonzero]
+        starts = starts[nonzero]
+        sizes = sizes[nonzero]
+    if len(starts) == 0:
+        return CoverageIntervals(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            [(0, 0)] * n_reads, 0, np.zeros(0, np.int64))
     lo = round10(starts)
-    hi = round10(starts + np.maximum(sizes, 1) - 1)
+    hi = round10(starts + sizes - 1)
 
     # merge intervals within a read (blocks ascend; adjacent or overlapping
     # bucket ranges collapse — identical membership either way)
     new = np.ones(len(lo), bool)
     new[1:] = (read_ids[1:] != read_ids[:-1]) | (lo[1:] > hi[:-1] + 10)
-    group = np.cumsum(new) - 1
-    n_groups = int(group[-1]) + 1
     merged_lo = lo[new]
     merged_hi = np.maximum.reduceat(hi, np.nonzero(new)[0])
     merged_read = read_ids[new]
 
     # per-read slices
-    read_slices: List[Tuple[int, int]] = [(0, 0)] * n_reads
     grp_start = np.searchsorted(merged_read, np.arange(n_reads), "left")
     grp_end = np.searchsorted(merged_read, np.arange(n_reads), "right")
     read_slices = list(zip(grp_start.tolist(), grp_end.tolist()))

@@ -65,7 +65,10 @@ def count_matrix(filtered_isoforms: Sequence[str],
     for iso in filtered_isoforms:
         i = iso_idx[iso]
         for read in r2i.get(iso, []):
-            flat.append(i * n_samples + sample_idx[read_map[read]])
+            sample = read_map.get(read)
+            if sample is None:  # its sample file went missing since D ran
+                continue
+            flat.append(i * n_samples + sample_idx[sample])
     counts = np.bincount(
         np.asarray(flat, np.int64),
         minlength=len(filtered_isoforms) * n_samples,

@@ -52,7 +52,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.lookup_ranges_c.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
-    except (subprocess.SubprocessError, OSError) as exc:
+    except (subprocess.SubprocessError, OSError,
+            AttributeError) as exc:
         sys.stderr.write(f"native build unavailable ({exc}); "
                          f"using numpy fallback\n")
         _LIB = None

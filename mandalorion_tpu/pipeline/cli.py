@@ -74,6 +74,11 @@ def main(argv=None) -> int:
         paths = Paths(args.path)
         os.makedirs(paths.tmp, exist_ok=True)
         shutil.copy(args.external_sam, paths.t("mm2Alignments.sam"))
+        # a stale PSL from a previous run would shadow the external SAM
+        # (module P only converts when the PSL is absent/empty)
+        stale = paths.t("mm2Alignments.psl")
+        if os.path.exists(stale):
+            os.remove(stale)
         if "A" in cfg.modules:
             cfg = cfg.replace(modules=cfg.modules.replace("A", ""))
     run_pipeline(args.path, args.genome_sequence, args.genome_annotation,

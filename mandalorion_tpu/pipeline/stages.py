@@ -100,6 +100,15 @@ def _fork_safe() -> bool:
 
 # ------------------------------------------------------------- module A
 
+def _pacbio_fa_path(paths: "Paths", index: int, bam_path: str) -> str:
+    """Converted-BAM fasta path; the index prefix keeps same-basename BAMs
+    from different directories distinct (modules A and Q must agree)."""
+    base = os.path.basename(bam_path)
+    if base.endswith(".bam"):
+        base = base[:-4]
+    return paths.t(f"pacbio{index}_{base}.fa")
+
+
 _A_ALIGNER: Optional[SpliceAligner] = None
 
 
@@ -123,8 +132,8 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
         from mandalorion_tpu.io.bam import bam_to_fasta
         print("\tConverting PacBio BAM input to FASTA")
         converted = []
-        for bam in fasta_list:
-            out_fa = paths.t(os.path.basename(bam).replace(".bam", ".fa"))
+        for k, bam in enumerate(fasta_list):
+            out_fa = _pacbio_fa_path(paths, k, bam)
             bam_to_fasta(bam, out_fa)
             converted.append(out_fa)
         fasta_list = converted
@@ -388,8 +397,8 @@ def module_q(paths: Paths, cfg: PipelineConfig, fasta_files: str) -> None:
     if cfg.pacbio:
         # quantify against the fastas module A converted from the BAMs
         # (assignReadsToIsoforms.py:97-98)
-        fasta_list = [paths.t(os.path.basename(x).replace(".bam", ".fa"))
-                      for x in fasta_list]
+        fasta_list = [_pacbio_fa_path(paths, k, x)
+                      for k, x in enumerate(fasta_list)]
     write_quant(paths.t("Isoforms.filtered.clean.psl"),
                 paths.t("reads2isoforms.txt"), fasta_list,
                 paths.t("Isoforms.filtered.clean.quant"),

@@ -69,6 +69,14 @@ def determine_consensus(
     if len(oriented) <= 2:
         return _decode(oriented[0]), names
 
+    from mandalorion_tpu.poa.graph import MAX_GRAPH_LEN
+    if max(len(c) for c in oriented) > MAX_GRAPH_LEN:
+        # graph DP memory is O(nodes x len); fall back to the star engine
+        # for very long isoforms instead of aborting the locus
+        from mandalorion_tpu.poa.star import star_consensus
+        cons_str = star_consensus([_decode(c) for c in oriented])
+        return (cons_str or _decode(oriented[0])), names
+
     band = cfg.band_width
     if float(np.median(lengths)) >= cfg.adaptive_band_threshold:
         band = max(band, 256)  # abPOA -S analogue: wider adaptive band

@@ -40,12 +40,16 @@ def _assert_same(ref, got, tag):
         assert (g.q_len, g.t_len) == (r.q_len, r.t_len), f"{tag} {k}"
 
 
-@pytest.mark.parametrize("mode", ["global", "extend_right"])
-def test_rowscan_matches_oracle(mode):
-    rng = np.random.default_rng(abs(hash(mode)) % 2 ** 31)
+@pytest.mark.parametrize("mode,bonus", [("global", 0),
+                                        ("extend_right", 0),
+                                        ("extend_right", 12),
+                                        ("extend_left", 12)])
+def test_rowscan_matches_oracle(mode, bonus):
+    cfg = AlignConfig(end_bonus=bonus)
+    rng = np.random.default_rng((abs(hash(mode)) + bonus) % 2 ** 31)
     problems = _random_problems(rng, 60, mode)
-    _assert_same(solve_dp_numpy(problems, CFG),
-                 solve_dp_rowscan(problems, CFG), mode)
+    _assert_same(solve_dp_numpy(problems, cfg),
+                 solve_dp_rowscan(problems, cfg), f"{mode}-b{bonus}")
 
 
 def test_rowscan_dissimilar_extend():
@@ -71,11 +75,13 @@ def test_rowscan_oversize_falls_back():
                  solve_dp_rowscan(problems, CFG), "oversize")
 
 
-@pytest.mark.parametrize("mode", ["global", "extend_right"])
-def test_pallas_interpret_matches_oracle(mode):
+@pytest.mark.parametrize("mode,bonus", [("global", 0),
+                                        ("extend_right", 12)])
+def test_pallas_interpret_matches_oracle(mode, bonus):
     # small sweep: interpret mode is slow; rowscan covers the math broadly
+    cfg = AlignConfig(end_bonus=bonus)
     rng = np.random.default_rng(7)
     problems = _random_problems(rng, 8, mode, max_len=24)
-    _assert_same(solve_dp_numpy(problems, CFG),
-                 solve_dp_pallas(problems, CFG, interpret=True),
-                 f"pallas-{mode}")
+    _assert_same(solve_dp_numpy(problems, cfg),
+                 solve_dp_pallas(problems, cfg, interpret=True),
+                 f"pallas-{mode}-b{bonus}")
