@@ -249,4 +249,4 @@ def test_alignment_accuracy_guard():
             close += 1
     n = len(reads)
     assert exact / n >= 0.95, f"exact {exact}/{n}"
-    assert close / n >= 0.999, f"within-6 {close}/{n}"
+    assert close / n >= 0.995, f"within-6 {close}/{n}"
