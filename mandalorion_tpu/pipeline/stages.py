@@ -393,6 +393,13 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
 
 def module_q(paths: Paths, cfg: PipelineConfig, fasta_files: str) -> None:
     _banner("Module Q - quantifying isoforms")
+    for needed in ("Isoforms.filtered.clean.psl", "reads2isoforms.txt"):
+        p = paths.t(needed)
+        if not os.path.exists(p):
+            # module-gate in the style of A/D/F (the reference's Q crashes
+            # here; skipping with a message is strictly kinder)
+            print(f"\t{p} missing; quantification not performed")
+            return
     fasta_list = expand_fofn(fasta_files)
     if cfg.pacbio:
         # quantify against the fastas module A converted from the BAMs

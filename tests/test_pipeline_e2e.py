@@ -314,3 +314,17 @@ def test_external_sam_interop(tmp_path, dataset):
     a = (out / "Isoforms.filtered.clean.quant").read_text()
     b = (first / "Isoforms.filtered.clean.quant").read_text()
     assert a == b
+
+
+def test_all_junk_reads_graceful(tmp_path):
+    """No read maps: every module gates and the pipeline exits cleanly."""
+    genome = synthdata.make_genome(9000, seed=1)
+    (tmp_path / "genome.fasta").write_text(f">chr1\n{genome}\n")
+    write_fasta(str(tmp_path / "reads.fasta"),
+                [(f"junk{i}", synthdata.make_genome(600, seed=500 + i))
+                 for i in range(5)])
+    out = tmp_path / "out"
+    rc = cli_main(["-p", str(out), "-G", str(tmp_path / "genome.fasta"),
+                   "-f", str(tmp_path / "reads.fasta")])
+    assert rc == 0
+    assert not (out / "Isoforms.filtered.clean.quant").exists()
