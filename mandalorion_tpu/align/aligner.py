@@ -63,18 +63,21 @@ class SpliceAligner:
                    ) -> Tuple[Optional[List[Segment]], float, int]:
         """Best chain for one read orientation: (chain, score, chrom_idx)."""
         cfg = self.cfg
-        pos, hashes = minimizers(codes, cfg.kmer, cfg.window)
-        if len(pos) == 0:
-            return None, 0.0, -1
-        qidx, gpos = self.index.lookup(hashes, cfg.max_occ)
-        if len(qidx) == 0:
-            return None, 0.0, -1
-        qpos = pos[qidx]
-        ci, local = self.index.position_to_chrom(gpos)
+        seeded = self.index.seed_segments(codes, cfg.max_occ)
+        if seeded is None:  # no native library: numpy seeding path
+            pos, hashes = minimizers(codes, cfg.kmer, cfg.window)
+            if len(pos) == 0:
+                return None, 0.0, -1
+            qidx, gpos = self.index.lookup(hashes, cfg.max_occ)
+            if len(qidx) == 0:
+                return None, 0.0, -1
+            qpos = pos[qidx]
+            ci, _local = self.index.position_to_chrom(gpos)
+            seeded = [(int(c), collapse_anchors(qpos[ci == c],
+                                                gpos[ci == c], cfg.kmer))
+                      for c in np.unique(ci)]
         best_chain, best_score, best_ci = None, 0.0, -1
-        for c in np.unique(ci):
-            mask = ci == c
-            segs = collapse_anchors(qpos[mask], gpos[mask], cfg.kmer)
+        for c, segs in seeded:
             chain, score = chain_segments(
                 segs, min_intron=cfg.min_intron, max_intron=cfg.max_intron)
             if chain and score > best_score:

@@ -77,6 +77,38 @@ class GenomeIndex:
         qout, gpos = ragged_gather(self.sorted_positions, lo, hi, qidx)
         return qout, gpos.astype(np.int64)
 
+    def seed_segments(self, codes: np.ndarray, max_occ: int,
+                      merge_gap: int = 100):
+        """Fused native seeding for one read orientation: minimizers ->
+        lookup -> per-chromosome diagonal collapse, in a single C call.
+        Returns [(chrom_idx, [Segment, ...]), ...] in ascending chrom
+        order (segments in (diag, t) order, matching collapse_anchors),
+        or None when the native library is unavailable."""
+        from mandalorion_tpu.align.chain import Segment
+        from mandalorion_tpu.native import native_seed_segments
+
+        if self.bucket_lo is None:
+            return None
+        res = native_seed_segments(
+            codes, self.kmer, self.window, max_occ, merge_gap,
+            self.sorted_hashes, self.bucket_lo, self.sorted_positions,
+            self.chrom_offsets)
+        if res is None:
+            return None
+        chrom, qs, qe, ts, te, na = res
+        out = []
+        i = 0
+        n = len(chrom)
+        while i < n:
+            c = chrom[i]
+            segs = []
+            while i < n and chrom[i] == c:
+                segs.append(Segment(int(qs[i]), int(qe[i]), int(ts[i]),
+                                    int(te[i]), int(na[i])))
+                i += 1
+            out.append((int(c), segs))
+        return out
+
 
 def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
                 chunk: int = 1 << 24) -> GenomeIndex:

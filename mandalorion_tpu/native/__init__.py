@@ -36,10 +36,14 @@ def load_native() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
+            # build to a pid-unique temp + atomic rename: forked pipeline
+            # workers may race to compile the same library
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", so, src],
+                 "-o", tmp, src],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.minimizers_c.restype = ctypes.c_int64
         lib.minimizers_c.argtypes = [
@@ -51,6 +55,12 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.lookup_ranges_c.restype = None
         lib.lookup_ranges_c.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.seed_segments_c.restype = ctypes.c_int64
+        lib.seed_segments_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64] + [ctypes.c_void_p] * 6
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:
@@ -75,6 +85,45 @@ def native_minimizers(codes: np.ndarray, k: int, w: int
     n = lib.minimizers_c(codes.ctypes.data, len(codes), k, w,
                          pos.ctypes.data, hsh.ctypes.data)
     return pos[:n].copy(), hsh[:n].copy()
+
+
+def _make_seed_bufs(cap: int):
+    return (np.empty(cap, np.int32),) + tuple(
+        np.empty(cap, np.int64) for _ in range(5))
+
+
+_SEED_BUFS = _make_seed_bufs(4096)
+
+
+def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
+                         merge_gap: int, sorted_hashes: np.ndarray,
+                         bucket_lo: np.ndarray, sorted_positions: np.ndarray,
+                         chrom_offsets: np.ndarray):
+    """Fused minimizers -> lookup -> anchor collapse for one read
+    orientation. Returns (chrom_ids, q_starts, q_ends, t_starts, t_ends,
+    n_anchors) arrays sorted by (chrom, diag, t), or None when the native
+    library is unavailable. The returned arrays are views into reused
+    buffers — consume (or copy) them before the next call."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    pos_is_u32 = 1 if sorted_positions.dtype == np.uint32 else 0
+    global _SEED_BUFS
+    while True:
+        chrom, qs, qe, ts, te, na = _SEED_BUFS
+        cap = len(chrom)
+        n = lib.seed_segments_c(
+            codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
+            sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+            sorted_positions.ctypes.data, pos_is_u32,
+            chrom_offsets.ctypes.data, len(chrom_offsets), cap,
+            chrom.ctypes.data, qs.ctypes.data, qe.ctypes.data,
+            ts.ctypes.data, te.ctypes.data, na.ctypes.data)
+        if n >= 0:
+            # views into reused buffers: valid only until the next call
+            return (chrom[:n], qs[:n], qe[:n], ts[:n], te[:n], na[:n])
+        _SEED_BUFS = _make_seed_bufs(-n)
 
 
 def native_lookup_ranges(sorted_hashes: np.ndarray, bucket_lo: np.ndarray,

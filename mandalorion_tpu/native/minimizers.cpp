@@ -5,6 +5,7 @@
 // hash (mod 2^64) -> xorshift scramble -> windowed leftmost-min selection.
 // Replaces the role mappy's C layer plays in the reference (SURVEY §2.2).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -110,6 +111,95 @@ int64_t minimizers_c(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
 }  // extern "C"
 
 extern "C" {
+
+// Fused seeding: minimizers -> bucketed index lookup (max_occ repeat
+// filter) -> anchor expansion -> per-chromosome diagonal-segment collapse.
+// One call per read orientation replaces four numpy round-trips
+// (align/aligner.py _chain_for). Output is bit-identical to the numpy
+// path: anchors sorted by (chrom, diag, t) collapse into maximal
+// same-diagonal runs with spacing <= merge_gap + k, exactly
+// align/chain.py collapse_anchors.
+//
+// Returns the segment count written, or -needed if cap is too small
+// (caller re-invokes with a larger cap).
+int64_t seed_segments_c(
+    const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+    int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, int64_t n_chroms,
+    int64_t cap, int32_t* out_chrom, int64_t* out_qs, int64_t* out_qe,
+    int64_t* out_ts, int64_t* out_te, int64_t* out_nanchor) {
+    int64_t m = n - k + 1;
+    if (m <= 0) return 0;
+    std::vector<int64_t> mpos(m);
+    std::vector<uint64_t> mhash(m);
+    int64_t nmin = minimizers_c(codes, n, k, w, mpos.data(), mhash.data());
+    if (nmin == 0) return 0;
+
+    struct Anchor { int32_t chrom; int64_t diag, t, q; };
+    std::vector<Anchor> anchors;
+    const uint32_t* pos32 = (const uint32_t*)sorted_positions;
+    const int64_t* pos64 = (const int64_t*)sorted_positions;
+    for (int64_t i = 0; i < nmin; i++) {
+        uint64_t hq = mhash[i];
+        uint32_t b = (uint32_t)(hq >> 48);
+        int64_t l = bucket_lo[b], r = bucket_lo[b + 1];
+        while (l < r) {  // lower bound
+            int64_t mid = (l + r) >> 1;
+            if (sorted_hashes[mid] < hq) l = mid + 1; else r = mid;
+        }
+        int64_t lo = l;
+        r = bucket_lo[b + 1];
+        while (l < r) {  // upper bound
+            int64_t mid = (l + r) >> 1;
+            if (sorted_hashes[mid] <= hq) l = mid + 1; else r = mid;
+        }
+        int64_t cnt = l - lo;
+        if (cnt == 0 || cnt > max_occ) continue;
+        for (int64_t j = lo; j < l; j++) {
+            int64_t g = pos_is_u32 ? (int64_t)pos32[j] : pos64[j];
+            // chrom = searchsorted(chrom_offsets, g, 'right') - 1
+            int64_t cl = 0, cr = n_chroms;
+            while (cl < cr) {
+                int64_t mid = (cl + cr) >> 1;
+                if (chrom_offsets[mid] <= g) cl = mid + 1; else cr = mid;
+            }
+            anchors.push_back({(int32_t)(cl - 1), g - mpos[i], g, mpos[i]});
+        }
+    }
+    if (anchors.empty()) return 0;
+    std::sort(anchors.begin(), anchors.end(),
+              [](const Anchor& a, const Anchor& b) {
+                  if (a.chrom != b.chrom) return a.chrom < b.chrom;
+                  if (a.diag != b.diag) return a.diag < b.diag;
+                  return a.t < b.t;
+              });
+
+    int64_t count = 0;
+    int64_t seg_start = 0;
+    auto flush = [&](int64_t s, int64_t e) {
+        if (count < cap) {
+            out_chrom[count] = anchors[s].chrom;
+            out_qs[count] = anchors[s].q;
+            out_qe[count] = anchors[e - 1].q + k;
+            out_ts[count] = anchors[s].t;
+            out_te[count] = anchors[e - 1].t + k;
+            out_nanchor[count] = e - s;
+        }
+        count++;
+    };
+    for (size_t i = 1; i < anchors.size(); i++) {
+        const Anchor &p = anchors[i - 1], &c = anchors[i];
+        if (c.chrom != p.chrom || c.diag != p.diag
+            || c.t - p.t > merge_gap + k) {
+            flush(seg_start, (int64_t)i);
+            seg_start = (int64_t)i;
+        }
+    }
+    flush(seg_start, (int64_t)anchors.size());
+    return count <= cap ? count : -count;
+}
 
 // Bucketed binary search: for each query hash, find [lo, hi) in the sorted
 // hash array, restricted to its top-16-bit bucket (bucket_lo has 65537

@@ -44,3 +44,56 @@ def test_encode_seq_native():
     out = np.empty(len(seq), np.uint8)
     lib.encode_seq(seq, len(seq), out.ctypes.data)
     assert list(out) == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 4]
+
+def _ref_seeded(idx, codes, max_occ):
+    from mandalorion_tpu.align.chain import collapse_anchors
+    from mandalorion_tpu.align.encode import minimizers
+    pos, hashes = minimizers(codes, idx.kmer, idx.window)
+    if len(pos) == 0:
+        return []
+    qidx, gpos = idx.lookup(hashes, max_occ)
+    if len(qidx) == 0:
+        return []
+    ci, _ = idx.position_to_chrom(gpos)
+    qpos = pos[qidx]
+    return [(int(c), collapse_anchors(qpos[ci == c], gpos[ci == c],
+                                      idx.kmer)) for c in np.unique(ci)]
+
+
+def _seg_tuples(segs):
+    return [(s.q_start, s.q_end, s.t_start, s.t_end, s.n_anchors)
+            for s in segs]
+
+
+@pytest.mark.parametrize("force_i64", [False, True])
+def test_seed_segments_matches_numpy_path(force_i64):
+    """Fused C++ seeding == minimizers->lookup->collapse_anchors,
+    bit-identical, across chromosomes and both position dtypes."""
+    from mandalorion_tpu.align.index import build_index
+
+    rng = np.random.default_rng(11 + force_i64)
+    genome = {f"chr{i}": synthdata.make_genome(20_000, seed=40 + i)
+              for i in range(3)}
+    idx = build_index(genome)
+    if force_i64:
+        idx.sorted_positions = idx.sorted_positions.astype(np.int64)
+    for trial in range(30):
+        c = f"chr{int(rng.integers(0, 3))}"
+        s = int(rng.integers(0, 18_000))
+        read, _ = synthdata.mutate_read(genome[c][s:s + 1500], rng, 0.03)
+        codes = encode(read)
+        got = idx.seed_segments(codes, 20)
+        ref = _ref_seeded(idx, codes, 20)
+        assert [c for c, _s in got] == [c for c, _s in ref], trial
+        for (_c1, s1), (_c2, s2) in zip(got, ref):
+            assert _seg_tuples(s1) == _seg_tuples(s2), trial
+
+
+def test_seed_segments_no_hits_and_empty():
+    from mandalorion_tpu.align.index import build_index
+    genome = {"chr1": synthdata.make_genome(5000, seed=50)}
+    idx = build_index(genome)
+    other = synthdata.make_genome(800, seed=999)  # unrelated sequence
+    assert idx.seed_segments(encode(""), 20) == []
+    seeded = idx.seed_segments(encode(other), 20)
+    assert seeded == _ref_seeded(idx, encode(other), 20) or seeded == []
