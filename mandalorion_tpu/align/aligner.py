@@ -55,7 +55,10 @@ class SpliceAligner:
             from mandalorion_tpu.align.kernels import solve_dp_pallas
             self.dp_backend = solve_dp_pallas
         else:
-            self.dp_backend = solve_dp_numpy
+            # 'numpy' resolves to the bit-identical native C++ solver when
+            # available (solve_dp_native falls back to solve_dp_numpy)
+            from mandalorion_tpu.align.extend import solve_dp_native
+            self.dp_backend = solve_dp_native
 
     # ------------------------------------------------------------ seeding
 

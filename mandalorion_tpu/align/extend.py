@@ -51,6 +51,34 @@ def solve_dp_numpy(problems: Sequence[DpProblem],
     return [_solve_one(p, cfg) for p in problems]
 
 
+def solve_dp_native(problems: Sequence[DpProblem],
+                    cfg: AlignConfig) -> List[DpResult]:
+    """Batched DP through the native C++ solver (bit-identical scalar twin
+    of _solve_one; tests/test_native.py asserts equality). Falls back to
+    solve_dp_numpy when the native library is unavailable."""
+    if not problems:
+        return []
+    from mandalorion_tpu.native import native_solve_dp_batch
+    res = native_solve_dp_batch(
+        [p.q for p in problems], [p.t for p in problems],
+        [0 if p.mode == "global" else 1 for p in problems],
+        cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+        cfg.end_bonus)
+    if res is None:
+        return solve_dp_numpy(problems, cfg)
+    q_lens, t_lens, n_ops, ops_op, ops_dq, ops_dt = res
+    out: List[DpResult] = []
+    at = 0
+    op_chars = "MID"
+    for k in range(len(problems)):
+        n = int(n_ops[k])
+        ops = [(op_chars[ops_op[at + m]], int(ops_dq[at + m]),
+                int(ops_dt[at + m])) for m in range(n)]
+        at += n
+        out.append(DpResult(ops, int(q_lens[k]), int(t_lens[k])))
+    return out
+
+
 def _row_step_np(h_prev, e_prev, sub, jidx, go, ge):
     """Numpy twin of kernels.row_step (same values, same tie-breaks):
     one DP row with the collapsed prefix-max deletion state.

@@ -61,6 +61,10 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64] + [ctypes.c_void_p] * 6
+        lib.solve_dp_batch_c.restype = ctypes.c_int64
+        lib.solve_dp_batch_c.argtypes = [ctypes.c_void_p] * 5 + [
+            ctypes.c_int64] + [ctypes.c_int32] * 5 + [
+            ctypes.c_void_p] * 6 + [ctypes.c_int64]
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:
@@ -139,3 +143,41 @@ def native_lookup_ranges(sorted_hashes: np.ndarray, bucket_lo: np.ndarray,
                         queries.ctypes.data, len(queries),
                         lo.ctypes.data, hi.ctypes.data)
     return lo, hi
+
+
+def native_solve_dp_batch(q_list, t_list, modes, match, mismatch,
+                          gap_open, gap_extend, end_bonus):
+    """Batched affine-gap DP through the C++ scalar twin of
+    extend._solve_one (bit-identical integer math). q_list/t_list are
+    uint8 code arrays; modes[i] is 0 (global) or 1 (extension). Returns
+    (q_lens, t_lens, n_ops, ops_op, ops_dq, ops_dt) — ops concatenated in
+    problem order — or None when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(q_list)
+    q_off = np.zeros(n + 1, np.int64)
+    t_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(q) for q in q_list], out=q_off[1:])
+    np.cumsum([len(t) for t in t_list], out=t_off[1:])
+    q_all = (np.concatenate(q_list) if q_off[-1]
+             else np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
+    t_all = (np.concatenate(t_list) if t_off[-1]
+             else np.zeros(0, np.uint8)).astype(np.uint8, copy=False)
+    modes_arr = np.asarray(modes, np.uint8)
+    q_lens = np.empty(n, np.int32)
+    t_lens = np.empty(n, np.int32)
+    n_ops = np.empty(n, np.int64)
+    cap = int(q_off[-1] + t_off[-1]) + n + 1
+    ops_op = np.empty(cap, np.int8)
+    ops_dq = np.empty(cap, np.int32)
+    ops_dt = np.empty(cap, np.int32)
+    total = lib.solve_dp_batch_c(
+        q_all.ctypes.data, q_off.ctypes.data,
+        t_all.ctypes.data, t_off.ctypes.data,
+        modes_arr.ctypes.data, n, match, mismatch, gap_open, gap_extend,
+        end_bonus, q_lens.ctypes.data, t_lens.ctypes.data,
+        n_ops.ctypes.data, ops_op.ctypes.data, ops_dq.ctypes.data,
+        ops_dt.ctypes.data, cap)
+    assert total >= 0, "native DP ops capacity undersized"
+    return q_lens, t_lens, n_ops, ops_op[:total], ops_dq[:total], ops_dt[:total]

@@ -201,6 +201,169 @@ int64_t seed_segments_c(
     return count <= cap ? count : -count;
 }
 
+// Batched affine-gap DP: scalar C++ twin of align/extend.py _solve_one
+// (same collapsed prefix-max row math, same pointer bits, same tie-breaks,
+// all-integer arithmetic => bit-identical results; tests assert it).
+// modes[i]: 0 = global, 1 = extension (best-cell stop, optional end bonus).
+// Ops are written concatenated as (op 0=M/1=I/2=D, dq, dt) runs.
+// Returns total ops written, or -needed when ops_cap is too small.
+int64_t solve_dp_batch_c(
+    const uint8_t* q_all, const int64_t* q_off,
+    const uint8_t* t_all, const int64_t* t_off,
+    const uint8_t* modes, int64_t n_problems,
+    int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus,
+    int32_t* out_qlen, int32_t* out_tlen, int64_t* out_nops,
+    int8_t* ops_op, int32_t* ops_dq, int32_t* ops_dt, int64_t ops_cap) {
+    const int64_t NEG = -1000000000LL;
+    std::vector<int64_t> h, e;
+    std::vector<uint8_t> ptr;
+    std::vector<int8_t> rev_ops;
+    int64_t total_ops = 0;
+
+    auto emit = [&](int64_t pi, int64_t qlen, int64_t tlen,
+                    const int8_t* ops, const int32_t* dq,
+                    const int32_t* dt, int64_t nops) {
+        out_qlen[pi] = (int32_t)qlen;
+        out_tlen[pi] = (int32_t)tlen;
+        out_nops[pi] = nops;
+        for (int64_t k = 0; k < nops; k++) {
+            if (total_ops < ops_cap) {
+                ops_op[total_ops] = ops[k];
+                ops_dq[total_ops] = dq[k];
+                ops_dt[total_ops] = dt[k];
+            }
+            total_ops++;
+        }
+    };
+
+    for (int64_t pi = 0; pi < n_problems; pi++) {
+        const uint8_t* q = q_all + q_off[pi];
+        const uint8_t* t = t_all + t_off[pi];
+        int64_t nq = q_off[pi + 1] - q_off[pi];
+        int64_t nt = t_off[pi + 1] - t_off[pi];
+        bool global = modes[pi] == 0;
+        // fast/edge paths mirror _solve_one exactly
+        if (!global && nq > 0 && nq <= nt && !memcmp(q, t, nq)) {
+            int8_t op = 0; int32_t d = (int32_t)nq;
+            emit(pi, nq, nq, &op, &d, &d, 1);
+            continue;
+        }
+        if (nq == 0 && nt == 0) { emit(pi, 0, 0, nullptr, nullptr, nullptr, 0); continue; }
+        if (nq == 0) {
+            if (global) { int8_t op = 2; int32_t z = 0, d = (int32_t)nt;
+                          emit(pi, 0, nt, &op, &z, &d, 1); }
+            else emit(pi, 0, 0, nullptr, nullptr, nullptr, 0);
+            continue;
+        }
+        if (nt == 0) {
+            if (global) { int8_t op = 1; int32_t d = (int32_t)nq, z = 0;
+                          emit(pi, nq, 0, &op, &d, &z, 1); }
+            else emit(pi, 0, 0, nullptr, nullptr, nullptr, 0);
+            continue;
+        }
+
+        int64_t width = nt + 1;
+        h.assign(width, 0);
+        e.assign(width, NEG);
+        for (int64_t j = 1; j < width; j++) h[j] = -(go_ + ge_ * j);
+        ptr.assign((nq + 1) * width, 0);
+        for (int64_t j = 1; j < width; j++) ptr[j] = 2;
+        for (int64_t j = 2; j < width; j++) ptr[j] |= 1 << 3;
+        int64_t best_val = 0, best_i = 0, best_j = 0;
+        for (int64_t i = 1; i <= nq; i++) {
+            uint8_t* prow = ptr.data() + i * width;
+            uint8_t qc = q[i - 1];
+            // single left-to-right pass: h/e updated in place (h[j-1]
+            // read BEFORE overwriting = previous row's value), with the
+            // running prefix-max `scan` carrying the collapsed F state
+            int64_t scan = NEG;          // max over j' <= j-1 of b + ge*j'
+            int64_t h_prev_jm1 = NEG;    // h_prev[j-1] (diag source)
+            int64_t b_prev = NEG;        // b[j-1]
+            int64_t f_prev = NEG;        // f_row[j-1]
+            int64_t row_best = NEG, row_arg = 0;
+            for (int64_t j = 0; j < width; j++) {
+                int64_t hp = h[j];       // h_prev[j]
+                int64_t open_e = hp - go_ - ge_;
+                int64_t ext_e = e[j] - ge_;
+                int64_t e_val = ext_e > open_e ? ext_e : open_e;
+                uint8_t e_ext = ext_e > open_e ? 1 : 0;
+                int64_t diag = j == 0 ? NEG
+                    : h_prev_jm1 + (t[j - 1] == qc ? match : -mismatch);
+                int64_t b = j == 0 ? e_val : (diag > e_val ? diag : e_val);
+                int64_t f_val = j == 0 ? NEG : scan - go_ - ge_ * j;
+                uint8_t f_ext = 0;
+                if (j > 0)
+                    f_ext = (f_prev - ge_) > (b_prev - go_ - ge_) ? 1 : 0;
+                int64_t h_val;
+                uint8_t code;
+                if (j == 0) { h_val = e_val; code = 1; }
+                else {
+                    h_val = diag; code = 0;
+                    if (e_val > h_val) { h_val = e_val; code = 1; }
+                    if (f_val > h_val) { h_val = f_val; code = 2; }
+                }
+                prow[j] = code | (e_ext << 2) | (f_ext << 3);
+                scan = (b + ge_ * j) > scan ? (b + ge_ * j) : scan;
+                h_prev_jm1 = hp;
+                b_prev = b;
+                f_prev = f_val;
+                h[j] = h_val;
+                e[j] = e_val;
+                if (h_val > row_best) { row_best = h_val; row_arg = j; }
+            }
+            if (!global) {
+                int64_t eff = row_best
+                    + ((end_bonus != 0 && i == nq) ? end_bonus : 0);
+                if (eff > best_val) {
+                    best_val = eff; best_i = i; best_j = row_arg;
+                }
+            }
+        }
+        int64_t qi, tj;
+        if (global) { qi = nq; tj = nt; }
+        else if (best_val <= 0) {
+            emit(pi, 0, 0, nullptr, nullptr, nullptr, 0);
+            continue;
+        } else { qi = best_i; tj = best_j; }
+
+        // traceback (same state machine as _traceback_bits), then merge
+        rev_ops.clear();
+        int64_t i = qi, j = tj;
+        int state = 0;  // 0 H, 1 E, 2 F
+        while (i > 0 || j > 0) {
+            uint8_t p = ptr[i * width + j];
+            if (state == 0) {
+                uint8_t code = p & 3;
+                if (code == 0 && i > 0 && j > 0) {
+                    rev_ops.push_back(0); i--; j--;
+                } else if (code == 1) state = 1;
+                else state = 2;
+            } else if (state == 1) {
+                rev_ops.push_back(1);
+                state = ((p >> 2) & 1) ? 1 : 0;
+                i--;
+            } else {
+                rev_ops.push_back(2);
+                state = ((p >> 3) & 1) ? 2 : 0;
+                j--;
+            }
+        }
+        std::vector<int8_t> mop;
+        std::vector<int32_t> mdq, mdt;
+        for (int64_t k = (int64_t)rev_ops.size() - 1; k >= 0; k--) {
+            int8_t op = rev_ops[k];
+            int32_t dq = op == 2 ? 0 : 1, dt = op == 1 ? 0 : 1;
+            if (!mop.empty() && mop.back() == op) {
+                mdq.back() += dq; mdt.back() += dt;
+            } else { mop.push_back(op); mdq.push_back(dq); mdt.push_back(dt); }
+        }
+        emit(pi, qi, tj, mop.data(), mdq.data(), mdt.data(),
+             (int64_t)mop.size());
+    }
+    return total_ops <= ops_cap ? total_ops : -total_ops;
+}
+
 // Bucketed binary search: for each query hash, find [lo, hi) in the sorted
 // hash array, restricted to its top-16-bit bucket (bucket_lo has 65537
 // entries). Cuts probe count and cache misses vs full-range binary search.

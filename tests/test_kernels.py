@@ -85,3 +85,27 @@ def test_pallas_interpret_matches_oracle(mode, bonus):
     _assert_same(solve_dp_numpy(problems, cfg),
                  solve_dp_pallas(problems, cfg, interpret=True),
                  f"pallas-{mode}-b{bonus}")
+
+
+@pytest.mark.parametrize("mode,bonus", [("global", 0),
+                                        ("extend_right", 0),
+                                        ("extend_right", 12),
+                                        ("extend_left", 12)])
+def test_native_dp_matches_oracle(mode, bonus):
+    from mandalorion_tpu.align.extend import solve_dp_native
+    from mandalorion_tpu.native import load_native
+    if load_native() is None:
+        pytest.skip("no native toolchain")
+    cfg = AlignConfig(end_bonus=bonus)
+    rng = np.random.default_rng((abs(hash(mode)) + bonus) % 2 ** 31)
+    problems = _random_problems(rng, 80, mode)
+    # include edge problems: empty q, empty t, exact prefix
+    problems.append(DpProblem(np.zeros(0, np.uint8),
+                              rng.integers(0, 4, 9).astype(np.uint8), mode))
+    problems.append(DpProblem(rng.integers(0, 4, 9).astype(np.uint8),
+                              np.zeros(0, np.uint8), mode))
+    q = rng.integers(0, 4, 30).astype(np.uint8)
+    problems.append(DpProblem(q, np.concatenate(
+        [q, rng.integers(0, 4, 10).astype(np.uint8)]), mode))
+    _assert_same(solve_dp_numpy(problems, cfg),
+                 solve_dp_native(problems, cfg), f"native-{mode}-b{bonus}")
