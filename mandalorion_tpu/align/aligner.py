@@ -66,6 +66,20 @@ class SpliceAligner:
                    ) -> Tuple[Optional[List[Segment]], float, int]:
         """Best chain for one read orientation: (chain, score, chrom_idx)."""
         cfg = self.cfg
+        idx = self.index
+        if idx.bucket_lo is not None:
+            from mandalorion_tpu.native import native_seed_chain
+            res = native_seed_chain(
+                codes, cfg.kmer, cfg.window, cfg.max_occ, 100,
+                idx.sorted_hashes, idx.bucket_lo, idx.sorted_positions,
+                idx.chrom_offsets, cfg.min_intron, cfg.max_intron)
+            if res is not None:
+                q0, qe, t0, te, score, ci = res
+                if len(q0) == 0:
+                    return None, 0.0, -1
+                chain = [Segment(int(a), int(b), int(c), int(d))
+                         for a, b, c, d in zip(q0, qe, t0, te)]
+                return chain, score, ci
         seeded = self.index.seed_segments(codes, cfg.max_occ)
         if seeded is None:  # no native library: numpy seeding path
             pos, hashes = minimizers(codes, cfg.kmer, cfg.window)
@@ -86,6 +100,37 @@ class SpliceAligner:
             if chain and score > best_score:
                 best_chain, best_score, best_ci = chain, score, int(c)
         return best_chain, best_score, best_ci
+
+    def _chain_both(self, codes: np.ndarray):
+        """Best chain over both read orientations (forward wins score
+        ties, minimap2's primary-alignment analogue). Returns
+        (chain, strand, chrom_idx, oriented_q_codes) or None. Uses the
+        fused native both-orientation call when available."""
+        cfg = self.cfg
+        idx = self.index
+        if idx.bucket_lo is not None:
+            from mandalorion_tpu.native import native_seed_chain2
+            res = native_seed_chain2(
+                codes, cfg.kmer, cfg.window, cfg.max_occ, 100,
+                idx.sorted_hashes, idx.bucket_lo, idx.sorted_positions,
+                idx.chrom_offsets, cfg.min_intron, cfg.max_intron)
+            if res is not None:
+                q0, qe, t0, te, _score, ci, strand = res
+                if strand < 0 or len(q0) == 0:
+                    return None
+                chain = [Segment(int(a), int(b), int(c), int(d))
+                         for a, b, c, d in zip(q0, qe, t0, te)]
+                if strand == 0:
+                    return chain, "+", ci, codes
+                return chain, "-", ci, revcomp_codes(codes)
+        rc = revcomp_codes(codes)
+        chain_f, score_f, ci_f = self._chain_for(codes)
+        chain_r, score_r, ci_r = self._chain_for(rc)
+        if chain_f is None and chain_r is None:
+            return None
+        if score_f >= score_r:
+            return chain_f, "+", ci_f, codes
+        return chain_r, "-", ci_r, rc
 
     # ------------------------------------------------------------- filling
 
@@ -228,10 +273,58 @@ class SpliceAligner:
         runs.sort(key=lambda r: (r[1], r[2]))
         return runs
 
+    _OP_ID = {"M": 0, "I": 1, "D": 2, "N": 3}
+
     def _runs_to_psl(self, pend: _Pending,
                      runs: List[Tuple[str, int, int, int]]
                      ) -> Optional[PslRecord]:
-        cfg = self.cfg
+        if runs:
+            from mandalorion_tpu.native import native_emit_psl
+            op_id = self._OP_ID
+            arr = np.array([(op_id[op], q0, t0, ln)
+                            for op, q0, t0, ln in runs], np.int64)
+            res = native_emit_psl(
+                pend.q_codes, self.index.seq_codes,
+                arr[:, 0].astype(np.int8), np.ascontiguousarray(arr[:, 1]),
+                np.ascontiguousarray(arr[:, 2]),
+                np.ascontiguousarray(arr[:, 3]))
+            if res is not None:
+                stats, bs, bq, bt, cs_str = res
+                return self._psl_record(
+                    pend, stats, bs.tolist(), bq.tolist(), bt.tolist(),
+                    cs_str)
+        return self._runs_to_psl_numpy(pend, runs)
+
+    def _psl_record(self, pend: _Pending, stats, block_sizes, q_starts,
+                    t_starts, cs_str) -> Optional[PslRecord]:
+        """Assemble the PslRecord from emitted stats + merged blocks
+        (shared by the native and numpy emission paths)."""
+        if not block_sizes:
+            return None
+        matches, mismatches, nI, I, nD, D, n_bases = (
+            int(x) for x in stats[:7])
+        q = pend.q_codes
+        chrom_off = int(self.index.chrom_offsets[pend.chrom_idx])
+        denom = matches + mismatches + I + D
+        return PslRecord(
+            matches=matches, mismatches=mismatches, rep_matches=0,
+            n_count=n_bases, q_num_insert=nI, q_base_insert=I,
+            t_num_insert=nD, t_base_insert=D, strand=pend.strand,
+            q_name=pend.name, q_size=len(q), q_start=q_starts[0],
+            q_end=q_starts[-1] + block_sizes[-1],
+            t_name=self.index.chrom_names[pend.chrom_idx],
+            t_size=int(self.index.chrom_sizes[pend.chrom_idx]),
+            t_start=t_starts[0] - chrom_off,
+            t_end=t_starts[-1] + block_sizes[-1] - chrom_off,
+            block_count=len(block_sizes), block_sizes=block_sizes,
+            q_starts=q_starts,
+            t_starts=[t - chrom_off for t in t_starts],
+            accuracy=matches / denom if denom else 0.0,
+            cs=cs_str, sequence=pend.seq)
+
+    def _runs_to_psl_numpy(self, pend: _Pending,
+                           runs: List[Tuple[str, int, int, int]]
+                           ) -> Optional[PslRecord]:
         g = self.index.seq_codes
         q = pend.q_codes
         matches = mismatches = 0
@@ -286,29 +379,9 @@ class SpliceAligner:
                     "~" + _decode(g[t0:t0 + 2]).lower() + str(ln)
                     + _decode(g[t0 + ln - 2:t0 + ln]).lower())
 
-        if not block_sizes:
-            return None
-        chrom_off = int(self.index.chrom_offsets[pend.chrom_idx])
-        t_start = t_starts[0] - chrom_off
-        t_end = t_starts[-1] + block_sizes[-1] - chrom_off
-        q_start = q_starts[0]
-        q_end = q_starts[-1] + block_sizes[-1]
-        denom = matches + mismatches + I + D
-        accuracy = matches / denom if denom else 0.0
-        seq_out = pend.seq  # original read orientation (emtrey col 23)
-        rec = PslRecord(
-            matches=matches, mismatches=mismatches, rep_matches=0,
-            n_count=n_bases, q_num_insert=nI, q_base_insert=I,
-            t_num_insert=nD, t_base_insert=D, strand=pend.strand,
-            q_name=pend.name, q_size=len(q), q_start=q_start, q_end=q_end,
-            t_name=self.index.chrom_names[pend.chrom_idx],
-            t_size=int(self.index.chrom_sizes[pend.chrom_idx]),
-            t_start=t_start, t_end=t_end, block_count=len(block_sizes),
-            block_sizes=block_sizes,
-            q_starts=q_starts,
-            t_starts=[t - chrom_off for t in t_starts],
-            accuracy=accuracy, cs="".join(cs_parts), sequence=seq_out)
-        return rec
+        return self._psl_record(
+            pend, (matches, mismatches, nI, I, nD, D, n_bases),
+            block_sizes, q_starts, t_starts, "".join(cs_parts))
 
     # -------------------------------------------------------------- public
 
@@ -319,17 +392,11 @@ class SpliceAligner:
         pendings: List[_Pending] = []
         for name, seq in reads:
             codes = encode(seq)
-            rc = revcomp_codes(codes)
-            chain_f, score_f, ci_f = self._chain_for(codes)
-            chain_r, score_r, ci_r = self._chain_for(rc)
-            if chain_f is None and chain_r is None:
+            picked = self._chain_both(codes)
+            if picked is None:
                 continue
-            if score_f >= score_r:
-                chain, strand, ci, q_codes = chain_f, "+", ci_f, codes
-            else:
-                chain, strand, ci, q_codes = chain_r, "-", ci_r, rc
-            if chain is None or float(
-                    sum(s.length for s in chain)) < cfg_min_len(self.cfg):
+            chain, strand, ci, q_codes = picked
+            if float(sum(s.length for s in chain)) < cfg_min_len(self.cfg):
                 continue
             pend = self._fill(name, seq, strand, q_codes, chain, ci,
                               problems)

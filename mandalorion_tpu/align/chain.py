@@ -121,10 +121,14 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
     gap_t = np.maximum(dt, 0)
     diff32 = np.abs(gap_t - gap_q).astype(np.float32)
     is_intron = (gap_t - gap_q) >= min_intron
+    # length term: the binary exponent of the gap (frexp), not log2 — an
+    # integer every backend (numpy / XLA / C++) computes EXACTLY, so the
+    # three chain backends stay bit-identical (no transcendental ulps)
+    _, intron_e = np.frexp(np.maximum(diff32, np.float32(1.0)))
     cost = np.where(
         is_intron,
         np.float32(intron_penalty)
-        + np.float32(0.01) * np.log2(np.maximum(diff32, np.float32(1.0))),
+        + np.float32(0.01) * intron_e.astype(np.float32),
         np.float32(indel_open) + np.float32(indel_scale) * diff32,
     ).astype(np.float32)
 

@@ -53,9 +53,12 @@ def _chain_fn(min_intron: int, max_intron: int, match: int,
             gap_t = jnp.maximum(dt, 0)
             diff = jnp.abs(gap_t - gap_q).astype(jnp.float32)
             is_intron = (gap_t - gap_q) >= min_intron
+            # frexp exponent instead of log2: exact in every backend
+            # (see chain.py chain_segments)
+            _, intron_e = jnp.frexp(jnp.maximum(diff, 1.0))
             cost = jnp.where(
                 is_intron,
-                intron_penalty + 0.01 * jnp.log2(jnp.maximum(diff, 1.0)),
+                intron_penalty + 0.01 * intron_e.astype(jnp.float32),
                 indel_open + indel_scale * diff)
             cand = score + lens[i] * match - cost - overlap * match
             cand = jnp.where(valid, cand, -jnp.inf)

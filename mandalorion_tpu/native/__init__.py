@@ -39,9 +39,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             # build to a pid-unique temp + atomic rename: forked pipeline
             # workers may race to compile the same library
             tmp = f"{so}.{os.getpid()}.tmp"
+            # -ffp-contract=off: the chain DP's float32 cost arithmetic
+            # must round exactly like numpy's (no FMA contraction)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", tmp, src],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-o", tmp, src],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)
         lib = ctypes.CDLL(so)
@@ -65,6 +67,20 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.solve_dp_batch_c.argtypes = [ctypes.c_void_p] * 5 + [
             ctypes.c_int64] + [ctypes.c_int32] * 5 + [
             ctypes.c_void_p] * 6 + [ctypes.c_int64]
+        lib.emit_psl_c.restype = ctypes.c_int64
+        lib.emit_psl_c.argtypes = [ctypes.c_void_p] * 6 + [
+            ctypes.c_int64] + [ctypes.c_void_p] * 5 + [ctypes.c_int64]
+        _chain_sig = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int64] + [ctypes.c_void_p] * 6
+        lib.seed_chain_c.restype = ctypes.c_int64
+        lib.seed_chain_c.argtypes = _chain_sig
+        lib.seed_chain2_c.restype = ctypes.c_int64
+        lib.seed_chain2_c.argtypes = _chain_sig + [ctypes.c_void_p]
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:
@@ -181,3 +197,99 @@ def native_solve_dp_batch(q_list, t_list, modes, match, mismatch,
         ops_dt.ctypes.data, cap)
     assert total >= 0, "native DP ops capacity undersized"
     return q_lens, t_lens, n_ops, ops_op[:total], ops_dq[:total], ops_dt[:total]
+
+
+def native_emit_psl(q: np.ndarray, g: np.ndarray, op_arr: np.ndarray,
+                    q0_arr: np.ndarray, t0_arr: np.ndarray,
+                    ln_arr: np.ndarray):
+    """Stats + merged blocks + long cs string for concrete alignment runs
+    (C++ twin of aligner._runs_to_psl's loop; ops 0=M 1=I 2=D 3=N).
+    Returns (stats[8], blk_sizes, blk_q, blk_t, cs_str) or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(op_arr)
+    stats = np.zeros(8, np.int64)
+    blk_sizes = np.empty(n, np.int64)
+    blk_q = np.empty(n, np.int64)
+    blk_t = np.empty(n, np.int64)
+    cap = int(3 * ln_arr.sum() + 30 * n) + 1
+    cs = ctypes.create_string_buffer(cap)
+    cl = lib.emit_psl_c(q.ctypes.data, g.ctypes.data, op_arr.ctypes.data,
+                        q0_arr.ctypes.data, t0_arr.ctypes.data,
+                        ln_arr.ctypes.data, n, stats.ctypes.data,
+                        blk_sizes.ctypes.data, blk_q.ctypes.data,
+                        blk_t.ctypes.data, cs, cap)
+    assert cl >= 0, "native cs capacity undersized"
+    nb = int(stats[7])
+    return (stats, blk_sizes[:nb], blk_q[:nb], blk_t[:nb],
+            cs.raw[:cl].decode())
+
+
+_CHAIN_BUFS = tuple(np.empty(512, np.int64) for _ in range(4))
+
+
+def native_seed_chain(codes: np.ndarray, k: int, w: int, max_occ: int,
+                      merge_gap: int, sorted_hashes: np.ndarray,
+                      bucket_lo: np.ndarray, sorted_positions: np.ndarray,
+                      chrom_offsets: np.ndarray, min_intron: int,
+                      max_intron: int, match: int = 1,
+                      intron_penalty: float = 12.0, indel_open: float = 4.0,
+                      indel_scale: float = 0.3, max_segments: int = 512):
+    """Fused seed + per-chromosome chain for one read orientation (C++
+    twin of aligner._chain_for's seeding + chain.chain_segments, identical
+    float32 cost arithmetic). Returns (q0, qe, t0, te, score, chrom_idx) —
+    the winning chain's segment arrays are views into reused buffers,
+    valid until the next call — or None when the library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    pos_is_u32 = 1 if sorted_positions.dtype == np.uint32 else 0
+    q0, qe, t0, te = _CHAIN_BUFS
+    score = ctypes.c_float()
+    chrom = ctypes.c_int32()
+    n = lib.seed_chain_c(
+        codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
+        sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+        sorted_positions.ctypes.data, pos_is_u32,
+        chrom_offsets.ctypes.data, len(chrom_offsets),
+        min_intron, max_intron, match, intron_penalty, indel_open,
+        indel_scale, max_segments, q0.ctypes.data, qe.ctypes.data,
+        t0.ctypes.data, te.ctypes.data, ctypes.byref(score),
+        ctypes.byref(chrom))
+    return q0[:n], qe[:n], t0[:n], te[:n], float(score.value), int(chrom.value)
+
+
+def native_seed_chain2(codes: np.ndarray, k: int, w: int, max_occ: int,
+                       merge_gap: int, sorted_hashes: np.ndarray,
+                       bucket_lo: np.ndarray, sorted_positions: np.ndarray,
+                       chrom_offsets: np.ndarray, min_intron: int,
+                       max_intron: int, match: int = 1,
+                       intron_penalty: float = 12.0,
+                       indel_open: float = 4.0, indel_scale: float = 0.3,
+                       max_segments: int = 512):
+    """Both-orientation seed + chain in one call (forward wins score ties,
+    matching map_batch). Returns (q0, qe, t0, te, score, chrom_idx,
+    strand) with strand 0=forward / 1=reverse / -1=no chain; chain arrays
+    are views into reused buffers. None when the library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    pos_is_u32 = 1 if sorted_positions.dtype == np.uint32 else 0
+    q0, qe, t0, te = _CHAIN_BUFS
+    score = ctypes.c_float()
+    chrom = ctypes.c_int32()
+    strand = ctypes.c_int32()
+    n = lib.seed_chain2_c(
+        codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
+        sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+        sorted_positions.ctypes.data, pos_is_u32,
+        chrom_offsets.ctypes.data, len(chrom_offsets),
+        min_intron, max_intron, match, intron_penalty, indel_open,
+        indel_scale, max_segments, q0.ctypes.data, qe.ctypes.data,
+        t0.ctypes.data, te.ctypes.data, ctypes.byref(score),
+        ctypes.byref(chrom), ctypes.byref(strand))
+    return (q0[:n], qe[:n], t0[:n], te[:n], float(score.value),
+            int(chrom.value), int(strand.value))

@@ -6,8 +6,10 @@
 // Replaces the role mappy's C layer plays in the reference (SURVEY §2.2).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 extern "C" {
@@ -122,20 +124,25 @@ extern "C" {
 //
 // Returns the segment count written, or -needed if cap is too small
 // (caller re-invokes with a larger cap).
-int64_t seed_segments_c(
+struct Seg { int32_t chrom; int64_t qs, qe, ts, te, na; };
+
+// minimizers -> bucketed lookup -> anchor expansion -> diagonal collapse.
+// Shared by seed_segments_c and seed_chain_c; output sorted by
+// (chrom, diag, t) — the canonical order matching align/chain.py.
+static void build_segments(
     const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
-    int64_t cap, int32_t* out_chrom, int64_t* out_qs, int64_t* out_qe,
-    int64_t* out_ts, int64_t* out_te, int64_t* out_nanchor) {
+    std::vector<Seg>& out) {
+    out.clear();
     int64_t m = n - k + 1;
-    if (m <= 0) return 0;
+    if (m <= 0) return;
     std::vector<int64_t> mpos(m);
     std::vector<uint64_t> mhash(m);
     int64_t nmin = minimizers_c(codes, n, k, w, mpos.data(), mhash.data());
-    if (nmin == 0) return 0;
+    if (nmin == 0) return;
 
     struct Anchor { int32_t chrom; int64_t diag, t, q; };
     std::vector<Anchor> anchors;
@@ -168,7 +175,7 @@ int64_t seed_segments_c(
             anchors.push_back({(int32_t)(cl - 1), g - mpos[i], g, mpos[i]});
         }
     }
-    if (anchors.empty()) return 0;
+    if (anchors.empty()) return;
     std::sort(anchors.begin(), anchors.end(),
               [](const Anchor& a, const Anchor& b) {
                   if (a.chrom != b.chrom) return a.chrom < b.chrom;
@@ -176,18 +183,11 @@ int64_t seed_segments_c(
                   return a.t < b.t;
               });
 
-    int64_t count = 0;
     int64_t seg_start = 0;
     auto flush = [&](int64_t s, int64_t e) {
-        if (count < cap) {
-            out_chrom[count] = anchors[s].chrom;
-            out_qs[count] = anchors[s].q;
-            out_qe[count] = anchors[e - 1].q + k;
-            out_ts[count] = anchors[s].t;
-            out_te[count] = anchors[e - 1].t + k;
-            out_nanchor[count] = e - s;
-        }
-        count++;
+        out.push_back({anchors[s].chrom, anchors[s].q,
+                       anchors[e - 1].q + k, anchors[s].t,
+                       anchors[e - 1].t + k, e - s});
     };
     for (size_t i = 1; i < anchors.size(); i++) {
         const Anchor &p = anchors[i - 1], &c = anchors[i];
@@ -198,7 +198,291 @@ int64_t seed_segments_c(
         }
     }
     flush(seg_start, (int64_t)anchors.size());
-    return count <= cap ? count : -count;
+}
+
+int64_t seed_segments_c(
+    const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+    int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, int64_t n_chroms,
+    int64_t cap, int32_t* out_chrom, int64_t* out_qs, int64_t* out_qe,
+    int64_t* out_ts, int64_t* out_te, int64_t* out_nanchor) {
+    std::vector<Seg> segs;
+    build_segments(codes, n, k, w, max_occ, merge_gap, sorted_hashes,
+                   bucket_lo, sorted_positions, pos_is_u32, chrom_offsets,
+                   n_chroms, segs);
+    int64_t count = (int64_t)segs.size();
+    if (count > cap) return -count;
+    for (int64_t i = 0; i < count; i++) {
+        out_chrom[i] = segs[i].chrom;
+        out_qs[i] = segs[i].qs;
+        out_qe[i] = segs[i].qe;
+        out_ts[i] = segs[i].ts;
+        out_te[i] = segs[i].te;
+        out_nanchor[i] = segs[i].na;
+    }
+    return count;
+}
+
+// prepare_segments + chain DP + traceback + overlap trim for one
+// chromosome's segments [begin, end) — C++ twin of chain.py
+// prepare_segments/chain_segments with the identical float32 cost
+// arithmetic (same op order; built with -ffp-contract=off so no FMA
+// contraction diverges from numpy). Returns the chain length written to
+// chain_idx-trimmed outputs, and the chain score via *out_score.
+static int64_t chain_one(
+    std::vector<Seg>& segs, int64_t min_intron, int64_t max_intron,
+    int32_t match, float intron_penalty, float indel_open,
+    float indel_scale, int64_t max_segments,
+    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte,
+    float* out_score) {
+    *out_score = 0.0f;
+    if (segs.empty()) return 0;
+    // --- prepare_segments: singleton prefilter ---
+    int64_t n_multi = 0, covered = 0;
+    int64_t span_lo = segs[0].qs, span_hi = segs[0].qe;
+    for (const Seg& s : segs) {
+        if (s.na > 1) { n_multi++; covered += s.qe - s.qs; }
+        span_lo = s.qs < span_lo ? s.qs : span_lo;
+        span_hi = s.qe > span_hi ? s.qe : span_hi;
+    }
+    if (n_multi > 0 && n_multi < (int64_t)segs.size()) {
+        int64_t read_span = span_hi - span_lo;
+        if ((double)covered >= 0.3 * (double)(read_span > 1 ? read_span : 1)) {
+            std::vector<int64_t> multi_diags;
+            for (const Seg& s : segs)
+                if (s.na > 1) multi_diags.push_back(s.ts - s.qs);
+            std::vector<Seg> kept;
+            for (const Seg& s : segs) if (s.na > 1) kept.push_back(s);
+            for (const Seg& s : segs) {
+                if (s.na > 1) continue;
+                int64_t d = s.ts - s.qs, gap = INT64_MAX;
+                for (int64_t md : multi_diags) {
+                    int64_t g = d > md ? d - md : md - d;
+                    gap = g < gap ? g : gap;
+                }
+                if (gap <= max_intron) kept.push_back(s);
+            }
+            segs.swap(kept);
+        }
+    }
+    if ((int64_t)segs.size() > max_segments) {
+        std::stable_sort(segs.begin(), segs.end(),
+                         [](const Seg& a, const Seg& b) {
+                             return (a.qe - a.qs) > (b.qe - b.qs);
+                         });
+        segs.resize(max_segments);
+    }
+    std::stable_sort(segs.begin(), segs.end(),
+                     [](const Seg& a, const Seg& b) {
+                         if (a.qs != b.qs) return a.qs < b.qs;
+                         return a.ts < b.ts;
+                     });
+    // --- chain DP (float32, numpy op order) ---
+    int64_t n = (int64_t)segs.size();
+    std::vector<float> score(n);
+    std::vector<int64_t> parent(n, -1);
+    std::vector<float> lens(n);
+    for (int64_t i = 0; i < n; i++) {
+        lens[i] = (float)(segs[i].qe - segs[i].qs);
+        score[i] = lens[i] * (float)match;
+    }
+    const float NEGINF = -std::numeric_limits<float>::infinity();
+    for (int64_t i = 1; i < n; i++) {
+        float lm = (float)(lens[i] * (float)match);
+        float best_cand = NEGINF;
+        int64_t best_j = -1;
+        for (int64_t j = 0; j < i; j++) {
+            int64_t dq = segs[i].qs - segs[j].qe;
+            int64_t dt = segs[i].ts - segs[j].te;
+            int64_t len_j = segs[j].qe - segs[j].qs;
+            if (!(dq > -len_j) || !(dt > -len_j) || dt > max_intron
+                || segs[j].qe > segs[i].qe || segs[j].te > segs[i].te)
+                continue;
+            int64_t gap_q = dq > 0 ? dq : 0;
+            int64_t gap_t = dt > 0 ? dt : 0;
+            int64_t idiff = gap_t - gap_q;
+            float diff = (float)(idiff < 0 ? -idiff : idiff);
+            float cost;
+            if (gap_t - gap_q >= min_intron) {
+                int e;
+                std::frexp(diff > 1.0f ? diff : 1.0f, &e);
+                cost = intron_penalty + 0.01f * (float)e;
+            } else {
+                cost = indel_open + indel_scale * diff;
+            }
+            int64_t iov_q = -dq, iov_t = -dt;
+            int64_t iov = iov_q > iov_t ? iov_q : iov_t;
+            float overlap = (float)(iov > 0 ? iov : 0);
+            float cand = (score[j] + lm) - cost - overlap * (float)match;
+            if (cand > best_cand) { best_cand = cand; best_j = j; }
+        }
+        if (best_j >= 0 && best_cand > score[i]) {
+            score[i] = best_cand;
+            parent[i] = best_j;
+        }
+    }
+    int64_t best = 0;
+    for (int64_t i = 1; i < n; i++)
+        if (score[i] > score[best]) best = i;
+    // --- traceback + overlap trim ---
+    std::vector<int64_t> idx;
+    for (int64_t at = best; at >= 0; at = parent[at]) idx.push_back(at);
+    std::reverse(idx.begin(), idx.end());
+    int64_t out_n = 0;
+    int64_t prev_q = -1, prev_t = -1;
+    for (int64_t id : idx) {
+        const Seg& s = segs[id];
+        int64_t trim = prev_q - s.qs;
+        if (prev_t - s.ts > trim) trim = prev_t - s.ts;
+        if (trim < 0) trim = 0;
+        int64_t q0 = s.qs + trim, t0 = s.ts + trim;
+        if (q0 >= s.qe || t0 >= s.te) continue;
+        cq0[out_n] = q0; cqe[out_n] = s.qe;
+        ct0[out_n] = t0; cte[out_n] = s.te;
+        out_n++;
+        prev_q = s.qe;
+        prev_t = s.te;
+    }
+    *out_score = score[best];
+    return out_n;
+}
+
+// Fused seed + chain for one read orientation: build segments, then run
+// the chain DP per chromosome (ascending, strict > keeps the first best —
+// matching aligner._chain_for), returning only the winning chain.
+// Outputs fit 512 entries (chain length <= segments cap). Returns the
+// chain length (0 = no chain), with score/chrom via out params.
+int64_t seed_chain_c(
+    const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+    int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, int64_t n_chroms,
+    int64_t min_intron, int64_t max_intron, int32_t match,
+    float intron_penalty, float indel_open, float indel_scale,
+    int64_t max_segments,
+    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte,
+    float* out_score, int32_t* out_chrom) {
+    std::vector<Seg> segs;
+    build_segments(codes, n, k, w, max_occ, merge_gap, sorted_hashes,
+                   bucket_lo, sorted_positions, pos_is_u32, chrom_offsets,
+                   n_chroms, segs);
+    *out_score = 0.0f;
+    *out_chrom = -1;
+    if (segs.empty()) return 0;
+    std::vector<int64_t> bq0(max_segments), bqe(max_segments),
+        bt0(max_segments), bte(max_segments);
+    int64_t best_n = 0;
+    float best_score = 0.0f;
+    size_t at = 0;
+    std::vector<Seg> group;
+    while (at < segs.size()) {
+        int32_t c = segs[at].chrom;
+        group.clear();
+        while (at < segs.size() && segs[at].chrom == c)
+            group.push_back(segs[at++]);
+        float sc;
+        int64_t cn = chain_one(group, min_intron, max_intron, match,
+                               intron_penalty, indel_open, indel_scale,
+                               max_segments, bq0.data(), bqe.data(),
+                               bt0.data(), bte.data(), &sc);
+        if (cn > 0 && sc > best_score) {
+            best_score = sc;
+            best_n = cn;
+            *out_chrom = c;
+            for (int64_t i = 0; i < cn; i++) {
+                cq0[i] = bq0[i]; cqe[i] = bqe[i];
+                ct0[i] = bt0[i]; cte[i] = bte[i];
+            }
+        }
+    }
+    *out_score = best_score;
+    return best_n;
+}
+
+// Extended-PSL emission: C++ twin of align/aligner.py _runs_to_psl's hot
+// loop. Walks concrete (op, q0, t0, len) runs over the read/genome code
+// arrays, merges adjacent blocks, counts match/mismatch/indel/intron
+// stats, and renders the long-form cs string (= / * / + / - / ~ tokens,
+// SAM cs=long semantics) in one pass.
+// ops: 0=M 1=I 2=D 3=N. stats out: [matches, mismatches, nI, I, nD, D,
+// n_intron_bases, n_blocks]. Returns the cs byte length, or -needed when
+// cs_cap is too small.
+int64_t emit_psl_c(
+    const uint8_t* q, const uint8_t* g,
+    const int8_t* op, const int64_t* q0s, const int64_t* t0s,
+    const int64_t* lns, int64_t n_runs,
+    int64_t* stats, int64_t* blk_sizes, int64_t* blk_q, int64_t* blk_t,
+    char* cs, int64_t cs_cap) {
+    static const char UP[] = "ACGTN";
+    static const char LO[] = "acgtn";
+    int64_t matches = 0, mismatches = 0, nI = 0, I = 0, nD = 0, D = 0;
+    int64_t n_bases = 0, n_blocks = 0, cl = 0;
+    auto put = [&](char c) { if (cl < cs_cap) cs[cl] = c; cl++; };
+    for (int64_t r = 0; r < n_runs; r++) {
+        int64_t a = q0s[r], b = t0s[r], ln = lns[r];
+        switch (op[r]) {
+        case 0: {  // M: merge contiguous blocks, split cs at mismatches
+            if (n_blocks > 0
+                && blk_t[n_blocks - 1] + blk_sizes[n_blocks - 1] == b
+                && blk_q[n_blocks - 1] + blk_sizes[n_blocks - 1] == a) {
+                blk_sizes[n_blocks - 1] += ln;
+            } else {
+                blk_sizes[n_blocks] = ln;
+                blk_q[n_blocks] = a;
+                blk_t[n_blocks] = b;
+                n_blocks++;
+            }
+            int64_t i = 0;
+            while (i < ln) {
+                if (q[a + i] == g[b + i]) {
+                    put('=');
+                    while (i < ln && q[a + i] == g[b + i]) {
+                        put(UP[q[a + i]]);
+                        matches++;
+                        i++;
+                    }
+                } else {
+                    while (i < ln && q[a + i] != g[b + i]) {
+                        put('*');
+                        put(LO[g[b + i]]);
+                        put(LO[q[a + i]]);
+                        mismatches++;
+                        i++;
+                    }
+                }
+            }
+            break;
+        }
+        case 1:  // I: read insertion
+            nI++; I += ln;
+            put('+');
+            for (int64_t i = 0; i < ln; i++) put(LO[q[a + i]]);
+            break;
+        case 2:  // D: deletion from read
+            nD++; D += ln;
+            put('-');
+            for (int64_t i = 0; i < ln; i++) put(LO[g[b + i]]);
+            break;
+        default: {  // N: intron with flanking 2-mers
+            n_bases += ln;
+            put('~');
+            put(LO[g[b]]); put(LO[g[b + 1]]);
+            char num[24];
+            int nn = 0;
+            int64_t v = ln;
+            do { num[nn++] = (char)('0' + v % 10); v /= 10; } while (v);
+            while (nn) put(num[--nn]);
+            put(LO[g[b + ln - 2]]); put(LO[g[b + ln - 1]]);
+            break;
+        }
+        }
+    }
+    stats[0] = matches; stats[1] = mismatches; stats[2] = nI; stats[3] = I;
+    stats[4] = nD; stats[5] = D; stats[6] = n_bases; stats[7] = n_blocks;
+    return cl <= cs_cap ? cl : -cl;
 }
 
 // Batched affine-gap DP: scalar C++ twin of align/extend.py _solve_one
@@ -362,6 +646,56 @@ int64_t solve_dp_batch_c(
              (int64_t)mop.size());
     }
     return total_ops <= ops_cap ? total_ops : -total_ops;
+}
+
+// Both-orientation seed + chain: runs seed_chain_c for the read and its
+// reverse complement (computed here) and applies map_batch's tie-break
+// (forward wins ties, aligner.py map_batch). Returns the winning chain
+// length; *out_strand is 0 (forward), 1 (reverse), or -1 (no chain).
+int64_t seed_chain2_c(
+    const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+    int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, int64_t n_chroms,
+    int64_t min_intron, int64_t max_intron, int32_t match,
+    float intron_penalty, float indel_open, float indel_scale,
+    int64_t max_segments,
+    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte,
+    float* out_score, int32_t* out_chrom, int32_t* out_strand) {
+    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
+    int64_t nf = seed_chain_c(
+        codes, n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
+        sorted_positions, pos_is_u32, chrom_offsets, n_chroms, min_intron,
+        max_intron, match, intron_penalty, indel_open, indel_scale,
+        max_segments, cq0, cqe, ct0, cte, out_score, out_chrom);
+    float sf = nf > 0 ? *out_score : 0.0f;
+    std::vector<uint8_t> rc(n);
+    for (int64_t i = 0; i < n; i++) rc[i] = COMP[codes[n - 1 - i]];
+    std::vector<int64_t> rq0(max_segments), rqe(max_segments),
+        rt0(max_segments), rte(max_segments);
+    float sr_raw;
+    int32_t cr;
+    int64_t nr = seed_chain_c(
+        rc.data(), n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
+        sorted_positions, pos_is_u32, chrom_offsets, n_chroms, min_intron,
+        max_intron, match, intron_penalty, indel_open, indel_scale,
+        max_segments, rq0.data(), rqe.data(), rt0.data(), rte.data(),
+        &sr_raw, &cr);
+    float sr = nr > 0 ? sr_raw : 0.0f;
+    if (nf == 0 && nr == 0) { *out_strand = -1; *out_score = 0.0f; return 0; }
+    if (sf >= sr) {  // forward wins ties, matching map_batch
+        *out_strand = 0;
+        *out_score = sf;
+        return nf;
+    }
+    *out_strand = 1;
+    *out_score = sr;
+    *out_chrom = cr;
+    for (int64_t i = 0; i < nr; i++) {
+        cq0[i] = rq0[i]; cqe[i] = rqe[i]; ct0[i] = rt0[i]; cte[i] = rte[i];
+    }
+    return nr;
 }
 
 // Bucketed binary search: for each query hash, find [lo, hi) in the sorted

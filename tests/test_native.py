@@ -97,3 +97,73 @@ def test_seed_segments_no_hits_and_empty():
     assert idx.seed_segments(encode(""), 20) == []
     seeded = idx.seed_segments(encode(other), 20)
     assert seeded == _ref_seeded(idx, encode(other), 20) or seeded == []
+
+
+def test_emit_psl_matches_numpy_emission():
+    """Native cs/PSL emission is byte-identical to the numpy emission
+    (format_psl of full records, noisy spliced reads, both strands)."""
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.config import AlignConfig
+    from mandalorion_tpu.io.fastx import revcomp
+    from mandalorion_tpu.io.psl import format_psl
+
+    rng = np.random.default_rng(8)
+    genome = {"chr1": synthdata.make_genome(40_000, seed=21)}
+    exons = [(5000, 5600), (7000, 7400), (9000, 9800)]
+    genome["chr1"] = synthdata.plant_introns(genome["chr1"], exons)
+    t = synthdata.transcript_seq(genome["chr1"], exons)
+    reads = []
+    for i in range(24):
+        r, _ = synthdata.mutate_read(t if i % 2 == 0 else revcomp(t),
+                                     rng, 0.03)
+        reads.append((f"r{i}", r))
+    al = SpliceAligner(genome, AlignConfig())
+    al_np = SpliceAligner(genome, AlignConfig())
+    al_np._runs_to_psl = al_np._runs_to_psl_numpy
+    got = al.map_batch(reads)
+    ref = al_np.map_batch(reads)
+    assert len(got) == len(ref) == 24
+    for a, b in zip(got, ref):
+        assert format_psl(a) == format_psl(b), a.q_name
+
+
+def test_seed_chain_matches_numpy_chain():
+    """Fused C++ seed+chain == seed_segments + chain_segments exactly
+    (chains, float32 scores, chromosome choice), incl. junk reads."""
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.align.chain import chain_segments
+    from mandalorion_tpu.config import AlignConfig
+    from mandalorion_tpu.io.fastx import revcomp
+
+    rng = np.random.default_rng(9)
+    genome = {f"chr{i}": synthdata.make_genome(30_000, seed=60 + i)
+              for i in range(2)}
+    exons = [(5000, 5600), (7000, 7400), (9000, 9800)]
+    genome["chr0"] = synthdata.plant_introns(genome["chr0"], exons)
+    t = synthdata.transcript_seq(genome["chr0"], exons)
+    al = SpliceAligner(genome, AlignConfig())
+    cfg = al.cfg
+    for trial in range(40):
+        kind = trial % 4
+        if kind == 0:
+            r, _ = synthdata.mutate_read(t, rng, 0.05)
+        elif kind == 1:
+            r, _ = synthdata.mutate_read(revcomp(t), rng, 0.05)
+        elif kind == 2:
+            s = int(rng.integers(0, 25000))
+            r, _ = synthdata.mutate_read(genome["chr1"][s:s + 1200],
+                                         rng, 0.05)
+        else:
+            r = synthdata.make_genome(600, seed=900 + trial)
+        codes = encode(r)
+        got = al._chain_for(codes)
+        best = (None, 0.0, -1)
+        for c, segs in (al.index.seed_segments(codes, cfg.max_occ) or []):
+            chain, score = chain_segments(
+                segs, min_intron=cfg.min_intron, max_intron=cfg.max_intron)
+            if chain and score > best[1]:
+                best = (chain, score, int(c))
+        to_t = lambda ch: [] if ch is None else [
+            (s.q_start, s.q_end, s.t_start, s.t_end) for s in ch]
+        assert to_t(got[0]) == to_t(best[0]), trial
+        assert got[1] == best[1] and got[2] == best[2], trial
