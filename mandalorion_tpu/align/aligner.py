@@ -459,17 +459,10 @@ class SpliceAligner:
         pendings: List[_Pending] = []
         for name, seq in reads:
             codes = encode(seq)
-            rc = revcomp_codes(codes)
-            chain_f, score_f, ci_f = self._chain_for(codes)
-            chain_r, score_r, ci_r = self._chain_for(rc)
-            if chain_f is None and chain_r is None:
+            picked = self._chain_both(codes)
+            if picked is None:
                 continue
-            if score_f >= score_r:
-                chain, strand, ci, q_codes = chain_f, "+", ci_f, codes
-            else:
-                chain, strand, ci, q_codes = chain_r, "-", ci_r, rc
-            if chain is None:
-                continue
+            chain, strand, ci, q_codes = picked
             pend = self._fill(name, seq, strand, q_codes, chain, ci,
                               problems)
             if pend is not None:

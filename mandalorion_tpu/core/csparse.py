@@ -49,7 +49,18 @@ class CsIndex:
 
 
 def build_cs_index(cs: str, genome_start: int) -> CsIndex:
-    """Tokenize a long-form cs string starting at genome_start (tStart)."""
+    """Tokenize a long-form cs string starting at genome_start (tStart).
+    Uses the native C++ tokenizer when available (bit-identical record
+    model; tests/test_native.py), falling back to the numpy path."""
+    from mandalorion_tpu.native import native_parse_cs
+    res = native_parse_cs(cs, genome_start)
+    if res is not None:
+        status, gp, advances, introns = res
+        return CsIndex(status, gp, advances, introns)
+    return _build_cs_index_numpy(cs, genome_start)
+
+
+def _build_cs_index_numpy(cs: str, genome_start: int) -> CsIndex:
     statuses: List[np.ndarray] = []
     gsteps: List[np.ndarray] = []
     introns: Dict[int, str] = {}

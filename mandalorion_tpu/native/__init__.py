@@ -81,6 +81,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.seed_chain_c.argtypes = _chain_sig
         lib.seed_chain2_c.restype = ctypes.c_int64
         lib.seed_chain2_c.argtypes = _chain_sig + [ctypes.c_void_p]
+        lib.parse_cs_c.restype = ctypes.c_int64
+        lib.parse_cs_c.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64] + [
+            ctypes.c_void_p] * 6
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:
@@ -293,3 +297,31 @@ def native_seed_chain2(codes: np.ndarray, k: int, w: int, max_occ: int,
         ctypes.byref(chrom), ctypes.byref(strand))
     return (q0[:n], qe[:n], t0[:n], te[:n], float(score.value),
             int(chrom.value), int(strand.value))
+
+
+def native_parse_cs(cs: str, genome_start: int):
+    """Tokenize a long-form cs string (C++ twin of csparse.build_cs_index).
+    Returns (status, gp, advances, introns_dict) or None when the library
+    is unavailable or the string is malformed (caller falls back)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    raw = cs.encode()
+    cap = max(len(raw), 1)
+    status = np.empty(cap, np.int8)
+    gp = np.empty(cap, np.int64)
+    advances = np.empty(cap, np.uint8)
+    icap = cap // 5 + 1
+    intron_idx = np.empty(icap, np.int64)
+    motifs = ctypes.create_string_buffer(icap * 4)
+    n_introns = ctypes.c_int64()
+    n = lib.parse_cs_c(raw, len(raw), genome_start, status.ctypes.data,
+                       gp.ctypes.data, advances.ctypes.data,
+                       intron_idx.ctypes.data, motifs,
+                       ctypes.byref(n_introns))
+    if n < 0:
+        return None
+    ni = int(n_introns.value)
+    introns = {int(intron_idx[i]): motifs.raw[i * 4:i * 4 + 4].decode()
+               for i in range(ni)}
+    return status[:n], gp[:n], advances[:n].astype(bool), introns

@@ -648,6 +648,71 @@ int64_t solve_dp_batch_c(
     return total_ops <= ops_cap ? total_ops : -total_ops;
 }
 
+// Long-form cs-string tokenizer: C++ twin of core/csparse.py
+// build_cs_index's record model ('='/'+'/'-' one record per base,
+// '*' one per token, '~' one with the intron length as the genome step).
+// gp[i] = genome_start + cumulative steps; advances[i] = step > 0.
+// Intron motifs (body[:2] + body[-2:]) are written 4 chars per intron.
+// Returns the record count, or -1 on malformed '~' (caller falls back).
+int64_t parse_cs_c(const char* cs, int64_t len, int64_t genome_start,
+                   int8_t* status, int64_t* gp, uint8_t* advances,
+                   int64_t* intron_idx, char* intron_motifs,
+                   int64_t* n_introns) {
+    int64_t n = 0, ni = 0;
+    int64_t pos = genome_start;
+    int64_t i = 0;
+    while (i < len) {
+        char op = cs[i++];
+        int64_t body = i;
+        while (i < len && cs[i] != '=' && cs[i] != '+' && cs[i] != '-'
+               && cs[i] != '*' && cs[i] != '~')
+            i++;
+        int64_t blen = i - body;
+        if (blen == 0) continue;  // regex requires a non-empty body
+        switch (op) {
+        case '=':
+            for (int64_t j = 0; j < blen; j++) {
+                status[n] = 0; pos += 1; gp[n] = pos; advances[n] = 1; n++;
+            }
+            break;
+        case '+':
+            for (int64_t j = 0; j < blen; j++) {
+                status[n] = 1; gp[n] = pos; advances[n] = 0; n++;
+            }
+            break;
+        case '-':
+            for (int64_t j = 0; j < blen; j++) {
+                status[n] = 2; pos += 1; gp[n] = pos; advances[n] = 1; n++;
+            }
+            break;
+        case '*':
+            status[n] = 3; pos += 1; gp[n] = pos; advances[n] = 1; n++;
+            break;
+        case '~': {
+            if (blen < 5) return -1;
+            int64_t v = 0;
+            for (int64_t j = body + 2; j < body + blen - 2; j++) {
+                if (cs[j] < '0' || cs[j] > '9') return -1;
+                v = v * 10 + (cs[j] - '0');
+            }
+            intron_idx[ni] = n;
+            intron_motifs[ni * 4 + 0] = cs[body];
+            intron_motifs[ni * 4 + 1] = cs[body + 1];
+            intron_motifs[ni * 4 + 2] = cs[body + blen - 2];
+            intron_motifs[ni * 4 + 3] = cs[body + blen - 1];
+            ni++;
+            status[n] = 4; pos += v; gp[n] = pos;
+            advances[n] = v > 0 ? 1 : 0; n++;
+            break;
+        }
+        default:
+            break;  // leading garbage before the first op: regex skips it
+        }
+    }
+    *n_introns = ni;
+    return n;
+}
+
 // Both-orientation seed + chain: runs seed_chain_c for the read and its
 // reverse complement (computed here) and applies map_batch's tie-break
 // (forward wins ties, aligner.py map_batch). Returns the winning chain

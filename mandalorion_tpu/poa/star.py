@@ -42,9 +42,13 @@ def star_consensus(oriented_seqs: Sequence[str],
     reads = [(str(i), s) for i, s in enumerate(oriented_seqs)]
     mapped = aligner.map_batch_runs(reads)
 
-    base_votes = np.zeros((L, 4), np.int32)
-    gap_votes = np.zeros(L, np.int32)
-    coverage = np.zeros(L, np.int32)
+    # votes accumulate via difference arrays + one bincount (far cheaper
+    # than per-run scatter-adds): coverage/gap_votes are run-interval sums,
+    # base votes are a flat (pos*4 + base) histogram
+    cov_diff = np.zeros(L + 1, np.int32)
+    gap_diff = np.zeros(L + 1, np.int32)
+    m_pos: List[np.ndarray] = []
+    m_code: List[np.ndarray] = []
     insertions: Dict[int, Dict[str, int]] = {}
 
     for _name, strand, q_codes, runs in mapped:
@@ -52,18 +56,30 @@ def star_consensus(oriented_seqs: Sequence[str],
         # upstream; its votes still count in its aligned frame
         for op, q0, t0, ln in runs:
             if op == "M":
-                idx = np.arange(t0, t0 + ln)
-                valid = q_codes[q0:q0 + ln] < 4
-                np.add.at(base_votes, (idx[valid],
-                                       q_codes[q0:q0 + ln][valid]), 1)
-                coverage[t0:t0 + ln] += 1
+                sel = q_codes[q0:q0 + ln]
+                valid = sel < 4
+                m_pos.append(np.arange(t0, t0 + ln, dtype=np.int64)[valid])
+                m_code.append(sel[valid].astype(np.int64))
+                cov_diff[t0] += 1
+                cov_diff[t0 + ln] -= 1
             elif op == "D":
-                gap_votes[t0:t0 + ln] += 1
-                coverage[t0:t0 + ln] += 1
+                gap_diff[t0] += 1
+                gap_diff[t0 + ln] -= 1
+                cov_diff[t0] += 1
+                cov_diff[t0 + ln] -= 1
             elif op == "I":
                 seq = _decode(q_codes[q0:q0 + ln])
                 per = insertions.setdefault(t0, {})
                 per[seq] = per.get(seq, 0) + 1
+
+    coverage = np.cumsum(cov_diff[:-1], dtype=np.int32)
+    gap_votes = np.cumsum(gap_diff[:-1], dtype=np.int32)
+    if m_pos:
+        flat = np.bincount(np.concatenate(m_pos) * 4
+                           + np.concatenate(m_code), minlength=4 * L)
+        base_votes = flat.reshape(L, 4)
+    else:
+        base_votes = np.zeros((L, 4), np.int64)
 
     best_base = np.argmax(base_votes, axis=1)
     best_count = base_votes[np.arange(L), best_base]

@@ -167,3 +167,44 @@ def test_seed_chain_matches_numpy_chain():
             (s.q_start, s.q_end, s.t_start, s.t_end) for s in ch]
         assert to_t(got[0]) == to_t(best[0]), trial
         assert got[1] == best[1] and got[2] == best[2], trial
+
+
+def test_parse_cs_matches_numpy():
+    """Native cs tokenizer == numpy build_cs_index on fuzzed token
+    streams (records, genome positions, intron motifs)."""
+    import random
+
+    from mandalorion_tpu.core.csparse import (
+        _build_cs_index_numpy, build_cs_index)
+
+    random.seed(5)
+    BASES = "ACGT"
+
+    def rand_cs():
+        parts = []
+        for _ in range(random.randint(1, 40)):
+            t = random.choice("=+-*~")
+            if t == "=":
+                parts.append("=" + "".join(
+                    random.choices(BASES, k=random.randint(1, 30))))
+            elif t in "+-":
+                parts.append(t + "".join(
+                    random.choices(BASES.lower(), k=random.randint(1, 5))))
+            elif t == "*":
+                parts.append("*" + random.choice(BASES.lower())
+                             + random.choice(BASES.lower()))
+            else:
+                parts.append("~" + random.choice(["gt", "ct"])
+                             + str(random.randint(10, 99999))
+                             + random.choice(["ag", "ac"]))
+        return "".join(parts)
+
+    cases = [rand_cs() for _ in range(60)]
+    cases += ["", "=A", "~gt100ag", "xx=ACGT", "*ac*gt*aa"]
+    for cs in cases:
+        a = build_cs_index(cs, 7)
+        b = _build_cs_index_numpy(cs, 7)
+        assert np.array_equal(a.status, b.status), cs
+        assert np.array_equal(a.gp, b.gp), cs
+        assert np.array_equal(a.advances, b.advances), cs
+        assert a.introns == b.introns, cs
