@@ -46,7 +46,9 @@ class SpliceAligner:
     def __init__(self, genome: Dict[str, str],
                  cfg: Optional[AlignConfig] = None):
         self.cfg = cfg or AlignConfig()
-        self.index = build_index(genome, self.cfg.kmer, self.cfg.window)
+        from mandalorion_tpu.align.index import cached_index
+        self.index = cached_index(genome, self.cfg.kmer, self.cfg.window,
+                                  getattr(self.cfg, "index_cache", ""))
         backend = getattr(self.cfg, "dp_backend", "numpy")
         if backend == "rowscan":
             from mandalorion_tpu.align.kernels import solve_dp_rowscan

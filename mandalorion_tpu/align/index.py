@@ -10,6 +10,7 @@ be replicated per host or sharded across devices along the hash axis
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
@@ -111,24 +112,100 @@ class GenomeIndex:
 
 
 def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
-                chunk: int = 1 << 24) -> GenomeIndex:
+                chunk: int = 1 << 24, threads: int = 0) -> GenomeIndex:
     """Build the minimizer index from a chrom -> sequence dict. Chromosomes
-    are processed in chunks (with k-1 overlap) to bound peak memory."""
+    are processed in chunks (with k-1 overlap) to bound peak memory.
+    Dispatches to the native multithreaded builder when available
+    (bit-identical; tests/test_native.py asserts equality)."""
+    from mandalorion_tpu.native import native_build_index
+
     names = sorted(genome)
     offsets = []
     sizes = []
     code_parts = []
-    pos_parts: List[np.ndarray] = []
-    hash_parts: List[np.ndarray] = []
     offset = 0
     spacer = np.full(1, 4, np.uint8)  # 'N' spacer kills boundary k-mers
     for name in names:
-        seq = genome[name]
-        codes = encode(seq)
+        codes = encode(genome[name])
         offsets.append(offset)
         sizes.append(len(codes))
         code_parts.append(codes)
         code_parts.append(spacer)
+        offset += len(codes) + 1
+    seq_codes = (np.concatenate(code_parts) if code_parts
+                 else np.zeros(0, np.uint8))
+    chrom_offsets = np.asarray(offsets, np.int64)
+    chrom_sizes = np.asarray(sizes, np.int64)
+    pos_u32 = offset < (1 << 32)  # hg38-scale genomes fit uint32
+    res = native_build_index(
+        seq_codes, chrom_offsets, chrom_sizes, chrom_offsets,
+        kmer, window, chunk, threads or (os.cpu_count() or 1), pos_u32)
+    if res is not None:
+        sorted_hashes, sorted_positions, bucket_lo = res
+        return GenomeIndex(
+            kmer=kmer, window=window, seq_codes=seq_codes,
+            chrom_names=names, chrom_offsets=chrom_offsets,
+            chrom_sizes=chrom_sizes, sorted_hashes=sorted_hashes,
+            sorted_positions=sorted_positions, bucket_lo=bucket_lo)
+    return _build_index_numpy(seq_codes, names, chrom_offsets, chrom_sizes,
+                              kmer, window, chunk)
+
+
+def save_index(idx: GenomeIndex, path: str) -> None:
+    """Persist the index (.npz) — the minimap2 `.mmi` analogue: build the
+    whole-genome index once, reuse across runs/hosts."""
+    tmp = f"{path}.{os.getpid()}.tmp.npz"  # atomic publish (racing workers)
+    np.savez(tmp, kmer=idx.kmer, window=idx.window,
+             seq_codes=idx.seq_codes,
+             chrom_names=np.asarray(idx.chrom_names, dtype=object),
+             chrom_offsets=idx.chrom_offsets, chrom_sizes=idx.chrom_sizes,
+             sorted_hashes=idx.sorted_hashes,
+             sorted_positions=idx.sorted_positions, bucket_lo=idx.bucket_lo)
+    os.replace(tmp, path)
+
+
+def load_index(path: str) -> GenomeIndex:
+    with np.load(path, allow_pickle=True) as z:
+        return GenomeIndex(
+            kmer=int(z["kmer"]), window=int(z["window"]),
+            seq_codes=z["seq_codes"],
+            chrom_names=[str(n) for n in z["chrom_names"]],
+            chrom_offsets=z["chrom_offsets"], chrom_sizes=z["chrom_sizes"],
+            sorted_hashes=z["sorted_hashes"],
+            sorted_positions=z["sorted_positions"],
+            bucket_lo=z["bucket_lo"])
+
+
+def cached_index(genome: Dict[str, str], kmer: int, window: int,
+                 cache_path: str = "", threads: int = 0) -> GenomeIndex:
+    """build_index with an optional on-disk cache. A cached index is only
+    reused when (k, w, chromosome names+sizes) match the genome."""
+    if cache_path and os.path.exists(cache_path):
+        try:
+            idx = load_index(cache_path)
+            if (idx.kmer == kmer and idx.window == window
+                    and idx.chrom_names == sorted(genome)
+                    and all(int(s) == len(genome[n]) for n, s in
+                            zip(idx.chrom_names, idx.chrom_sizes))):
+                return idx
+        except (OSError, KeyError, ValueError):
+            pass  # unreadable/stale cache: rebuild below
+    idx = build_index(genome, kmer, window, threads=threads)
+    if cache_path:
+        save_index(idx, cache_path)
+    return idx
+
+
+def _build_index_numpy(seq_codes: np.ndarray, names: List[str],
+                       chrom_offsets: np.ndarray, chrom_sizes: np.ndarray,
+                       kmer: int, window: int, chunk: int) -> GenomeIndex:
+    """Pure-numpy index build (the native builder's oracle)."""
+    pos_parts: List[np.ndarray] = []
+    hash_parts: List[np.ndarray] = []
+    total = int(chrom_offsets[-1] + chrom_sizes[-1] + 1) if len(names) else 0
+    for ci in range(len(names)):
+        offset = int(chrom_offsets[ci])
+        codes = seq_codes[offset:offset + int(chrom_sizes[ci])]
         start = 0
         while start < len(codes):
             stop = min(len(codes), start + chunk)
@@ -144,7 +221,6 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
                     pos_parts.append(pos[keep] + offset)
                     hash_parts.append(hsh[keep])
             start = stop
-        offset += len(codes) + 1
     all_pos = (np.concatenate(pos_parts) if pos_parts
                else np.zeros(0, np.int64))
     all_hash = (np.concatenate(hash_parts) if hash_parts
@@ -156,15 +232,14 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
     bucket_lo = np.searchsorted(sorted_hashes, bucket_edges, side="left")
     bucket_lo = np.append(bucket_lo, len(sorted_hashes)).astype(np.int64)
     sorted_positions = all_pos[order]
-    if offset < (1 << 32):  # hg38-scale genomes fit uint32, halving memory
+    if total < (1 << 32):  # hg38-scale genomes fit uint32, halving memory
         sorted_positions = sorted_positions.astype(np.uint32)
     return GenomeIndex(
         kmer=kmer, window=window,
-        seq_codes=np.concatenate(code_parts) if code_parts
-        else np.zeros(0, np.uint8),
+        seq_codes=seq_codes,
         chrom_names=names,
-        chrom_offsets=np.asarray(offsets, np.int64),
-        chrom_sizes=np.asarray(sizes, np.int64),
+        chrom_offsets=chrom_offsets,
+        chrom_sizes=chrom_sizes,
         sorted_hashes=sorted_hashes,
         sorted_positions=sorted_positions,
         bucket_lo=bucket_lo,

@@ -42,6 +42,9 @@ class AlignConfig:
                                    # 'pallas' (TPU kernel); all three are
                                    # bit-identical (tests/test_kernels.py)
     emit_sam: bool = False         # also write tmp/mm2Alignments.sam
+    index_cache: str = ""          # persist/reuse the genome index (.npz),
+                                   # minimap2 .mmi analogue; validated
+                                   # against genome + k/w on load
 
 
 @dataclass(frozen=True)

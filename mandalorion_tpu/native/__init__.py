@@ -85,6 +85,18 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.parse_cs_c.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64] + [
             ctypes.c_void_p] * 6
+        lib.index_build_start.restype = ctypes.c_void_p
+        lib.index_build_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p]
+        lib.index_build_finish.restype = None
+        lib.index_build_finish.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
+        lib.index_build_abort.restype = None
+        lib.index_build_abort.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:
@@ -109,6 +121,39 @@ def native_minimizers(codes: np.ndarray, k: int, w: int
     n = lib.minimizers_c(codes.ctypes.data, len(codes), k, w,
                          pos.ctypes.data, hsh.ctypes.data)
     return pos[:n].copy(), hsh[:n].copy()
+
+
+def native_build_index(codes: np.ndarray, chrom_starts: np.ndarray,
+                       chrom_sizes: np.ndarray, chrom_goffsets: np.ndarray,
+                       k: int, w: int, chunk: int, threads: int,
+                       pos_u32: bool):
+    """Parallel minimizer-index build: (sorted_hashes, sorted_positions,
+    bucket_lo), bit-identical to align/index.py's numpy path, or None when
+    the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    starts = np.ascontiguousarray(chrom_starts, np.int64)
+    sizes = np.ascontiguousarray(chrom_sizes, np.int64)
+    goffs = np.ascontiguousarray(chrom_goffsets, np.int64)
+    total = ctypes.c_int64(0)
+    handle = lib.index_build_start(
+        codes.ctypes.data, starts.ctypes.data, sizes.ctypes.data,
+        goffs.ctypes.data, len(starts), k, w, chunk, threads,
+        ctypes.byref(total))
+    n = total.value
+    try:
+        hashes = np.empty(n, np.uint64)
+        positions = np.empty(n, np.uint32 if pos_u32 else np.int64)
+        bucket_lo = np.empty((1 << 16) + 1, np.int64)
+    except MemoryError:
+        lib.index_build_abort(handle)
+        raise
+    lib.index_build_finish(handle, hashes.ctypes.data,
+                           positions.ctypes.data, 1 if pos_u32 else 0,
+                           bucket_lo.ctypes.data, threads)
+    return hashes, positions, bucket_lo
 
 
 def _make_seed_bufs(cap: int):

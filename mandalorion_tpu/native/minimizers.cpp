@@ -6,10 +6,12 @@
 // Replaces the role mappy's C layer plays in the reference (SURVEY §2.2).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -761,6 +763,177 @@ int64_t seed_chain2_c(
         cq0[i] = rq0[i]; cqe[i] = rqe[i]; ct0[i] = rt0[i]; cte[i] = rte[i];
     }
     return nr;
+}
+
+// ---------------------------------------------------------------------
+// Parallel genome-index build: C++ twin of align/index.py build_index's
+// minimizer sweep + stable hash sort, bit-identical output (the per-chunk
+// minimizer semantics — context window lo/hi, keep filter — are replicated
+// exactly, and the final order is (hash, position) ascending, which equals
+// numpy's stable argsort because positions are appended ascending).
+//
+// Two-call protocol (the caller cannot size the outputs up front):
+//   h = index_build_start(...)  -> opaque handle, *out_total minimizers
+//   index_build_finish(h, ...)  -> scatter + per-bucket sort, frees h
+// index_build_abort(h) frees the handle without producing output.
+
+struct IndexChunkTask {
+    const uint8_t* codes;  // chromosome base pointer
+    int64_t clen;          // chromosome length
+    int64_t start, stop;   // body range within the chromosome
+    int64_t goffset;       // global offset of the chromosome
+};
+
+struct IndexBuildState {
+    int32_t k, w;
+    std::vector<IndexChunkTask> tasks;
+    // retained per-task minimizer buffers (memory-rich host: one sweep)
+    std::vector<std::vector<uint64_t>> hashes;
+    std::vector<std::vector<int64_t>> positions;
+    int64_t total = 0;
+    int64_t bucket_counts[1 << 16];
+};
+
+static void index_sweep_range(IndexBuildState* st, size_t t0, size_t t1) {
+    int32_t k = st->k, w = st->w;
+    for (size_t ti = t0; ti < t1; ti++) {
+        const IndexChunkTask& t = st->tasks[ti];
+        int64_t lo = t.start - (w - 1);
+        if (lo < 0) lo = 0;
+        int64_t hi = t.stop + k + w - 2;
+        if (hi > t.clen) hi = t.clen;
+        int64_t span = hi - lo;
+        if (span < k) continue;
+        std::vector<int64_t> pos(span - k + 1);
+        std::vector<uint64_t> hsh(span - k + 1);
+        int64_t n = minimizers_c(t.codes + lo, span, k, w,
+                                 pos.data(), hsh.data());
+        auto& hout = st->hashes[ti];
+        auto& pout = st->positions[ti];
+        hout.reserve(n);
+        pout.reserve(n);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t p = pos[i] + lo;
+            if (p < t.start || p >= t.stop) continue;
+            hout.push_back(hsh[i]);
+            pout.push_back(p + t.goffset);
+        }
+    }
+}
+
+void* index_build_start(
+    const uint8_t* codes, const int64_t* chrom_starts,
+    const int64_t* chrom_sizes, const int64_t* chrom_goffsets,
+    int64_t n_chroms, int32_t k, int32_t w, int64_t chunk,
+    int32_t n_threads, int64_t* out_total) {
+    IndexBuildState* st = new IndexBuildState();
+    st->k = k;
+    st->w = w;
+    for (int64_t c = 0; c < n_chroms; c++) {
+        const uint8_t* base = codes + chrom_starts[c];
+        int64_t clen = chrom_sizes[c];
+        for (int64_t start = 0; start < clen; start += chunk) {
+            int64_t stop = start + chunk < clen ? start + chunk : clen;
+            st->tasks.push_back({base, clen, start, stop,
+                                 chrom_goffsets[c]});
+        }
+    }
+    size_t nt = st->tasks.size();
+    st->hashes.resize(nt);
+    st->positions.resize(nt);
+    int nthr = n_threads > 1 ? n_threads : 1;
+    if ((size_t)nthr > nt) nthr = (int)(nt > 0 ? nt : 1);
+    std::atomic<size_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            size_t ti = next.fetch_add(1);
+            if (ti >= nt) break;
+            index_sweep_range(st, ti, ti + 1);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int i = 1; i < nthr; i++) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    memset(st->bucket_counts, 0, sizeof(st->bucket_counts));
+    for (size_t ti = 0; ti < nt; ti++) {
+        st->total += (int64_t)st->hashes[ti].size();
+        for (uint64_t h : st->hashes[ti])
+            st->bucket_counts[(uint32_t)(h >> 48)]++;
+    }
+    *out_total = st->total;
+    return st;
+}
+
+void index_build_finish(
+    void* handle, uint64_t* out_hashes, void* out_pos, int32_t pos_is_u32,
+    int64_t* bucket_lo /* 2^16 + 1 */, int32_t n_threads) {
+    IndexBuildState* st = (IndexBuildState*)handle;
+    const int64_t NB = 1 << 16;
+    bucket_lo[0] = 0;
+    for (int64_t b = 0; b < NB; b++)
+        bucket_lo[b + 1] = bucket_lo[b] + st->bucket_counts[b];
+    // scatter via atomic per-bucket cursors (per-bucket order fixed by
+    // the sort below, so scatter order is irrelevant)
+    std::vector<std::atomic<int64_t>> cursor(NB);
+    for (int64_t b = 0; b < NB; b++)
+        cursor[b].store(bucket_lo[b], std::memory_order_relaxed);
+    uint32_t* pos32 = (uint32_t*)out_pos;
+    int64_t* pos64 = (int64_t*)out_pos;
+    size_t nt = st->tasks.size();
+    std::atomic<size_t> next(0);
+    auto scatter = [&]() {
+        for (;;) {
+            size_t ti = next.fetch_add(1);
+            if (ti >= nt) break;
+            const auto& hs = st->hashes[ti];
+            const auto& ps = st->positions[ti];
+            for (size_t i = 0; i < hs.size(); i++) {
+                uint32_t b = (uint32_t)(hs[i] >> 48);
+                int64_t at = cursor[b].fetch_add(1,
+                                                 std::memory_order_relaxed);
+                out_hashes[at] = hs[i];
+                if (pos_is_u32) pos32[at] = (uint32_t)ps[i];
+                else pos64[at] = ps[i];
+            }
+        }
+    };
+    int nthr = n_threads > 1 ? n_threads : 1;
+    std::vector<std::thread> pool;
+    for (int i = 1; i < nthr; i++) pool.emplace_back(scatter);
+    scatter();
+    for (auto& th : pool) th.join();
+    // per-bucket sort by (hash, pos): equals numpy stable argsort by hash
+    std::atomic<int64_t> nextb(0);
+    auto sorter = [&]() {
+        std::vector<std::pair<uint64_t, uint64_t>> buf;
+        for (;;) {
+            int64_t b = nextb.fetch_add(1);
+            if (b >= NB) break;
+            int64_t lo = bucket_lo[b], hi = bucket_lo[b + 1];
+            if (hi - lo <= 1) continue;
+            buf.resize(hi - lo);
+            for (int64_t i = lo; i < hi; i++)
+                buf[i - lo] = {out_hashes[i],
+                               pos_is_u32 ? (uint64_t)pos32[i]
+                                          : (uint64_t)pos64[i]};
+            std::sort(buf.begin(), buf.end());
+            for (int64_t i = lo; i < hi; i++) {
+                out_hashes[i] = buf[i - lo].first;
+                if (pos_is_u32) pos32[i] = (uint32_t)buf[i - lo].second;
+                else pos64[i] = (int64_t)buf[i - lo].second;
+            }
+        }
+    };
+    pool.clear();
+    for (int i = 1; i < nthr; i++) pool.emplace_back(sorter);
+    sorter();
+    for (auto& th : pool) th.join();
+    delete st;
+}
+
+void index_build_abort(void* handle) {
+    delete (IndexBuildState*)handle;
 }
 
 // Bucketed binary search: for each query hash, find [lo, hi) in the sorted

@@ -208,3 +208,58 @@ def test_parse_cs_matches_numpy():
         assert np.array_equal(a.gp, b.gp), cs
         assert np.array_equal(a.advances, b.advances), cs
         assert a.introns == b.introns, cs
+
+
+def _numpy_index(genome, k=15, w=5, chunk=1 << 24):
+    from mandalorion_tpu.align import index as I
+    from mandalorion_tpu.align.encode import encode
+
+    names = sorted(genome)
+    parts, offs, szs = [], [], []
+    off = 0
+    for nm in names:
+        cd = encode(genome[nm])
+        offs.append(off)
+        szs.append(len(cd))
+        parts.append(cd)
+        parts.append(np.full(1, 4, np.uint8))
+        off += len(cd) + 1
+    return I._build_index_numpy(
+        np.concatenate(parts), names, np.asarray(offs, np.int64),
+        np.asarray(szs, np.int64), k, w, chunk)
+
+
+def test_index_build_matches_numpy():
+    rng = np.random.default_rng(11)
+    genome = {}
+    for c in range(4):
+        n = int(rng.integers(300, 60_001))
+        genome[f"chr{c + 1}"] = "".join(
+            rng.choice(list("ACGTN"), p=[.24, .24, .24, .24, .04], size=n))
+    from mandalorion_tpu.align.index import build_index
+    a = build_index(genome, chunk=1 << 13)  # small chunks hit boundaries
+    b = _numpy_index(genome, chunk=1 << 13)
+    assert np.array_equal(a.sorted_hashes, b.sorted_hashes)
+    assert np.array_equal(a.sorted_positions, b.sorted_positions)
+    assert a.sorted_positions.dtype == b.sorted_positions.dtype
+    assert np.array_equal(a.bucket_lo, b.bucket_lo)
+
+
+def test_index_cache_roundtrip(tmp_path):
+    from mandalorion_tpu.align.index import build_index, cached_index
+    genome = {"chrA": synthdata.make_genome(30_000, seed=6),
+              "chrB": synthdata.make_genome(7_000, seed=7)}
+    cache = str(tmp_path / "genome.idx.npz")
+    a = cached_index(genome, 15, 5, cache)          # builds + saves
+    assert np.load(cache, allow_pickle=True) is not None
+    b = cached_index(genome, 15, 5, cache)          # loads
+    fresh = build_index(genome)
+    for idx in (a, b):
+        assert np.array_equal(idx.sorted_hashes, fresh.sorted_hashes)
+        assert np.array_equal(idx.sorted_positions, fresh.sorted_positions)
+        assert np.array_equal(idx.bucket_lo, fresh.bucket_lo)
+        assert np.array_equal(idx.seq_codes, fresh.seq_codes)
+        assert idx.chrom_names == fresh.chrom_names
+    # mismatched k invalidates the cache (rebuild, not reuse)
+    c = cached_index(genome, 13, 5, cache)
+    assert c.kmer == 13
