@@ -163,9 +163,12 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
             a[18] = ",".join(map(str, ns)) + ","
             a[19] = ",".join(map(str, nq)) + ","
             a[20] = ",".join(map(str, nt)) + ","
-            cleaned_line = "\t".join(a) + "\n"
-            out.write(cleaned_line)
-            cleaned.append(cleaned_line)
+            cleaned.append("\t".join(a) + "\n")
+            if len(cleaned) % 4096 == 0:  # chunked writes: IO-bound stage
+                out.write("".join(cleaned[-4096:]))
+        rem = len(cleaned) % 4096
+        if rem:
+            out.write("".join(cleaned[-rem:]))
     cleaned.sort(key=psl_sort_key)
     with open(sorted_path, "w") as out:
         out.writelines(cleaned)
@@ -174,9 +177,9 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
     for chrom, start, end, lines in iter_loci(cleaned):
         root = f"{chrom}~{start}~{end}"
         with open(os.path.join(out_dir, root + ".psl"), "w") as out:
-            for line in lines:
-                out.write(line)
-                read_to_root[line.split("\t", 10)[9]] = root
+            out.write("".join(lines))
+        for line in lines:
+            read_to_root[line.split("\t", 10)[9]] = root
     return read_to_root
 
 

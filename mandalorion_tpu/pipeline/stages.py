@@ -42,7 +42,7 @@ from mandalorion_tpu.io.psl import (
     PslRecord, format_psl, parse_psl_line, read_psl, sort_psl_file)
 from mandalorion_tpu.io.sam import sam_to_psl
 from mandalorion_tpu.pipeline.observe import StageTimer
-from mandalorion_tpu.poa.consensus import determine_consensus
+from mandalorion_tpu.poa.consensus import determine_consensus_batch
 
 VERSION = "mandalorion-tpu 0.1.0"
 
@@ -244,14 +244,11 @@ def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
     iso = define_start_end_sites(
         spliced, mono, reads, cfg.upstream_buffer, cfg.downstream_buffer,
         cfg.minimum_feature_count, rng, cfg.ends_subsample)
-    out: List[Tuple[str, List[str]]] = []
-    for key in iso:
-        group = iso[key]
-        pairs = [(reads.names[i], reads.sequences[i])
-                 for i in group.read_indices]
-        consensus, names = determine_consensus(pairs, cfg.poa, rng)
-        out.append((consensus, names))
-    return out
+    read_sets = [[(reads.names[i], reads.sequences[i])
+                  for i in iso[key].read_indices] for key in iso]
+    # graph engine: all of the locus' seq-to-graph DPs batch into shared
+    # device dispatches; star engine: per-isoform fast path (unchanged)
+    return determine_consensus_batch(read_sets, cfg.poa, rng)
 
 
 def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:

@@ -165,7 +165,13 @@ class PoaGraph:
     # ---------------------------------------------------------- add read
 
     def add_read(self, q: np.ndarray, params: PoaParams) -> None:
-        path = self.align(q, params)
+        self.apply_path(q, self.align(q, params))
+
+    def apply_path(self, q: np.ndarray,
+                   path: List[Tuple[int, Optional[int]]]) -> None:
+        """Thread query q into the graph along an alignment path (the
+        mutation half of add_read; the batched kernel computes paths for
+        many graphs at once and applies them here)."""
         prev_node = -1
         for qi, node in path:
             if qi == -1:

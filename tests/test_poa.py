@@ -91,3 +91,86 @@ def test_consensus_noisy_isoform():
     assert len(names) == 12
     # consensus should be (near-)perfect despite 2% read error
     assert cons == true
+
+
+# --------------------------------------------------- batched TPU kernel
+
+def _mutate(rng, base, err):
+    out = []
+    for b in base:
+        u = rng.random()
+        if u < err / 3:
+            continue
+        if u < 2 * err / 3:
+            out.extend([b, rng.integers(0, 4)])
+        elif u < err:
+            out.append(rng.integers(0, 4))
+        else:
+            out.append(b)
+    return np.array(out, np.uint8)
+
+
+def _rand_sets(rng, n_sets, reads_lo=3, reads_hi=9, len_lo=60, len_hi=400):
+    sets = []
+    for _ in range(n_sets):
+        base = rng.integers(0, 4, int(rng.integers(len_lo, len_hi)))
+        base = base.astype(np.uint8)
+        sets.append([base.copy()] + [
+            _mutate(rng, base, 0.04)
+            for _ in range(int(rng.integers(reads_lo, reads_hi)))])
+    return sets
+
+
+def test_kernel_paths_match_python_engine():
+    """Per-read device DP+traceback == PoaGraph.align, bit-identical."""
+    from mandalorion_tpu.poa.graph import PoaGraph, PoaParams
+    from mandalorion_tpu.poa.kernels import align_graph_batch
+    rng = np.random.default_rng(42)
+    params = PoaParams()
+    for reads in _rand_sets(rng, 3):
+        g_py, g_k = PoaGraph(reads[0]), PoaGraph(reads[0])
+        for q in reads[1:]:
+            p_py = g_py.align(q, params)
+            p_k = align_graph_batch([g_k], [q], params)[0]
+            assert p_py == p_k
+            g_py.apply_path(q, p_py)
+            g_k.apply_path(q, p_k)
+        assert np.array_equal(g_py.consensus(), g_k.consensus())
+
+
+def test_batch_consensus_matches_sequential():
+    from mandalorion_tpu.poa.graph import PoaParams, poa_consensus
+    from mandalorion_tpu.poa.kernels import poa_consensus_batch
+    rng = np.random.default_rng(7)
+    sets = _rand_sets(rng, 6)
+    params = PoaParams()
+    seq = [poa_consensus(s, params) for s in sets]
+    bat = poa_consensus_batch(sets, params)
+    assert all(np.array_equal(a, b) for a, b in zip(seq, bat))
+
+
+def test_determine_consensus_batch_graph_engine():
+    """Batched graph-engine consensus == per-isoform sequential calls,
+    including rng-consumption order and the <=2-read / unoriented / star
+    fallback paths."""
+    from mandalorion_tpu.align.encode import decode
+    from mandalorion_tpu.config import PoaConfig
+    from mandalorion_tpu.poa.consensus import (
+        determine_consensus, determine_consensus_batch)
+    rng = np.random.default_rng(3)
+    read_sets = []
+    for si, s in enumerate(_rand_sets(rng, 5, reads_lo=2, reads_hi=7)):
+        read_sets.append([(f"i{si}r{k}", decode(c))
+                          for k, c in enumerate(s)])
+    read_sets.append([("lone0", decode(rng.integers(0, 4, 150)
+                                       .astype(np.uint8)))])
+    cfg = PoaConfig(engine="graph")
+    seq = [determine_consensus(rs, cfg, np.random.default_rng(9))
+           for rs in read_sets]
+    # sequential rng is per-call fresh above; batch consumes one rng in
+    # order — replicate by re-running sequentially with a shared rng
+    shared = np.random.default_rng(11)
+    seq = [determine_consensus(rs, cfg, shared) for rs in read_sets]
+    bat = determine_consensus_batch(read_sets, cfg,
+                                    np.random.default_rng(11))
+    assert seq == bat
