@@ -390,6 +390,11 @@ class SpliceAligner:
     def map_batch(self, reads: Sequence[Tuple[str, str]]
                   ) -> List[PslRecord]:
         """Align a batch of (name, seq) reads; primary alignments only."""
+        backend = getattr(self.cfg, "dp_backend", "numpy")
+        if backend == "numpy" and self.index.bucket_lo is not None:
+            out = self._map_batch_native(reads)
+            if out is not None:
+                return out
         problems: List[DpProblem] = []
         pendings: List[_Pending] = []
         for name, seq in reads:
@@ -409,6 +414,38 @@ class SpliceAligner:
         out: List[PslRecord] = []
         for pend in pendings:
             rec = self._emit(pend, results, modes)
+            if rec is not None:
+                out.append(rec)
+        return out
+
+    def _map_batch_native(self, reads: Sequence[Tuple[str, str]]
+                          ) -> Optional[List[PslRecord]]:
+        """Fully-fused native per-read path: one C call does seed+chain,
+        gap fill (splice-point search + affine DP), run assembly, and
+        extended-PSL emission — bit-identical to the staged Python path
+        (tests/test_native.py asserts it). Returns None when the native
+        library is unavailable (caller falls back)."""
+        from mandalorion_tpu.native import native_align_read
+        cfg = self.cfg
+        out: List[PslRecord] = []
+        for name, seq in reads:
+            codes = encode(seq)
+            res = native_align_read(
+                codes, cfg.kmer, cfg.window, cfg.max_occ, 100, self.index,
+                cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
+                cfg_min_len(cfg), cfg.match, cfg.mismatch, cfg.gap_open,
+                cfg.gap_extend, cfg.end_bonus, cfg.band_width,
+                cfg.max_end_extend, cfg.splice_slack,
+                cfg.noncanonical_penalty)
+            if res is None:
+                return None
+            strand, ci, stats, bs, bq, bt, cs = res
+            if strand is None:
+                continue
+            pend = _Pending(name, seq, "+" if strand == 0 else "-",
+                            codes if strand == 0 else revcomp_codes(codes),
+                            ci, [], [])
+            rec = self._psl_record(pend, stats, bs, bq, bt, cs)
             if rec is not None:
                 out.append(rec)
         return out

@@ -85,6 +85,25 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.parse_cs_c.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64] + [
             ctypes.c_void_p] * 6
+        lib.align_read_c.restype = ctypes.c_int64
+        lib.align_read_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,                 # codes, n
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,  # k w max_occ
+            ctypes.c_int32,                                  # merge_gap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # index
+            ctypes.c_int32,                                  # pos_is_u32
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # chroms
+            ctypes.c_void_p,                                 # genome
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,  # introns,match
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,  # chain costs
+            ctypes.c_int64, ctypes.c_float,                  # max_seg,min_sc
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # dp m/mm/go
+            ctypes.c_int32, ctypes.c_int32,                  # ge, end_bonus
+            ctypes.c_int32, ctypes.c_int64,                  # band, max_ext
+            ctypes.c_int32, ctypes.c_int32,                  # slack, ncp
+            ctypes.c_void_p, ctypes.c_void_p,                # strand, chrom
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # stats,blk
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]   # cs
         lib.index_build_start.restype = ctypes.c_void_p
         lib.index_build_start.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -342,6 +361,67 @@ def native_seed_chain2(codes: np.ndarray, k: int, w: int, max_occ: int,
         ctypes.byref(chrom), ctypes.byref(strand))
     return (q0[:n], qe[:n], t0[:n], te[:n], float(score.value),
             int(chrom.value), int(strand.value))
+
+
+_ALIGN_BUFS = {"cap": 0}
+
+
+def native_align_read(codes: np.ndarray, k: int, w: int, max_occ: int,
+                      merge_gap: int, index, min_intron: int,
+                      max_intron: int, chain_match: int,
+                      intron_penalty: float, indel_open: float,
+                      indel_scale: float, max_segments: int,
+                      min_chain_score: float, dp_match: int,
+                      dp_mismatch: int, gap_open: int, gap_extend: int,
+                      end_bonus: int, band_width: int, max_end_extend: int,
+                      splice_slack: int, noncanonical_penalty: int):
+    """Fully-fused per-read alignment (seed+chain+fill+DP+emit in one C
+    call). Returns (strand, chrom_idx, stats, block_sizes, q_starts,
+    t_starts, cs) with strand None when unaligned, or None when the native
+    library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    cap = max(2 * n + 64, 4096)
+    if _ALIGN_BUFS["cap"] < cap:
+        _ALIGN_BUFS["cap"] = cap
+        _ALIGN_BUFS["blk"] = tuple(np.empty(cap, np.int64)
+                                   for _ in range(3))
+        _ALIGN_BUFS["cs"] = ctypes.create_string_buffer(8 * cap)
+    bs, bq, bt = _ALIGN_BUFS["blk"]
+    stats = np.zeros(8, np.int64)
+    strand = ctypes.c_int32()
+    chrom = ctypes.c_int32()
+    pos_is_u32 = 1 if index.sorted_positions.dtype == np.uint32 else 0
+    cs_cap = 8 * cap
+    cs_buf = _ALIGN_BUFS["cs"]
+    while True:
+        cl = lib.align_read_c(
+            codes.ctypes.data, n, k, w, max_occ, merge_gap,
+            index.sorted_hashes.ctypes.data, index.bucket_lo.ctypes.data,
+            index.sorted_positions.ctypes.data, pos_is_u32,
+            index.chrom_offsets.ctypes.data, index.chrom_sizes.ctypes.data,
+            len(index.chrom_offsets), index.seq_codes.ctypes.data,
+            min_intron, max_intron, chain_match, intron_penalty,
+            indel_open, indel_scale, max_segments, min_chain_score,
+            dp_match, dp_mismatch, gap_open, gap_extend, end_bonus,
+            band_width, max_end_extend, splice_slack,
+            noncanonical_penalty, ctypes.byref(strand),
+            ctypes.byref(chrom), stats.ctypes.data, bs.ctypes.data,
+            bq.ctypes.data, bt.ctypes.data, cs_buf, cs_cap)
+        if cl >= 0:
+            break
+        cs_cap = 2 * (-cl) + 64  # undersized cs buffer: retry bigger
+        cs_buf = ctypes.create_string_buffer(cs_cap)
+        _ALIGN_BUFS["cs"] = cs_buf
+    nb = int(stats[7])
+    if strand.value < 0 or nb == 0:
+        return (None, -1, None, None, None, None, "")
+    return (int(strand.value), int(chrom.value), stats,
+            bs[:nb].tolist(), bq[:nb].tolist(), bt[:nb].tolist(),
+            cs_buf.raw[:cl].decode())
 
 
 def native_parse_cs(cs: str, genome_start: int):

@@ -493,62 +493,41 @@ int64_t emit_psl_c(
 // modes[i]: 0 = global, 1 = extension (best-cell stop, optional end bonus).
 // Ops are written concatenated as (op 0=M/1=I/2=D, dq, dt) runs.
 // Returns total ops written, or -needed when ops_cap is too small.
-int64_t solve_dp_batch_c(
-    const uint8_t* q_all, const int64_t* q_off,
-    const uint8_t* t_all, const int64_t* t_off,
-    const uint8_t* modes, int64_t n_problems,
-    int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
-    int32_t end_bonus,
-    int32_t* out_qlen, int32_t* out_tlen, int64_t* out_nops,
-    int8_t* ops_op, int32_t* ops_dq, int32_t* ops_dt, int64_t ops_cap) {
+// One affine-gap DP problem -> merged (op, dq, dt) runs appended to
+// mop/mdq/mdt (cleared first). Extracted from solve_dp_batch_c so the
+// fused per-read aligner (align_read_c) can solve gap fills inline;
+// byte-for-byte the same math and tie-breaks.
+static void solve_one_dp(
+    const uint8_t* q, int64_t nq, const uint8_t* t, int64_t nt,
+    bool global, int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus, int64_t* out_qlen, int64_t* out_tlen,
+    std::vector<int8_t>& mop, std::vector<int32_t>& mdq,
+    std::vector<int32_t>& mdt) {
     const int64_t NEG = -1000000000LL;
-    std::vector<int64_t> h, e;
-    std::vector<uint8_t> ptr;
-    std::vector<int8_t> rev_ops;
-    int64_t total_ops = 0;
-
-    auto emit = [&](int64_t pi, int64_t qlen, int64_t tlen,
-                    const int8_t* ops, const int32_t* dq,
-                    const int32_t* dt, int64_t nops) {
-        out_qlen[pi] = (int32_t)qlen;
-        out_tlen[pi] = (int32_t)tlen;
-        out_nops[pi] = nops;
-        for (int64_t k = 0; k < nops; k++) {
-            if (total_ops < ops_cap) {
-                ops_op[total_ops] = ops[k];
-                ops_dq[total_ops] = dq[k];
-                ops_dt[total_ops] = dt[k];
-            }
-            total_ops++;
-        }
-    };
-
-    for (int64_t pi = 0; pi < n_problems; pi++) {
-        const uint8_t* q = q_all + q_off[pi];
-        const uint8_t* t = t_all + t_off[pi];
-        int64_t nq = q_off[pi + 1] - q_off[pi];
-        int64_t nt = t_off[pi + 1] - t_off[pi];
-        bool global = modes[pi] == 0;
-        // fast/edge paths mirror _solve_one exactly
-        if (!global && nq > 0 && nq <= nt && !memcmp(q, t, nq)) {
-            int8_t op = 0; int32_t d = (int32_t)nq;
-            emit(pi, nq, nq, &op, &d, &d, 1);
-            continue;
-        }
-        if (nq == 0 && nt == 0) { emit(pi, 0, 0, nullptr, nullptr, nullptr, 0); continue; }
-        if (nq == 0) {
-            if (global) { int8_t op = 2; int32_t z = 0, d = (int32_t)nt;
-                          emit(pi, 0, nt, &op, &z, &d, 1); }
-            else emit(pi, 0, 0, nullptr, nullptr, nullptr, 0);
-            continue;
-        }
-        if (nt == 0) {
-            if (global) { int8_t op = 1; int32_t d = (int32_t)nq, z = 0;
-                          emit(pi, nq, 0, &op, &d, &z, 1); }
-            else emit(pi, 0, 0, nullptr, nullptr, nullptr, 0);
-            continue;
-        }
-
+    mop.clear(); mdq.clear(); mdt.clear();
+    *out_qlen = 0; *out_tlen = 0;
+    // fast/edge paths mirror _solve_one exactly
+    if (!global && nq > 0 && nq <= nt && !memcmp(q, t, nq)) {
+        mop.push_back(0); mdq.push_back((int32_t)nq);
+        mdt.push_back((int32_t)nq);
+        *out_qlen = nq; *out_tlen = nq;
+        return;
+    }
+    if (nq == 0 && nt == 0) return;
+    if (nq == 0) {
+        if (global) { mop.push_back(2); mdq.push_back(0);
+                      mdt.push_back((int32_t)nt); *out_tlen = nt; }
+        return;
+    }
+    if (nt == 0) {
+        if (global) { mop.push_back(1); mdq.push_back((int32_t)nq);
+                      mdt.push_back(0); *out_qlen = nq; }
+        return;
+    }
+    {
+        std::vector<int64_t> h, e;
+        std::vector<uint8_t> ptr;
+        std::vector<int8_t> rev_ops;
         int64_t width = nt + 1;
         h.assign(width, 0);
         e.assign(width, NEG);
@@ -608,10 +587,8 @@ int64_t solve_dp_batch_c(
         }
         int64_t qi, tj;
         if (global) { qi = nq; tj = nt; }
-        else if (best_val <= 0) {
-            emit(pi, 0, 0, nullptr, nullptr, nullptr, 0);
-            continue;
-        } else { qi = best_i; tj = best_j; }
+        else if (best_val <= 0) return;
+        else { qi = best_i; tj = best_j; }
 
         // traceback (same state machine as _traceback_bits), then merge
         rev_ops.clear();
@@ -635,8 +612,6 @@ int64_t solve_dp_batch_c(
                 j--;
             }
         }
-        std::vector<int8_t> mop;
-        std::vector<int32_t> mdq, mdt;
         for (int64_t k = (int64_t)rev_ops.size() - 1; k >= 0; k--) {
             int8_t op = rev_ops[k];
             int32_t dq = op == 2 ? 0 : 1, dt = op == 1 ? 0 : 1;
@@ -644,10 +619,261 @@ int64_t solve_dp_batch_c(
                 mdq.back() += dq; mdt.back() += dt;
             } else { mop.push_back(op); mdq.push_back(dq); mdt.push_back(dt); }
         }
-        emit(pi, qi, tj, mop.data(), mdq.data(), mdt.data(),
-             (int64_t)mop.size());
+        *out_qlen = qi;
+        *out_tlen = tj;
+    }
+}
+
+int64_t solve_dp_batch_c(
+    const uint8_t* q_all, const int64_t* q_off,
+    const uint8_t* t_all, const int64_t* t_off,
+    const uint8_t* modes, int64_t n_problems,
+    int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus,
+    int32_t* out_qlen, int32_t* out_tlen, int64_t* out_nops,
+    int8_t* ops_op, int32_t* ops_dq, int32_t* ops_dt, int64_t ops_cap) {
+    int64_t total_ops = 0;
+    std::vector<int8_t> mop;
+    std::vector<int32_t> mdq, mdt;
+    for (int64_t pi = 0; pi < n_problems; pi++) {
+        int64_t qlen, tlen;
+        solve_one_dp(q_all + q_off[pi], q_off[pi + 1] - q_off[pi],
+                     t_all + t_off[pi], t_off[pi + 1] - t_off[pi],
+                     modes[pi] == 0, match, mismatch, go_, ge_, end_bonus,
+                     &qlen, &tlen, mop, mdq, mdt);
+        out_qlen[pi] = (int32_t)qlen;
+        out_tlen[pi] = (int32_t)tlen;
+        out_nops[pi] = (int64_t)mop.size();
+        for (size_t k = 0; k < mop.size(); k++) {
+            if (total_ops < ops_cap) {
+                ops_op[total_ops] = mop[k];
+                ops_dq[total_ops] = mdq[k];
+                ops_dt[total_ops] = mdt[k];
+            }
+            total_ops++;
+        }
     }
     return total_ops <= ops_cap ? total_ops : -total_ops;
+}
+
+int64_t seed_chain2_c(
+    const uint8_t* codes, int64_t n, int32_t k, int32_t w,
+    int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, int64_t n_chroms,
+    int64_t min_intron, int64_t max_intron, int32_t match,
+    float intron_penalty, float indel_open, float indel_scale,
+    int64_t max_segments,
+    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte,
+    float* out_score, int32_t* out_chrom, int32_t* out_strand);
+
+// Fully-fused per-read alignment: seed+chain both orientations, gap fill
+// (splice-point search, affine-gap DP fills, end extensions), run
+// assembly, and extended-PSL emission in ONE call — the C++ twin of
+// aligner.map_batch's per-read path (_chain_both -> _fill -> dp ->
+// _build_runs -> emit), bit-identical to it (tests assert equality).
+// Returns the block count (0 = unaligned), or -needed if cs_cap is too
+// small. out_strand: 0 '+', 1 '-', -1 none.
+struct Run { int8_t op; int64_t q0, t0, len; };
+
+int64_t align_read_c(
+    const uint8_t* codes, int64_t n,
+    int32_t k, int32_t w, int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, const int64_t* chrom_sizes,
+    int64_t n_chroms, const uint8_t* genome,
+    int64_t min_intron, int64_t max_intron, int32_t chain_match,
+    float intron_penalty, float indel_open, float indel_scale,
+    int64_t max_segments, float min_chain_score,
+    int32_t dp_match, int32_t dp_mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus, int32_t band_width, int64_t max_end_extend,
+    int32_t splice_slack, int32_t noncanonical_penalty,
+    int32_t* out_strand, int32_t* out_chrom,
+    int64_t* stats, int64_t* blk_sizes, int64_t* blk_q, int64_t* blk_t,
+    char* cs, int64_t cs_cap) {
+    std::vector<int64_t> cq0(max_segments), cqe(max_segments),
+        ct0(max_segments), cte(max_segments);
+    float score;
+    int32_t chrom, strand;
+    int64_t nseg = seed_chain2_c(
+        codes, n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
+        sorted_positions, pos_is_u32, chrom_offsets, n_chroms, min_intron,
+        max_intron, chain_match, intron_penalty, indel_open, indel_scale,
+        max_segments, cq0.data(), cqe.data(), ct0.data(), cte.data(),
+        &score, &chrom, &strand);
+    *out_strand = -1;
+    *out_chrom = -1;
+    if (nseg == 0 || strand < 0) return 0;
+    int64_t total_len = 0;
+    for (int64_t i = 0; i < nseg; i++) total_len += cqe[i] - cq0[i];
+    if ((float)total_len < min_chain_score) return 0;
+
+    // oriented query (map_batch aligns the reverse complement for '-')
+    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
+    std::vector<uint8_t> qbuf;
+    const uint8_t* q = codes;
+    if (strand == 1) {
+        qbuf.resize(n);
+        for (int64_t i = 0; i < n; i++) qbuf[i] = COMP[codes[n - 1 - i]];
+        q = qbuf.data();
+    }
+    const uint8_t* g = genome;
+    int64_t chrom_off = chrom_offsets[chrom];
+    int64_t chrom_end = chrom_off + chrom_sizes[chrom];
+
+    std::vector<Run> runs;
+    auto push = [&](int8_t op, int64_t q0, int64_t t0, int64_t ln) {
+        if (ln > 0) runs.push_back({op, q0, t0, ln});
+    };
+    std::vector<int8_t> mop;
+    std::vector<int32_t> mdq, mdt;
+    std::vector<uint8_t> ra, rb;
+    // resolve one DP fill directly into runs (what _build_runs does with
+    // the batched results; the native solver is sequential anyway)
+    auto solve_into_runs = [&](int64_t q0, int64_t t0, const uint8_t* qs,
+                               int64_t nq, const uint8_t* ts, int64_t nt,
+                               int mode /*0 global 1 ext 2 ext_left*/) {
+        int64_t qlen, tlen;
+        solve_one_dp(qs, nq, ts, nt, mode == 0, dp_match, dp_mismatch,
+                     go_, ge_, end_bonus, &qlen, &tlen, mop, mdq, mdt);
+        if (mop.empty()) return;
+        if (mode == 2) {  // extend_left: reversed arrays, reversed ops
+            int64_t qq = q0 - qlen, tt = t0 - tlen;
+            for (int64_t i = (int64_t)mop.size() - 1; i >= 0; i--) {
+                int8_t op = mop[i];
+                push(op, qq, tt, op != 2 ? mdq[i] : mdt[i]);
+                qq += mdq[i];
+                tt += mdt[i];
+            }
+        } else {
+            int64_t qq = q0, tt = t0;
+            for (size_t i = 0; i < mop.size(); i++) {
+                int8_t op = mop[i];
+                push(op, qq, tt, op != 2 ? mdq[i] : mdt[i]);
+                qq += mdq[i];
+                tt += mdt[i];
+            }
+        }
+    };
+
+    // left end extension (reversed problem); never cross the chrom start
+    int64_t lq = cq0[0] < max_end_extend ? cq0[0] : max_end_extend;
+    if (lq > 0) {
+        int64_t lt = ct0[0] - chrom_off;
+        if (lt > lq + band_width) lt = lq + band_width;
+        ra.assign(lq, 0);
+        rb.assign(lt, 0);
+        for (int64_t i = 0; i < lq; i++) ra[i] = q[cq0[0] - 1 - i];
+        for (int64_t i = 0; i < lt; i++) rb[i] = g[ct0[0] - 1 - i];
+        solve_into_runs(cq0[0], ct0[0], ra.data(), lq, rb.data(), lt, 2);
+    }
+
+    // splice slack: pull intron-gap flanks back so the splice-point
+    // search can slide the junction onto the motif (_fill's slack pass)
+    for (int64_t i = 0; i + 1 < nseg; i++) {
+        int64_t dq = cq0[i + 1] - cqe[i];
+        int64_t dt = ct0[i + 1] - cte[i];
+        if (dt - dq >= min_intron && dq >= 0) {
+            int64_t len_a = cqe[i] - cq0[i];
+            int64_t len_b = cqe[i + 1] - cq0[i + 1];
+            int64_t s_back = (len_a - 1) / 2;
+            if (s_back > splice_slack) s_back = splice_slack;
+            int64_t s_fwd = (len_b - 1) / 2;
+            if (s_fwd > splice_slack) s_fwd = splice_slack;
+            cqe[i] -= s_back;
+            cte[i] -= s_back;
+            cq0[i + 1] += s_fwd;
+            ct0[i + 1] += s_fwd;
+        }
+    }
+
+    for (int64_t i = 0; i < nseg; i++) {
+        if (i > 0) {
+            int64_t pqe = cqe[i - 1], pte = cte[i - 1];
+            int64_t dq = cq0[i] - pqe;
+            int64_t dt = ct0[i] - pte;
+            if (dt - dq >= min_intron && dq >= 0) {
+                // splice-point search: choose split s in [0, dq] maximizing
+                // left+right matches + canonical-motif bonus (first max —
+                // numpy argmax tie-break)
+                int64_t n_intron = dt - dq;
+                uint8_t wd0, wd1, wa0, wa1;
+                if (strand == 0) { wd0 = 2; wd1 = 3; wa0 = 0; wa1 = 2; }
+                else { wd0 = 1; wd1 = 3; wa0 = 0; wa1 = 1; }
+                std::vector<int32_t> sum_r(dq + 1, 0);
+                for (int64_t s = dq - 1; s >= 0; s--)
+                    sum_r[s] = sum_r[s + 1]
+                        + (q[pqe + s] == g[ct0[i] - dq + s] ? 1 : 0);
+                int64_t best_s = 0;
+                int32_t best_score = INT32_MIN;
+                int32_t cum_l = 0;
+                for (int64_t s = 0; s <= dq; s++) {
+                    int64_t d = pte + s;
+                    int64_t a = ct0[i] - (dq - s);
+                    bool canon = g[d] == wd0 && g[d + 1] == wd1
+                        && g[a - 2] == wa0 && g[a - 1] == wa1;
+                    int32_t sc = cum_l + sum_r[s]
+                        + (canon ? noncanonical_penalty : 0);
+                    if (sc > best_score) { best_score = sc; best_s = s; }
+                    if (s < dq)
+                        cum_l += q[pqe + s] == g[pte + s] ? 1 : 0;
+                }
+                if (best_s > 0) push(0, pqe, pte, best_s);
+                push(3, pqe + best_s, pte + best_s, n_intron);
+                if (dq - best_s > 0)
+                    push(0, pqe + best_s, ct0[i] - (dq - best_s),
+                         dq - best_s);
+            } else if (dq == dt) {
+                if (dq > 0) push(0, pqe, pte, dq);
+            } else if (dq == 0) {
+                push(2, pqe, pte, dt);
+            } else if (dt == 0) {
+                push(1, pqe, pte, dq);
+            } else if (dq * dt <= 4000000) {
+                solve_into_runs(pqe, pte, q + pqe, dq, g + pte, dt, 0);
+            } else {  // degenerate huge gap: crude I+D fill
+                push(1, pqe, pte, dq);
+                push(2, cq0[i], pte, dt);
+            }
+        }
+        push(0, cq0[i], ct0[i], cqe[i] - cq0[i]);
+    }
+
+    // right end extension
+    int64_t rq = n - cqe[nseg - 1];
+    if (rq > max_end_extend) rq = max_end_extend;
+    if (rq > 0) {
+        int64_t rt = chrom_end - cte[nseg - 1];
+        if (rt > rq + band_width) rt = rq + band_width;
+        solve_into_runs(cqe[nseg - 1], cte[nseg - 1], q + cqe[nseg - 1],
+                        rq, g + cte[nseg - 1], rt, 1);
+    }
+
+    std::stable_sort(runs.begin(), runs.end(),
+                     [](const Run& a, const Run& b) {
+                         if (a.q0 != b.q0) return a.q0 < b.q0;
+                         return a.t0 < b.t0;
+                     });
+    if (runs.empty()) return 0;
+    std::vector<int8_t> r_op(runs.size());
+    std::vector<int64_t> r_q(runs.size()), r_t(runs.size()),
+        r_l(runs.size());
+    for (size_t i = 0; i < runs.size(); i++) {
+        r_op[i] = runs[i].op;
+        r_q[i] = runs[i].q0;
+        r_t[i] = runs[i].t0;
+        r_l[i] = runs[i].len;
+    }
+    int64_t cl = emit_psl_c(q, g, r_op.data(), r_q.data(), r_t.data(),
+                            r_l.data(), (int64_t)runs.size(), stats,
+                            blk_sizes, blk_q, blk_t, cs, cs_cap);
+    *out_strand = strand;
+    *out_chrom = chrom;
+    // >= 0: cs byte length (block count is in stats[7]);
+    // < 0: cs buffer too small, caller retries with -return bytes
+    return cl;
 }
 
 // Long-form cs-string tokenizer: C++ twin of core/csparse.py

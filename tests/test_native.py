@@ -263,3 +263,42 @@ def test_index_cache_roundtrip(tmp_path):
     # mismatched k invalidates the cache (rebuild, not reuse)
     c = cached_index(genome, 13, 5, cache)
     assert c.kmer == 13
+
+
+def test_fused_align_read_matches_staged_path():
+    """align_read_c (one-call seed+chain+fill+DP+emit) == the staged
+    Python path, field-for-field including cs strings."""
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.config import AlignConfig
+    from mandalorion_tpu.io.fastx import revcomp
+
+    rng = np.random.default_rng(8)
+    genome = synthdata.make_genome(400_000, seed=9)
+    reads = []
+    for g in range(4):
+        base = g * 90_000 + 5000
+        exons = []
+        pos = base
+        for _ in range(int(rng.integers(2, 5))):
+            ln = int(rng.integers(120, 900))
+            exons.append((pos, pos + ln))
+            pos += ln + int(rng.integers(100, 20_000))
+        strand = "+" if g % 2 == 0 else "-"
+        genome = synthdata.plant_introns(genome, exons, strand=strand)
+        t = synthdata.transcript_seq(genome, exons)
+        if strand == "-":
+            t = revcomp(t)
+        for ri in range(25):
+            reads.append((f"g{g}r{ri}",
+                          synthdata.mutate_read(t, rng, 0.03)[0]))
+    al = SpliceAligner({"chr1": genome}, AlignConfig())
+    fused = al.map_batch(reads)
+    orig = SpliceAligner._map_batch_native
+    SpliceAligner._map_batch_native = lambda self, r: None
+    try:
+        staged = al.map_batch(reads)
+    finally:
+        SpliceAligner._map_batch_native = orig
+    assert len(fused) == len(staged) > 0
+    for a, b in zip(fused, staged):
+        assert a == b, (a.q_name, a.cs[:80], b.cs[:80])
