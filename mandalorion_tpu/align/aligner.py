@@ -73,8 +73,9 @@ class SpliceAligner:
             from mandalorion_tpu.native import native_seed_chain
             res = native_seed_chain(
                 codes, cfg.kmer, cfg.window, cfg.max_occ, 100,
-                idx.sorted_hashes, idx.bucket_lo, idx.sorted_positions,
-                idx.chrom_offsets, cfg.min_intron, cfg.max_intron)
+                idx.sorted_hashes, idx.bucket_lo, idx.bucket_bits,
+                idx.sorted_positions, idx.chrom_offsets, cfg.min_intron,
+                cfg.max_intron)
             if res is not None:
                 q0, qe, t0, te, score, ci = res
                 if len(q0) == 0:
@@ -114,8 +115,9 @@ class SpliceAligner:
             from mandalorion_tpu.native import native_seed_chain2
             res = native_seed_chain2(
                 codes, cfg.kmer, cfg.window, cfg.max_occ, 100,
-                idx.sorted_hashes, idx.bucket_lo, idx.sorted_positions,
-                idx.chrom_offsets, cfg.min_intron, cfg.max_intron)
+                idx.sorted_hashes, idx.bucket_lo, idx.bucket_bits,
+                idx.sorted_positions, idx.chrom_offsets, cfg.min_intron,
+                cfg.max_intron)
             if res is not None:
                 q0, qe, t0, te, _score, ci, strand = res
                 if strand < 0 or len(q0) == 0:

@@ -42,7 +42,8 @@ class GenomeIndex:
     sorted_hashes: np.ndarray      # minimizer hashes, ascending (uint64)
     sorted_positions: np.ndarray   # global genome positions (uint32 when
                                    # the genome fits 4 Gbp, else int64)
-    bucket_lo: np.ndarray = None   # 2^16+1 offsets over hash top-16 bits
+    bucket_lo: np.ndarray = None   # 2^bits+1 offsets over hash top bits
+    bucket_bits: int = 16          # adaptive: ~8 minimizers per bucket
 
     @property
     def total_length(self) -> int:
@@ -62,7 +63,7 @@ class GenomeIndex:
         native bucketed binary search when available."""
         from mandalorion_tpu.native import native_lookup_ranges
         res = (native_lookup_ranges(self.sorted_hashes, self.bucket_lo,
-                                    hashes)
+                                    self.bucket_bits, hashes)
                if self.bucket_lo is not None else None)
         if res is not None:
             lo, hi = res
@@ -92,8 +93,8 @@ class GenomeIndex:
             return None
         res = native_seed_segments(
             codes, self.kmer, self.window, max_occ, merge_gap,
-            self.sorted_hashes, self.bucket_lo, self.sorted_positions,
-            self.chrom_offsets)
+            self.sorted_hashes, self.bucket_lo, self.bucket_bits,
+            self.sorted_positions, self.chrom_offsets)
         if res is None:
             return None
         chrom, qs, qe, ts, te, na = res
@@ -137,18 +138,31 @@ def build_index(genome: Dict[str, str], kmer: int = 15, window: int = 5,
     chrom_offsets = np.asarray(offsets, np.int64)
     chrom_sizes = np.asarray(sizes, np.int64)
     pos_u32 = offset < (1 << 32)  # hg38-scale genomes fit uint32
+    bits = _bucket_bits_for(offset)
     res = native_build_index(
         seq_codes, chrom_offsets, chrom_sizes, chrom_offsets,
-        kmer, window, chunk, threads or (os.cpu_count() or 1), pos_u32)
+        kmer, window, chunk, bits, threads or (os.cpu_count() or 1),
+        pos_u32)
     if res is not None:
         sorted_hashes, sorted_positions, bucket_lo = res
         return GenomeIndex(
             kmer=kmer, window=window, seq_codes=seq_codes,
             chrom_names=names, chrom_offsets=chrom_offsets,
             chrom_sizes=chrom_sizes, sorted_hashes=sorted_hashes,
-            sorted_positions=sorted_positions, bucket_lo=bucket_lo)
+            sorted_positions=sorted_positions, bucket_lo=bucket_lo,
+            bucket_bits=bits)
     return _build_index_numpy(seq_codes, names, chrom_offsets, chrom_sizes,
-                              kmer, window, chunk)
+                              kmer, window, chunk, bits)
+
+
+def _bucket_bits_for(total_bases: int) -> int:
+    """Bucket-table width targeting ~8 minimizers per bucket (minimizer
+    density ~ 1/3 per base at w=5): 16 bits up to ~1.6 Mbp, 28 at hg38
+    scale. Finer buckets cut binary-search probes per seed lookup."""
+    bits = 16
+    while bits < 28 and (total_bases // 3) >> bits > 8:
+        bits += 1
+    return bits
 
 
 def save_index(idx: GenomeIndex, path: str) -> None:
@@ -160,7 +174,8 @@ def save_index(idx: GenomeIndex, path: str) -> None:
              chrom_names=np.asarray(idx.chrom_names, dtype=object),
              chrom_offsets=idx.chrom_offsets, chrom_sizes=idx.chrom_sizes,
              sorted_hashes=idx.sorted_hashes,
-             sorted_positions=idx.sorted_positions, bucket_lo=idx.bucket_lo)
+             sorted_positions=idx.sorted_positions, bucket_lo=idx.bucket_lo,
+             bucket_bits=idx.bucket_bits)
     os.replace(tmp, path)
 
 
@@ -173,7 +188,9 @@ def load_index(path: str) -> GenomeIndex:
             chrom_offsets=z["chrom_offsets"], chrom_sizes=z["chrom_sizes"],
             sorted_hashes=z["sorted_hashes"],
             sorted_positions=z["sorted_positions"],
-            bucket_lo=z["bucket_lo"])
+            bucket_lo=z["bucket_lo"],
+            bucket_bits=int(z["bucket_bits"]) if "bucket_bits" in z
+            else 16)
 
 
 def cached_index(genome: Dict[str, str], kmer: int, window: int,
@@ -198,7 +215,8 @@ def cached_index(genome: Dict[str, str], kmer: int, window: int,
 
 def _build_index_numpy(seq_codes: np.ndarray, names: List[str],
                        chrom_offsets: np.ndarray, chrom_sizes: np.ndarray,
-                       kmer: int, window: int, chunk: int) -> GenomeIndex:
+                       kmer: int, window: int, chunk: int,
+                       bucket_bits: int = 16) -> GenomeIndex:
     """Pure-numpy index build (the native builder's oracle)."""
     pos_parts: List[np.ndarray] = []
     hash_parts: List[np.ndarray] = []
@@ -227,8 +245,9 @@ def _build_index_numpy(seq_codes: np.ndarray, names: List[str],
                 else np.zeros(0, np.uint64))
     order = np.argsort(all_hash, kind="stable")
     sorted_hashes = all_hash[order]
-    # bucket table over the hash's top 16 bits for the native lookup
-    bucket_edges = (np.arange(1 << 16, dtype=np.uint64) << np.uint64(48))
+    # bucket table over the hash's top bits for the native lookup
+    bucket_edges = (np.arange(1 << bucket_bits, dtype=np.uint64)
+                    << np.uint64(64 - bucket_bits))
     bucket_lo = np.searchsorted(sorted_hashes, bucket_edges, side="left")
     bucket_lo = np.append(bucket_lo, len(sorted_hashes)).astype(np.int64)
     sorted_positions = all_pos[order]
@@ -243,4 +262,5 @@ def _build_index_numpy(seq_codes: np.ndarray, names: List[str],
         sorted_hashes=sorted_hashes,
         sorted_positions=sorted_positions,
         bucket_lo=bucket_lo,
+        bucket_bits=bucket_bits,
     )

@@ -55,12 +55,15 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.encode_seq.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
         lib.lookup_ranges_c.restype = None
-        lib.lookup_ranges_c.argtypes = [ctypes.c_void_p] * 3 + [
-            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.lookup_ranges_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.seed_segments_c.restype = ctypes.c_int64
         lib.seed_segments_c.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64] + [ctypes.c_void_p] * 6
         lib.solve_dp_batch_c.restype = ctypes.c_int64
@@ -73,6 +76,7 @@ def load_native() -> Optional[ctypes.CDLL]:
         _chain_sig = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
@@ -90,7 +94,8 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64,                 # codes, n
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,  # k w max_occ
             ctypes.c_int32,                                  # merge_gap
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # index
+            ctypes.c_void_p, ctypes.c_void_p,                # index
+            ctypes.c_int32, ctypes.c_void_p,                 # bits, pos
             ctypes.c_int32,                                  # pos_is_u32
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # chroms
             ctypes.c_void_p,                                 # genome
@@ -109,7 +114,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_void_p]
+            ctypes.c_int32, ctypes.c_void_p]
         lib.index_build_finish.restype = None
         lib.index_build_finish.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -144,8 +149,8 @@ def native_minimizers(codes: np.ndarray, k: int, w: int
 
 def native_build_index(codes: np.ndarray, chrom_starts: np.ndarray,
                        chrom_sizes: np.ndarray, chrom_goffsets: np.ndarray,
-                       k: int, w: int, chunk: int, threads: int,
-                       pos_u32: bool):
+                       k: int, w: int, chunk: int, bucket_bits: int,
+                       threads: int, pos_u32: bool):
     """Parallel minimizer-index build: (sorted_hashes, sorted_positions,
     bucket_lo), bit-identical to align/index.py's numpy path, or None when
     the native library is unavailable."""
@@ -159,13 +164,13 @@ def native_build_index(codes: np.ndarray, chrom_starts: np.ndarray,
     total = ctypes.c_int64(0)
     handle = lib.index_build_start(
         codes.ctypes.data, starts.ctypes.data, sizes.ctypes.data,
-        goffs.ctypes.data, len(starts), k, w, chunk, threads,
-        ctypes.byref(total))
+        goffs.ctypes.data, len(starts), k, w, chunk, bucket_bits,
+        threads, ctypes.byref(total))
     n = total.value
     try:
         hashes = np.empty(n, np.uint64)
         positions = np.empty(n, np.uint32 if pos_u32 else np.int64)
-        bucket_lo = np.empty((1 << 16) + 1, np.int64)
+        bucket_lo = np.empty((1 << bucket_bits) + 1, np.int64)
     except MemoryError:
         lib.index_build_abort(handle)
         raise
@@ -185,7 +190,8 @@ _SEED_BUFS = _make_seed_bufs(4096)
 
 def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
                          merge_gap: int, sorted_hashes: np.ndarray,
-                         bucket_lo: np.ndarray, sorted_positions: np.ndarray,
+                         bucket_lo: np.ndarray, bucket_bits: int,
+                         sorted_positions: np.ndarray,
                          chrom_offsets: np.ndarray):
     """Fused minimizers -> lookup -> anchor collapse for one read
     orientation. Returns (chrom_ids, q_starts, q_ends, t_starts, t_ends,
@@ -203,7 +209,7 @@ def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
         cap = len(chrom)
         n = lib.seed_segments_c(
             codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
-            sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+            sorted_hashes.ctypes.data, bucket_lo.ctypes.data, bucket_bits,
             sorted_positions.ctypes.data, pos_is_u32,
             chrom_offsets.ctypes.data, len(chrom_offsets), cap,
             chrom.ctypes.data, qs.ctypes.data, qe.ctypes.data,
@@ -215,6 +221,7 @@ def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
 
 
 def native_lookup_ranges(sorted_hashes: np.ndarray, bucket_lo: np.ndarray,
+                         bucket_bits: int,
                          queries: np.ndarray):
     """Per-query [lo, hi) ranges in the sorted hash array, or None."""
     lib = load_native()
@@ -224,7 +231,7 @@ def native_lookup_ranges(sorted_hashes: np.ndarray, bucket_lo: np.ndarray,
     lo = np.empty(len(queries), np.int64)
     hi = np.empty(len(queries), np.int64)
     lib.lookup_ranges_c(sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
-                        queries.ctypes.data, len(queries),
+                        bucket_bits, queries.ctypes.data, len(queries),
                         lo.ctypes.data, hi.ctypes.data)
     return lo, hi
 
@@ -299,7 +306,8 @@ _CHAIN_BUFS = tuple(np.empty(512, np.int64) for _ in range(4))
 
 def native_seed_chain(codes: np.ndarray, k: int, w: int, max_occ: int,
                       merge_gap: int, sorted_hashes: np.ndarray,
-                      bucket_lo: np.ndarray, sorted_positions: np.ndarray,
+                      bucket_lo: np.ndarray, bucket_bits: int,
+                      sorted_positions: np.ndarray,
                       chrom_offsets: np.ndarray, min_intron: int,
                       max_intron: int, match: int = 1,
                       intron_penalty: float = 12.0, indel_open: float = 4.0,
@@ -319,7 +327,7 @@ def native_seed_chain(codes: np.ndarray, k: int, w: int, max_occ: int,
     chrom = ctypes.c_int32()
     n = lib.seed_chain_c(
         codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
-        sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+        sorted_hashes.ctypes.data, bucket_lo.ctypes.data, bucket_bits,
         sorted_positions.ctypes.data, pos_is_u32,
         chrom_offsets.ctypes.data, len(chrom_offsets),
         min_intron, max_intron, match, intron_penalty, indel_open,
@@ -331,7 +339,8 @@ def native_seed_chain(codes: np.ndarray, k: int, w: int, max_occ: int,
 
 def native_seed_chain2(codes: np.ndarray, k: int, w: int, max_occ: int,
                        merge_gap: int, sorted_hashes: np.ndarray,
-                       bucket_lo: np.ndarray, sorted_positions: np.ndarray,
+                       bucket_lo: np.ndarray, bucket_bits: int,
+                       sorted_positions: np.ndarray,
                        chrom_offsets: np.ndarray, min_intron: int,
                        max_intron: int, match: int = 1,
                        intron_penalty: float = 12.0,
@@ -352,7 +361,7 @@ def native_seed_chain2(codes: np.ndarray, k: int, w: int, max_occ: int,
     strand = ctypes.c_int32()
     n = lib.seed_chain2_c(
         codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
-        sorted_hashes.ctypes.data, bucket_lo.ctypes.data,
+        sorted_hashes.ctypes.data, bucket_lo.ctypes.data, bucket_bits,
         sorted_positions.ctypes.data, pos_is_u32,
         chrom_offsets.ctypes.data, len(chrom_offsets),
         min_intron, max_intron, match, intron_penalty, indel_open,
@@ -401,6 +410,7 @@ def native_align_read(codes: np.ndarray, k: int, w: int, max_occ: int,
         cl = lib.align_read_c(
             codes.ctypes.data, n, k, w, max_occ, merge_gap,
             index.sorted_hashes.ctypes.data, index.bucket_lo.ctypes.data,
+            index.bucket_bits,
             index.sorted_positions.ctypes.data, pos_is_u32,
             index.chrom_offsets.ctypes.data, index.chrom_sizes.ctypes.data,
             len(index.chrom_offsets), index.seq_codes.ctypes.data,

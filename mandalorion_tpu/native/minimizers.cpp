@@ -135,9 +135,11 @@ static void build_segments(
     const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
     std::vector<Seg>& out) {
+    const int32_t bucket_shift = 64 - bucket_bits;
     out.clear();
     int64_t m = n - k + 1;
     if (m <= 0) return;
@@ -152,7 +154,7 @@ static void build_segments(
     const int64_t* pos64 = (const int64_t*)sorted_positions;
     for (int64_t i = 0; i < nmin; i++) {
         uint64_t hq = mhash[i];
-        uint32_t b = (uint32_t)(hq >> 48);
+        uint32_t b = (uint32_t)(hq >> bucket_shift);
         int64_t l = bucket_lo[b], r = bucket_lo[b + 1];
         while (l < r) {  // lower bound
             int64_t mid = (l + r) >> 1;
@@ -206,14 +208,15 @@ int64_t seed_segments_c(
     const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
     int64_t cap, int32_t* out_chrom, int64_t* out_qs, int64_t* out_qe,
     int64_t* out_ts, int64_t* out_te, int64_t* out_nanchor) {
     std::vector<Seg> segs;
     build_segments(codes, n, k, w, max_occ, merge_gap, sorted_hashes,
-                   bucket_lo, sorted_positions, pos_is_u32, chrom_offsets,
-                   n_chroms, segs);
+                   bucket_lo, bucket_bits, sorted_positions, pos_is_u32,
+                   chrom_offsets, n_chroms, segs);
     int64_t count = (int64_t)segs.size();
     if (count > cap) return -count;
     for (int64_t i = 0; i < count; i++) {
@@ -360,6 +363,7 @@ int64_t seed_chain_c(
     const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
     int64_t min_intron, int64_t max_intron, int32_t match,
@@ -369,8 +373,8 @@ int64_t seed_chain_c(
     float* out_score, int32_t* out_chrom) {
     std::vector<Seg> segs;
     build_segments(codes, n, k, w, max_occ, merge_gap, sorted_hashes,
-                   bucket_lo, sorted_positions, pos_is_u32, chrom_offsets,
-                   n_chroms, segs);
+                   bucket_lo, bucket_bits, sorted_positions, pos_is_u32,
+                   chrom_offsets, n_chroms, segs);
     *out_score = 0.0f;
     *out_chrom = -1;
     if (segs.empty()) return 0;
@@ -660,6 +664,7 @@ int64_t seed_chain2_c(
     const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
     int64_t min_intron, int64_t max_intron, int32_t match,
@@ -681,6 +686,7 @@ int64_t align_read_c(
     const uint8_t* codes, int64_t n,
     int32_t k, int32_t w, int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, const int64_t* chrom_sizes,
     int64_t n_chroms, const uint8_t* genome,
@@ -699,7 +705,8 @@ int64_t align_read_c(
     int32_t chrom, strand;
     int64_t nseg = seed_chain2_c(
         codes, n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
-        sorted_positions, pos_is_u32, chrom_offsets, n_chroms, min_intron,
+        bucket_bits, sorted_positions, pos_is_u32, chrom_offsets,
+        n_chroms, min_intron,
         max_intron, chain_match, intron_penalty, indel_open, indel_scale,
         max_segments, cq0.data(), cqe.data(), ct0.data(), cte.data(),
         &score, &chrom, &strand);
@@ -949,6 +956,7 @@ int64_t seed_chain2_c(
     const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     int64_t max_occ, int32_t merge_gap,
     const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
     int64_t min_intron, int64_t max_intron, int32_t match,
@@ -959,7 +967,8 @@ int64_t seed_chain2_c(
     static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
     int64_t nf = seed_chain_c(
         codes, n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
-        sorted_positions, pos_is_u32, chrom_offsets, n_chroms, min_intron,
+        bucket_bits, sorted_positions, pos_is_u32, chrom_offsets,
+        n_chroms, min_intron,
         max_intron, match, intron_penalty, indel_open, indel_scale,
         max_segments, cq0, cqe, ct0, cte, out_score, out_chrom);
     float sf = nf > 0 ? *out_score : 0.0f;
@@ -971,7 +980,8 @@ int64_t seed_chain2_c(
     int32_t cr;
     int64_t nr = seed_chain_c(
         rc.data(), n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
-        sorted_positions, pos_is_u32, chrom_offsets, n_chroms, min_intron,
+        bucket_bits, sorted_positions, pos_is_u32, chrom_offsets,
+        n_chroms, min_intron,
         max_intron, match, intron_penalty, indel_open, indel_scale,
         max_segments, rq0.data(), rqe.data(), rt0.data(), rte.data(),
         &sr_raw, &cr);
@@ -1012,12 +1022,13 @@ struct IndexChunkTask {
 
 struct IndexBuildState {
     int32_t k, w;
+    int32_t bucket_bits;
     std::vector<IndexChunkTask> tasks;
     // retained per-task minimizer buffers (memory-rich host: one sweep)
     std::vector<std::vector<uint64_t>> hashes;
     std::vector<std::vector<int64_t>> positions;
     int64_t total = 0;
-    int64_t bucket_counts[1 << 16];
+    std::vector<int64_t> bucket_counts;
 };
 
 static void index_sweep_range(IndexBuildState* st, size_t t0, size_t t1) {
@@ -1051,10 +1062,11 @@ void* index_build_start(
     const uint8_t* codes, const int64_t* chrom_starts,
     const int64_t* chrom_sizes, const int64_t* chrom_goffsets,
     int64_t n_chroms, int32_t k, int32_t w, int64_t chunk,
-    int32_t n_threads, int64_t* out_total) {
+    int32_t bucket_bits, int32_t n_threads, int64_t* out_total) {
     IndexBuildState* st = new IndexBuildState();
     st->k = k;
     st->w = w;
+    st->bucket_bits = bucket_bits;
     for (int64_t c = 0; c < n_chroms; c++) {
         const uint8_t* base = codes + chrom_starts[c];
         int64_t clen = chrom_sizes[c];
@@ -1081,11 +1093,12 @@ void* index_build_start(
     for (int i = 1; i < nthr; i++) pool.emplace_back(worker);
     worker();
     for (auto& th : pool) th.join();
-    memset(st->bucket_counts, 0, sizeof(st->bucket_counts));
+    st->bucket_counts.assign((int64_t)1 << bucket_bits, 0);
+    const int32_t bucket_shift = 64 - bucket_bits;
     for (size_t ti = 0; ti < nt; ti++) {
         st->total += (int64_t)st->hashes[ti].size();
         for (uint64_t h : st->hashes[ti])
-            st->bucket_counts[(uint32_t)(h >> 48)]++;
+            st->bucket_counts[(uint32_t)(h >> bucket_shift)]++;
     }
     *out_total = st->total;
     return st;
@@ -1093,9 +1106,10 @@ void* index_build_start(
 
 void index_build_finish(
     void* handle, uint64_t* out_hashes, void* out_pos, int32_t pos_is_u32,
-    int64_t* bucket_lo /* 2^16 + 1 */, int32_t n_threads) {
+    int64_t* bucket_lo /* 2^bits + 1 */, int32_t n_threads) {
     IndexBuildState* st = (IndexBuildState*)handle;
-    const int64_t NB = 1 << 16;
+    const int64_t NB = (int64_t)1 << st->bucket_bits;
+    const int32_t bucket_shift = 64 - st->bucket_bits;
     bucket_lo[0] = 0;
     for (int64_t b = 0; b < NB; b++)
         bucket_lo[b + 1] = bucket_lo[b] + st->bucket_counts[b];
@@ -1115,7 +1129,7 @@ void index_build_finish(
             const auto& hs = st->hashes[ti];
             const auto& ps = st->positions[ti];
             for (size_t i = 0; i < hs.size(); i++) {
-                uint32_t b = (uint32_t)(hs[i] >> 48);
+                uint32_t b = (uint32_t)(hs[i] >> bucket_shift);
                 int64_t at = cursor[b].fetch_add(1,
                                                  std::memory_order_relaxed);
                 out_hashes[at] = hs[i];
@@ -1166,11 +1180,13 @@ void index_build_abort(void* handle) {
 // hash array, restricted to its top-16-bit bucket (bucket_lo has 65537
 // entries). Cuts probe count and cache misses vs full-range binary search.
 void lookup_ranges_c(const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+                     int32_t bucket_bits,
                      const uint64_t* queries, int64_t n_queries,
                      int64_t* out_lo, int64_t* out_hi) {
+    const int32_t bucket_shift = 64 - bucket_bits;
     for (int64_t qi = 0; qi < n_queries; qi++) {
         uint64_t q = queries[qi];
-        uint32_t b = (uint32_t)(q >> 48);
+        uint32_t b = (uint32_t)(q >> bucket_shift);
         int64_t lo = bucket_lo[b], hi = bucket_lo[b + 1];
         // lower bound
         int64_t l = lo, r = hi;
