@@ -436,8 +436,8 @@ class SpliceAligner:
                 codes, cfg.kmer, cfg.window, cfg.max_occ, 100, self.index,
                 cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
                 cfg_min_len(cfg), cfg.match, cfg.mismatch, cfg.gap_open,
-                cfg.gap_extend, cfg.end_bonus, cfg.band_width,
-                cfg.max_end_extend, cfg.splice_slack,
+                cfg.gap_extend, cfg.end_bonus, getattr(cfg, "zdrop", 0),
+                cfg.band_width, cfg.max_end_extend, cfg.splice_slack,
                 cfg.noncanonical_penalty)
             if res is None:
                 return None

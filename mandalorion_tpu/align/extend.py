@@ -63,7 +63,7 @@ def solve_dp_native(problems: Sequence[DpProblem],
         [p.q for p in problems], [p.t for p in problems],
         [0 if p.mode == "global" else 1 for p in problems],
         cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-        cfg.end_bonus)
+        cfg.end_bonus, getattr(cfg, "zdrop", 0))
     if res is None:
         return solve_dp_numpy(problems, cfg)
     q_lens, t_lens, n_ops, ops_op, ops_dq, ops_dt = res
@@ -183,11 +183,22 @@ def _solve_one(p: DpProblem, cfg: AlignConfig) -> DpResult:
     ptr[0, 1:] = 2
     ptr[0, 2:] |= 1 << 3
     best_val, best_i, best_j = 0, 0, 0
+    zdrop = getattr(cfg, "zdrop", 0)
+    raw_best = 0  # H[0,0]; running best WITHOUT end bonus (zdrop baseline)
     for i in range(1, nq + 1):
         sub = np.where(p.t == p.q[i - 1], match, mis).astype(np.int64)
         h, e, packed = _row_step_np(h, e, sub, jidx, go, ge)
         ptr[i] = packed
         if p.mode != "global":
+            raw_row = int(h.max())
+            if zdrop > 0:
+                # minimap2 -z analogue: stop extending once the score
+                # falls more than zdrop below the running best; the
+                # triggering row is not considered
+                if raw_row < raw_best - zdrop:
+                    break
+                if raw_row > raw_best:
+                    raw_best = raw_row
             eff = h if (cfg.end_bonus == 0 or i != nq) else h + cfg.end_bonus
             row_best = int(eff.max())
             if row_best > best_val:

@@ -102,7 +102,7 @@ def _row0(jidx, go, ge):
 # ------------------------------------------------------------ jax backend
 
 @functools.lru_cache(maxsize=32)
-def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0):
+def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0, zdrop=0):
     def one(q, t_codes, qlen, tlen):
         """q (max_q,), t_codes (128,) with lane j = base j-1."""
         jidx = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -124,6 +124,16 @@ def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0):
         iidx = jnp.arange(max_q + 1)[:, None]
         jj = jnp.arange(128)[None, :]
         valid = (iidx >= 1) & (iidx <= qlen) & (jj <= tlen)
+        if zdrop > 0:
+            # minimap2 -z: exclude the first row whose raw best falls
+            # more than zdrop below the running best, and every row
+            # after it — the vector form of the oracle's loop break
+            raw = jnp.max(jnp.where(valid, hs, NEG), axis=1)
+            run = jnp.maximum(jax.lax.cummax(raw), 0)  # baseline H[0,0]=0
+            prev = jnp.concatenate([jnp.zeros(1, run.dtype), run[:-1]])
+            cutf = (raw < prev - zdrop) & (iidx[:, 0] >= 1)  # row 0 = base
+            first_cut = jnp.min(jnp.where(cutf, iidx[:, 0], max_q + 2))
+            valid = valid & (iidx < first_cut)
         masked = jnp.where(valid, hs, NEG)
         masked = masked + jnp.where((iidx == qlen) & valid, end_bonus, 0)
         flat = jnp.argmax(masked)
@@ -143,7 +153,7 @@ def solve_dp_rowscan(problems: Sequence[DpProblem], cfg: AlignConfig
 
 def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
     fn = _rowscan_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-                     max_q, cfg.end_bonus)
+                     max_q, cfg.end_bonus, getattr(cfg, "zdrop", 0))
     ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
                    jnp.asarray(qlen[:, 0]), jnp.asarray(tlen[:, 0]))
     return np.asarray(ptr), np.asarray(meta)
@@ -153,7 +163,8 @@ def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
 
 def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
                h_scr, e_scr, final_scr, bestv_scr, besti_scr, bestj_scr,
-               *, match, mismatch, go, ge, end_bonus, max_q):
+               raw_scr, cut_scr,
+               *, match, mismatch, go, ge, end_bonus, zdrop, max_q):
     """DP state and best-cell tracking live in VMEM scratch (fori_loop
     carries of mixed layouts trip Mosaic relayout); only pointer bits and
     a small meta row stream to HBM. meta lanes: 0 best_i, 1 best_j,
@@ -172,6 +183,8 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
     bestv_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # best = H[0,0] = 0
     besti_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)
     bestj_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)
+    raw_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # running raw best
+    cut_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # zdrop latch
 
     def body(i, _):
         h_prev = h_scr[:, :]
@@ -189,6 +202,19 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
         is_final = qlen == (i + 1)
         final_scr[:, :] = jnp.where(is_final, h_row, final_scr[:, :])
         valid = (jidx <= tlen) & ((i + 1) <= qlen)
+        zero = 0 * jidx  # broadcast (TILE,1) -> (TILE,128)
+        if zdrop > 0:
+            # minimap2 -z latch: the triggering row is itself excluded
+            raw_row = jnp.max(jnp.where(valid, h_row, NEG), axis=1,
+                              keepdims=True)
+            newly = raw_row < raw_scr[:, 0:1] - zdrop
+            cut = jnp.maximum(cut_scr[:, 0:1],
+                              newly.astype(jnp.int32))
+            valid = valid & (cut == 0)
+            grow = (cut == 0) & (raw_row > raw_scr[:, 0:1])
+            raw_scr[:, :] = jnp.where(grow, raw_row,
+                                      raw_scr[:, 0:1]) + zero
+            cut_scr[:, :] = cut + zero
         masked = jnp.where(valid, h_row, NEG)
         if end_bonus:
             masked = masked + jnp.where(is_final & valid, end_bonus, 0)
@@ -197,7 +223,6 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
         row_arg = jnp.min(jnp.where(masked == row_best, jidx, 128),
                           axis=1, keepdims=True)
         better = row_best > bestv_scr[:, 0:1]
-        zero = 0 * jidx  # broadcast (TILE,1) -> (TILE,128)
         bestv_scr[:, :] = jnp.where(better, row_best,
                                     bestv_scr[:, 0:1]) + zero
         besti_scr[:, :] = jnp.where(better, i + 1,
@@ -218,11 +243,11 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _pallas_fn(match, mismatch, go, ge, end_bonus, n_tiles, max_q,
+def _pallas_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
                interpret):
     kernel = functools.partial(_dp_kernel, match=match, mismatch=mismatch,
                                go=go, ge=ge, end_bonus=end_bonus,
-                               max_q=max_q)
+                               zdrop=zdrop, max_q=max_q)
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -248,7 +273,7 @@ def _pallas_fn(match, mismatch, go, ge, end_bonus, n_tiles, max_q,
             jax.ShapeDtypeStruct((n_tiles * TILE, 128), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((TILE, 128), jnp.int32)
-                        for _ in range(6)],
+                        for _ in range(8)],
         interpret=interpret,
     )
     return jax.jit(fn)
@@ -257,7 +282,8 @@ def _pallas_fn(match, mismatch, go, ge, end_bonus, n_tiles, max_q,
 def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
     n_tiles = q_arr.shape[0] // TILE
     fn = _pallas_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-                    cfg.end_bonus, n_tiles, max_q, interpret)
+                    cfg.end_bonus, getattr(cfg, "zdrop", 0), n_tiles,
+                    max_q, interpret)
     ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
                    jnp.asarray(qlen), jnp.asarray(tlen))
     # ptr layout (rows, N, 128) -> (N, rows, 128) for the shared traceback

@@ -34,6 +34,11 @@ class AlignConfig:
     splice_slack: int = 10         # junction slide window for motif search
     end_bonus: int = 0             # extension bonus for consuming the
                                    # whole query (star consensus sets 12)
+    zdrop: int = 0                 # stop extension once the score falls
+                                   # >zdrop below the running best
+                                   # (minimap2 -z analogue; 0 disables).
+                                   # Identical semantics in all backends
+                                   # (tests/test_kernels.py)
     max_end_extend: int = 2048     # max bases of end extension DP
     batch_reads: int = 512         # reads per device batch
     # note: -uf forward-splice and --secondary=no are structural (strand-

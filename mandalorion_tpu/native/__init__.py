@@ -68,7 +68,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int64] + [ctypes.c_void_p] * 6
         lib.solve_dp_batch_c.restype = ctypes.c_int64
         lib.solve_dp_batch_c.argtypes = [ctypes.c_void_p] * 5 + [
-            ctypes.c_int64] + [ctypes.c_int32] * 5 + [
+            ctypes.c_int64] + [ctypes.c_int32] * 6 + [
             ctypes.c_void_p] * 6 + [ctypes.c_int64]
         lib.emit_psl_c.restype = ctypes.c_int64
         lib.emit_psl_c.argtypes = [ctypes.c_void_p] * 6 + [
@@ -104,6 +104,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_float,                  # max_seg,min_sc
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # dp m/mm/go
             ctypes.c_int32, ctypes.c_int32,                  # ge, end_bonus
+            ctypes.c_int32,                                  # zdrop
             ctypes.c_int32, ctypes.c_int64,                  # band, max_ext
             ctypes.c_int32, ctypes.c_int32,                  # slack, ncp
             ctypes.c_void_p, ctypes.c_void_p,                # strand, chrom
@@ -237,7 +238,7 @@ def native_lookup_ranges(sorted_hashes: np.ndarray, bucket_lo: np.ndarray,
 
 
 def native_solve_dp_batch(q_list, t_list, modes, match, mismatch,
-                          gap_open, gap_extend, end_bonus):
+                          gap_open, gap_extend, end_bonus, zdrop=0):
     """Batched affine-gap DP through the C++ scalar twin of
     extend._solve_one (bit-identical integer math). q_list/t_list are
     uint8 code arrays; modes[i] is 0 (global) or 1 (extension). Returns
@@ -267,7 +268,7 @@ def native_solve_dp_batch(q_list, t_list, modes, match, mismatch,
         q_all.ctypes.data, q_off.ctypes.data,
         t_all.ctypes.data, t_off.ctypes.data,
         modes_arr.ctypes.data, n, match, mismatch, gap_open, gap_extend,
-        end_bonus, q_lens.ctypes.data, t_lens.ctypes.data,
+        end_bonus, zdrop, q_lens.ctypes.data, t_lens.ctypes.data,
         n_ops.ctypes.data, ops_op.ctypes.data, ops_dq.ctypes.data,
         ops_dt.ctypes.data, cap)
     assert total >= 0, "native DP ops capacity undersized"
@@ -382,7 +383,8 @@ def native_align_read(codes: np.ndarray, k: int, w: int, max_occ: int,
                       indel_scale: float, max_segments: int,
                       min_chain_score: float, dp_match: int,
                       dp_mismatch: int, gap_open: int, gap_extend: int,
-                      end_bonus: int, band_width: int, max_end_extend: int,
+                      end_bonus: int, zdrop: int, band_width: int,
+                      max_end_extend: int,
                       splice_slack: int, noncanonical_penalty: int):
     """Fully-fused per-read alignment (seed+chain+fill+DP+emit in one C
     call). Returns (strand, chrom_idx, stats, block_sizes, q_starts,
@@ -417,7 +419,7 @@ def native_align_read(codes: np.ndarray, k: int, w: int, max_occ: int,
             min_intron, max_intron, chain_match, intron_penalty,
             indel_open, indel_scale, max_segments, min_chain_score,
             dp_match, dp_mismatch, gap_open, gap_extend, end_bonus,
-            band_width, max_end_extend, splice_slack,
+            zdrop, band_width, max_end_extend, splice_slack,
             noncanonical_penalty, ctypes.byref(strand),
             ctypes.byref(chrom), stats.ctypes.data, bs.ctypes.data,
             bq.ctypes.data, bt.ctypes.data, cs_buf, cs_cap)

@@ -504,7 +504,7 @@ int64_t emit_psl_c(
 static void solve_one_dp(
     const uint8_t* q, int64_t nq, const uint8_t* t, int64_t nt,
     bool global, int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
-    int32_t end_bonus, int64_t* out_qlen, int64_t* out_tlen,
+    int32_t end_bonus, int32_t zdrop, int64_t* out_qlen, int64_t* out_tlen,
     std::vector<int8_t>& mop, std::vector<int32_t>& mdq,
     std::vector<int32_t>& mdt) {
     const int64_t NEG = -1000000000LL;
@@ -540,6 +540,7 @@ static void solve_one_dp(
         for (int64_t j = 1; j < width; j++) ptr[j] = 2;
         for (int64_t j = 2; j < width; j++) ptr[j] |= 1 << 3;
         int64_t best_val = 0, best_i = 0, best_j = 0;
+        int64_t raw_best = 0;  // running best WITHOUT end bonus (zdrop)
         for (int64_t i = 1; i <= nq; i++) {
             uint8_t* prow = ptr.data() + i * width;
             uint8_t qc = q[i - 1];
@@ -582,6 +583,12 @@ static void solve_one_dp(
                 if (h_val > row_best) { row_best = h_val; row_arg = j; }
             }
             if (!global) {
+                if (zdrop > 0) {
+                    // minimap2 -z analogue: the triggering row is not
+                    // considered (matches _solve_one's break placement)
+                    if (row_best < raw_best - zdrop) break;
+                    if (row_best > raw_best) raw_best = row_best;
+                }
                 int64_t eff = row_best
                     + ((end_bonus != 0 && i == nq) ? end_bonus : 0);
                 if (eff > best_val) {
@@ -633,7 +640,7 @@ int64_t solve_dp_batch_c(
     const uint8_t* t_all, const int64_t* t_off,
     const uint8_t* modes, int64_t n_problems,
     int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
-    int32_t end_bonus,
+    int32_t end_bonus, int32_t zdrop,
     int32_t* out_qlen, int32_t* out_tlen, int64_t* out_nops,
     int8_t* ops_op, int32_t* ops_dq, int32_t* ops_dt, int64_t ops_cap) {
     int64_t total_ops = 0;
@@ -644,7 +651,7 @@ int64_t solve_dp_batch_c(
         solve_one_dp(q_all + q_off[pi], q_off[pi + 1] - q_off[pi],
                      t_all + t_off[pi], t_off[pi + 1] - t_off[pi],
                      modes[pi] == 0, match, mismatch, go_, ge_, end_bonus,
-                     &qlen, &tlen, mop, mdq, mdt);
+                     zdrop, &qlen, &tlen, mop, mdq, mdt);
         out_qlen[pi] = (int32_t)qlen;
         out_tlen[pi] = (int32_t)tlen;
         out_nops[pi] = (int64_t)mop.size();
@@ -694,7 +701,8 @@ int64_t align_read_c(
     float intron_penalty, float indel_open, float indel_scale,
     int64_t max_segments, float min_chain_score,
     int32_t dp_match, int32_t dp_mismatch, int32_t go_, int32_t ge_,
-    int32_t end_bonus, int32_t band_width, int64_t max_end_extend,
+    int32_t end_bonus, int32_t zdrop, int32_t band_width,
+    int64_t max_end_extend,
     int32_t splice_slack, int32_t noncanonical_penalty,
     int32_t* out_strand, int32_t* out_chrom,
     int64_t* stats, int64_t* blk_sizes, int64_t* blk_q, int64_t* blk_t,
@@ -744,7 +752,8 @@ int64_t align_read_c(
                                int mode /*0 global 1 ext 2 ext_left*/) {
         int64_t qlen, tlen;
         solve_one_dp(qs, nq, ts, nt, mode == 0, dp_match, dp_mismatch,
-                     go_, ge_, end_bonus, &qlen, &tlen, mop, mdq, mdt);
+                     go_, ge_, end_bonus, zdrop, &qlen, &tlen, mop, mdq,
+                     mdt);
         if (mop.empty()) return;
         if (mode == 2) {  // extend_left: reversed arrays, reversed ops
             int64_t qq = q0 - qlen, tt = t0 - tlen;

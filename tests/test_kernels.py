@@ -109,3 +109,49 @@ def test_native_dp_matches_oracle(mode, bonus):
         [q, rng.integers(0, 4, 10).astype(np.uint8)]), mode))
     _assert_same(solve_dp_numpy(problems, cfg),
                  solve_dp_native(problems, cfg), f"native-{mode}-b{bonus}")
+
+
+def _zdrop_problems(rng, n):
+    """Extensions where a matching head is followed by unrelated junk —
+    the case zdrop exists for (stop instead of wading through noise)."""
+    problems = []
+    for _ in range(n):
+        head = int(rng.integers(5, 60))
+        junk = int(rng.integers(0, 80))
+        t_head = rng.integers(0, 4, size=head).astype(np.uint8)
+        q = np.concatenate([t_head,
+                            rng.integers(0, 4, size=junk).astype(np.uint8)])
+        t = np.concatenate([t_head, (3 - rng.integers(0, 4, size=junk + 10))
+                            .astype(np.uint8)])[:MAXT]
+        # bury an exact-prefix fast path trigger sometimes
+        problems.append(DpProblem(q, t, "extend_right"))
+    return problems
+
+
+@pytest.mark.parametrize("zdrop,bonus", [(10, 0), (25, 12), (200, 0)])
+def test_zdrop_identical_across_backends(zdrop, bonus):
+    from mandalorion_tpu.align.extend import solve_dp_native
+    rng = np.random.default_rng(77 + zdrop)
+    cfg = AlignConfig(end_bonus=bonus, zdrop=zdrop)
+    problems = (_zdrop_problems(rng, 40)
+                + _random_problems(rng, 40, "extend_right"))
+    ref = solve_dp_numpy(problems, cfg)
+    _assert_same(ref, solve_dp_rowscan(problems, cfg), f"rowscan-z{zdrop}")
+    _assert_same(ref, solve_dp_native(problems, cfg), f"native-z{zdrop}")
+    _assert_same(ref, solve_dp_pallas(problems, cfg, interpret=True),
+                 f"pallas-z{zdrop}")
+
+
+def test_zdrop_truncates_junk_extension():
+    """With zdrop on, the extension stops near the matching head instead
+    of chasing spurious matches deep into unrelated sequence."""
+    rng = np.random.default_rng(5)
+    head = rng.integers(0, 4, size=30).astype(np.uint8)
+    q = np.concatenate([head, rng.integers(0, 4, size=90).astype(np.uint8)])
+    t = np.concatenate([head,
+                        (3 - rng.integers(0, 4, size=97)).astype(np.uint8)])
+    t = t[:MAXT]
+    p = [DpProblem(q, t, "extend_right")]
+    res_z = solve_dp_numpy(p, AlignConfig(zdrop=12))[0]
+    assert res_z.q_len >= 30           # the head is still consumed
+    assert res_z.q_len <= 30 + 12 + 5  # but junk is not
