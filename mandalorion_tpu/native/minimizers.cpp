@@ -155,16 +155,28 @@ static void build_segments(
     for (int64_t i = 0; i < nmin; i++) {
         uint64_t hq = mhash[i];
         uint32_t b = (uint32_t)(hq >> bucket_shift);
-        int64_t l = bucket_lo[b], r = bucket_lo[b + 1];
-        while (l < r) {  // lower bound
-            int64_t mid = (l + r) >> 1;
-            if (sorted_hashes[mid] < hq) l = mid + 1; else r = mid;
-        }
-        int64_t lo = l;
-        r = bucket_lo[b + 1];
-        while (l < r) {  // upper bound
-            int64_t mid = (l + r) >> 1;
-            if (sorted_hashes[mid] <= hq) l = mid + 1; else r = mid;
+        int64_t lo = bucket_lo[b];
+        const int64_t bhi = bucket_lo[b + 1];
+        int64_t l;
+        if (bhi - lo <= 32) {
+            // adaptive buckets hold ~8 entries: a linear scan touches one
+            // or two sequential cache lines instead of log2 random probes
+            while (lo < bhi && sorted_hashes[lo] < hq) lo++;
+            l = lo;
+            while (l < bhi && sorted_hashes[l] == hq) l++;
+        } else {
+            int64_t r = bhi;
+            l = lo;
+            while (l < r) {  // lower bound
+                int64_t mid = (l + r) >> 1;
+                if (sorted_hashes[mid] < hq) l = mid + 1; else r = mid;
+            }
+            lo = l;
+            r = bhi;
+            while (l < r) {  // upper bound
+                int64_t mid = (l + r) >> 1;
+                if (sorted_hashes[mid] <= hq) l = mid + 1; else r = mid;
+            }
         }
         int64_t cnt = l - lo;
         if (cnt == 0 || cnt > max_occ) continue;
@@ -1197,18 +1209,25 @@ void lookup_ranges_c(const uint64_t* sorted_hashes, const int64_t* bucket_lo,
         uint64_t q = queries[qi];
         uint32_t b = (uint32_t)(q >> bucket_shift);
         int64_t lo = bucket_lo[b], hi = bucket_lo[b + 1];
-        // lower bound
-        int64_t l = lo, r = hi;
-        while (l < r) {
-            int64_t m = (l + r) >> 1;
-            if (sorted_hashes[m] < q) l = m + 1; else r = m;
-        }
-        int64_t first = l;
-        // upper bound
-        r = hi;
-        while (l < r) {
-            int64_t m = (l + r) >> 1;
-            if (sorted_hashes[m] <= q) l = m + 1; else r = m;
+        int64_t first, l;
+        if (hi - lo <= 32) {  // small bucket: sequential scan beats probes
+            while (lo < hi && sorted_hashes[lo] < q) lo++;
+            first = lo;
+            l = lo;
+            while (l < hi && sorted_hashes[l] == q) l++;
+        } else {
+            l = lo;
+            int64_t r = hi;
+            while (l < r) {
+                int64_t m = (l + r) >> 1;
+                if (sorted_hashes[m] < q) l = m + 1; else r = m;
+            }
+            first = l;
+            r = hi;
+            while (l < r) {
+                int64_t m = (l + r) >> 1;
+                if (sorted_hashes[m] <= q) l = m + 1; else r = m;
+            }
         }
         out_lo[qi] = first;
         out_hi[qi] = l;

@@ -113,10 +113,14 @@ _A_ALIGNER: Optional[SpliceAligner] = None
 
 
 def _align_chunk_worker(job) -> str:
-    """Fork-pool worker: align one read chunk with the inherited index and
-    write its own part-file (returning big PSL strings through the pool
-    pipe would pickle the whole batch; paths are cheap)."""
-    batch, part_path = job
+    """Fork-pool worker: align one slice of the combined fasta with the
+    inherited index and write its own part-file. The job carries only
+    (path, record range) — shipping sequences or PSL text through the
+    pool pipes would pickle hundreds of MB at 100k-read scale."""
+    import itertools
+    combined, rec_lo, rec_hi, part_path = job
+    batch = [(name, seq) for name, seq, _q in itertools.islice(
+        read_fastx(combined), rec_lo, rec_hi)]
     with open(part_path, "w") as out:
         for rec in _A_ALIGNER.map_batch(batch):
             out.write(format_psl(rec) + "\n")
@@ -146,30 +150,40 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
         print("\tbuilding genome index")
         aligner = SpliceAligner(fastx_to_dict(genome_path), cfg.align)
     t0 = time.time()
-    n_reads = 0
+    n_reads = sum(1 for _ in read_fastx(combined))
+    # a few jobs per worker: balances load while bounding each worker's
+    # skip-parse of the records before its slice (inputs may be .gz, so
+    # record counts, not byte offsets, address the slices)
+    workers = _pool_size(cfg.threads, n_reads)
+    chunk = max(cfg.align.batch_reads,
+                (n_reads + workers * 3 - 1) // (workers * 3))
+    n_jobs = (n_reads + chunk - 1) // chunk
     with open(paths.t("mm2Alignments.psl"), "w") as out:
-        batches: List[List[Tuple[str, str]]] = [[]]
-        for name, seq, _q in read_fastx(combined):
-            if len(batches[-1]) >= cfg.align.batch_reads:
-                batches.append([])
-            batches[-1].append((name, seq))
-        n_reads = sum(len(b) for b in batches)
-        if cfg.threads > 1 and len(batches) > 1 and _fork_safe():
-            # fork workers inherit the index copy-on-write; this is the
+        if cfg.threads > 1 and n_jobs > 1 and _fork_safe():
+            # fork workers inherit the index copy-on-write and read their
+            # own record slice of the combined fasta; this is the
             # data-parallel 'reads' axis on a single host (SURVEY §2.3)
             import multiprocessing as mp
             global _A_ALIGNER
             _A_ALIGNER = aligner
             ctx = mp.get_context("fork")
-            jobs = [(b, paths.t(f"mm2Alignments.part{k}.psl"))
-                    for k, b in enumerate(batches)]
-            with ctx.Pool(_pool_size(cfg.threads, len(batches))) as pool:
-                for part in pool.map(_align_chunk_worker, jobs):
+            jobs = [(combined, k * chunk, min((k + 1) * chunk, n_reads),
+                     paths.t(f"mm2Alignments.part{k}.psl"))
+                    for k in range(n_jobs)]
+            with ctx.Pool(_pool_size(cfg.threads, n_jobs)) as pool:
+                for part in pool.imap(_align_chunk_worker, jobs):
                     with open(part) as pf:
                         shutil.copyfileobj(pf, out)
                     os.remove(part)
         else:
-            for batch in batches:
+            batch: List[Tuple[str, str]] = []
+            for name, seq, _q in read_fastx(combined):
+                batch.append((name, seq))
+                if len(batch) >= chunk:
+                    for rec in aligner.map_batch(batch):
+                        out.write(format_psl(rec) + "\n")
+                    batch = []
+            if batch:
                 for rec in aligner.map_batch(batch):
                     out.write(format_psl(rec) + "\n")
     dt = time.time() - t0
