@@ -328,3 +328,91 @@ def test_all_junk_reads_graceful(tmp_path):
                    "-f", str(tmp_path / "reads.fasta")])
     assert rc == 0
     assert not (out / "Isoforms.filtered.clean.quant").exists()
+
+
+def test_forked_pool_cli_gz_multisample(tmp_path):
+    """The fork-pool module A path (record-range jobs over the combined
+    fasta) through the real CLI in a fresh process (JAX uninitialized
+    there, so the pool actually engages), with gzipped fastq inputs and
+    two samples."""
+    import gzip
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(77)
+    genome = synthdata.make_genome(150_000, seed=21)
+    exons = [(9000, 9700), (12_000, 12_500), (15_000, 15_400)]
+    genome = synthdata.plant_introns(genome, exons, strand="+")
+    t = synthdata.transcript_seq(genome, exons)
+    with open(tmp_path / "genome.fa", "w") as fh:
+        fh.write(f">chr1\n{genome}\n")
+    with open(tmp_path / "ann.gtf", "w") as fh:
+        fh.write(synthdata.gtf_lines("chr1", "G0", "T0", exons,
+                                     strand="+"))
+    # >2x batch_reads total so module A actually fans out to pool jobs
+    for si, n in (("a", 600), ("b", 550)):
+        with gzip.open(tmp_path / f"s{si}.fastq.gz", "wt") as fh:
+            for i in range(n):
+                r, _ = synthdata.mutate_read(t, rng, 0.01)
+                fh.write(f"@s{si}r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    with open(tmp_path / "reads.fofn", "w") as fh:
+        fh.write(f"{tmp_path}/sa.fastq.gz\n{tmp_path}/sb.fastq.gz\n")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "mandalorion_tpu.pipeline.cli",
+         "-p", str(tmp_path / "out"), "-G", str(tmp_path / "genome.fa"),
+         "-g", str(tmp_path / "ann.gtf"),
+         "-f", str(tmp_path / "reads.fofn"), "-t", "2"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "mm2Alignments.part0.psl" not in os.listdir(
+        tmp_path / "out" / "tmp")  # part files merged and removed
+    quant = (tmp_path / "out" / "Isoforms.filtered.clean.quant"
+             ).read_text().strip().splitlines()
+    assert len(quant) == 2  # header + the one isoform
+    counts = quant[1].split("\t")[1:3]
+    assert [int(c) for c in counts] == [600, 550]
+
+
+def test_fused_native_path_matches_staged_across_configs(tmp_path):
+    """The one-call fused aligner must equal the staged path under every
+    config knob it consumes (end bonus, zdrop, band, slack, scores)."""
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.config import AlignConfig
+
+    rng = np.random.default_rng(31)
+    genome = {
+        "chrA": synthdata.make_genome(120_000, seed=61),
+        "chrB": synthdata.make_genome(60_000, seed=62),
+    }
+    reads = []
+    for ci, (chrom, seq) in enumerate(sorted(genome.items())):
+        for i in range(15):
+            s = int(rng.integers(0, len(seq) - 3000))
+            r, _ = synthdata.mutate_read(seq[s:s + 2500], rng, 0.04)
+            # chimeric junk tails exercise zdrop + extension edges
+            tail = "".join(rng.choice(list("ACGT"), size=int(
+                rng.integers(0, 200))))
+            reads.append((f"c{ci}r{i}", r + tail))
+    configs = [
+        AlignConfig(),
+        AlignConfig(end_bonus=12),
+        AlignConfig(zdrop=100),
+        AlignConfig(end_bonus=12, zdrop=50, splice_slack=4),
+        AlignConfig(match=2, mismatch=3, gap_open=4, gap_extend=2,
+                    band_width=64, max_end_extend=256),
+    ]
+    from mandalorion_tpu.align.aligner import SpliceAligner as SA
+    for k, cfg in enumerate(configs):
+        al = SA(genome, cfg)
+        fused = al.map_batch(reads)
+        orig = SA._map_batch_native
+        SA._map_batch_native = lambda self, r: None
+        try:
+            staged = al.map_batch(reads)
+        finally:
+            SA._map_batch_native = orig
+        assert len(fused) == len(staged) > 0, f"config {k}"
+        for a, b in zip(fused, staged):
+            assert a == b, (k, a.q_name)
