@@ -27,8 +27,9 @@ import jax.numpy as jnp
 from mandalorion_tpu.poa.graph import NEG, PoaGraph, PoaParams
 
 # one batched DP dispatch is chunked to stay under this many DP cells
-# (score + 2 pointer matrices ~ 9 bytes/cell)
-MAX_CELLS_PER_DISPATCH = 64 * 1024 * 1024
+# (score + 2 pointer matrices ~ 9 bytes/cell: 256M cells ~ 2.3 GB, well
+# inside a v5e's 16 GB HBM while leaving room for donation copies)
+MAX_CELLS_PER_DISPATCH = 256 * 1024 * 1024
 
 
 def _pow2_at_least(n: int, floor: int = 64) -> int:
