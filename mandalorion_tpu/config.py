@@ -143,4 +143,6 @@ def config_from_args(args) -> PipelineConfig:
         modules=str(args.Modules),
         threads=int(args.minimap2_threads),
         pacbio=bool(getattr(args, "pacbio", False)),
+        align=AlignConfig(
+            index_cache=str(getattr(args, "index_cache", "") or "")),
     )

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="modules to run: subset of APDFQ")
     p.add_argument("-P", "--pacbio", default=False, action="store_true",
                    help=argparse.SUPPRESS)
+    p.add_argument("--index_cache", default="", type=str,
+                   help="persist/reuse the genome minimizer index at this"
+                        " .npz path (minimap2 .mmi analogue); rebuilt"
+                        " automatically when genome or k/w change")
     p.add_argument("--external_sam", default=None, type=str,
                    help="use alignments from this SAM file instead of the "
                         "built-in aligner (the reference's --mm2_path "
