@@ -452,6 +452,31 @@ class SpliceAligner:
                 out.append(rec)
         return out
 
+    def _map_batch_runs_native(self, reads: Sequence[Tuple[str, str]]):
+        """Fused runs-mode twin of map_batch_runs (one C call per read;
+        bit-identical runs — tests assert it). None when unavailable."""
+        from mandalorion_tpu.native import native_align_read_runs
+        cfg = self.cfg
+        out = []
+        for name, seq in reads:
+            codes = encode(seq)
+            res = native_align_read_runs(
+                codes, cfg.kmer, cfg.window, cfg.max_occ, 100, self.index,
+                cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
+                0.0,  # the staged runs path applies no min-chain gate
+                cfg.match, cfg.mismatch, cfg.gap_open,
+                cfg.gap_extend, cfg.end_bonus, getattr(cfg, "zdrop", 0),
+                cfg.band_width, cfg.max_end_extend, cfg.splice_slack,
+                cfg.noncanonical_penalty)
+            if res is None:
+                return None
+            strand, _ci, runs = res
+            if strand is None:
+                continue
+            q_codes = codes if strand == 0 else revcomp_codes(codes)
+            out.append((name, "+" if strand == 0 else "-", q_codes, runs))
+        return out
+
     def map_all_targets(self, name: str, seq: str) -> List[PslRecord]:
         """Emit one alignment per target sequence with a viable chain (both
         strands considered, better one kept) — the `-N <many>` analogue
@@ -496,6 +521,11 @@ class SpliceAligner:
         """Like map_batch but returns raw (name, strand, q_codes, runs)
         tuples — the op-level interface used by the star consensus
         (poa/star.py)."""
+        backend = getattr(self.cfg, "dp_backend", "numpy")
+        if backend == "numpy" and self.index.bucket_lo is not None:
+            out = self._map_batch_runs_native(reads)
+            if out is not None:
+                return out
         problems: List[DpProblem] = []
         pendings: List[_Pending] = []
         for name, seq in reads:

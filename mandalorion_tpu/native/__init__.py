@@ -109,7 +109,9 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32,                  # slack, ncp
             ctypes.c_void_p, ctypes.c_void_p,                # strand, chrom
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # stats,blk
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]   # cs
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,   # cs
+            ctypes.c_int32] + [ctypes.c_void_p] * 4 + [          # runs mode
+            ctypes.c_int64]                                      # runs cap
         lib.index_build_start.restype = ctypes.c_void_p
         lib.index_build_start.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -422,7 +424,8 @@ def native_align_read(codes: np.ndarray, k: int, w: int, max_occ: int,
             zdrop, band_width, max_end_extend, splice_slack,
             noncanonical_penalty, ctypes.byref(strand),
             ctypes.byref(chrom), stats.ctypes.data, bs.ctypes.data,
-            bq.ctypes.data, bt.ctypes.data, cs_buf, cs_cap)
+            bq.ctypes.data, bt.ctypes.data, cs_buf, cs_cap,
+            0, None, None, None, None, 0)
         if cl >= 0:
             break
         cs_cap = 2 * (-cl) + 64  # undersized cs buffer: retry bigger
@@ -434,6 +437,55 @@ def native_align_read(codes: np.ndarray, k: int, w: int, max_occ: int,
     return (int(strand.value), int(chrom.value), stats,
             bs[:nb].tolist(), bq[:nb].tolist(), bt[:nb].tolist(),
             cs_buf.raw[:cl].decode())
+
+
+def native_align_read_runs(codes: np.ndarray, k: int, w: int, max_occ: int,
+                           merge_gap: int, index, min_intron: int,
+                           max_intron: int, chain_match: int,
+                           intron_penalty: float, indel_open: float,
+                           indel_scale: float, max_segments: int,
+                           min_chain_score: float, dp_match: int,
+                           dp_mismatch: int, gap_open: int,
+                           gap_extend: int, end_bonus: int, zdrop: int,
+                           band_width: int, max_end_extend: int,
+                           splice_slack: int, noncanonical_penalty: int):
+    """align_read_c in runs mode: returns (strand, chrom_idx,
+    [(op_char, q0, t0, len), ...]) with strand None when unaligned, or
+    None when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    cap = max(2 * n + 64, 4096)
+    r_op = np.empty(cap, np.int8)
+    r_q = np.empty(cap, np.int64)
+    r_t = np.empty(cap, np.int64)
+    r_l = np.empty(cap, np.int64)
+    strand = ctypes.c_int32()
+    chrom = ctypes.c_int32()
+    pos_is_u32 = 1 if index.sorted_positions.dtype == np.uint32 else 0
+    count = lib.align_read_c(
+        codes.ctypes.data, n, k, w, max_occ, merge_gap,
+        index.sorted_hashes.ctypes.data, index.bucket_lo.ctypes.data,
+        index.bucket_bits,
+        index.sorted_positions.ctypes.data, pos_is_u32,
+        index.chrom_offsets.ctypes.data, index.chrom_sizes.ctypes.data,
+        len(index.chrom_offsets), index.seq_codes.ctypes.data,
+        min_intron, max_intron, chain_match, intron_penalty,
+        indel_open, indel_scale, max_segments, min_chain_score,
+        dp_match, dp_mismatch, gap_open, gap_extend, end_bonus, zdrop,
+        band_width, max_end_extend, splice_slack, noncanonical_penalty,
+        ctypes.byref(strand), ctypes.byref(chrom), None, None, None,
+        None, None, 0, 1, r_op.ctypes.data, r_q.ctypes.data,
+        r_t.ctypes.data, r_l.ctypes.data, cap)
+    assert count >= 0, "runs capacity undersized"
+    if strand.value < 0 or count == 0:
+        return (None, -1, [])
+    ops = "MIDN"
+    runs = [(ops[r_op[i]], int(r_q[i]), int(r_t[i]), int(r_l[i]))
+            for i in range(count)]
+    return (int(strand.value), int(chrom.value), runs)
 
 
 def native_parse_cs(cs: str, genome_start: int):

@@ -718,7 +718,9 @@ int64_t align_read_c(
     int32_t splice_slack, int32_t noncanonical_penalty,
     int32_t* out_strand, int32_t* out_chrom,
     int64_t* stats, int64_t* blk_sizes, int64_t* blk_q, int64_t* blk_t,
-    char* cs, int64_t cs_cap) {
+    char* cs, int64_t cs_cap,
+    int32_t runs_mode, int8_t* runs_op, int64_t* runs_q0,
+    int64_t* runs_t0, int64_t* runs_len, int64_t runs_cap) {
     std::vector<int64_t> cq0(max_segments), cqe(max_segments),
         ct0(max_segments), cte(max_segments);
     float score;
@@ -885,6 +887,19 @@ int64_t align_read_c(
                          return a.t0 < b.t0;
                      });
     if (runs.empty()) return 0;
+    if (runs_mode) {  // raw (op, q0, t0, len) runs for the star engine
+        *out_strand = strand;
+        *out_chrom = chrom;
+        int64_t count = (int64_t)runs.size();
+        if (count > runs_cap) return -count;
+        for (int64_t i = 0; i < count; i++) {
+            runs_op[i] = runs[i].op;
+            runs_q0[i] = runs[i].q0;
+            runs_t0[i] = runs[i].t0;
+            runs_len[i] = runs[i].len;
+        }
+        return count;
+    }
     std::vector<int8_t> r_op(runs.size());
     std::vector<int64_t> r_q(runs.size()), r_t(runs.size()),
         r_l(runs.size());

@@ -104,3 +104,30 @@ def test_backbone_tail_error_corrected():
     bad_head = ("C" if true[2] != "C" else "A").join([true[:2], true[3:]])
     reads = [bad_head] + [true] * 9
     assert star_consensus(reads) == true
+
+
+def test_fused_runs_path_matches_staged():
+    """map_batch_runs' one-call native path == the staged path (names,
+    strands, oriented codes, run tuples), under the star config."""
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.io.fastx import revcomp
+    from mandalorion_tpu.poa.star import _star_align_cfg
+
+    rng = np.random.default_rng(17)
+    bb = synthdata.make_genome(1200, seed=5)
+    reads = [("0", bb)]
+    for i in range(1, 25):
+        r, _ = synthdata.mutate_read(bb, rng, 0.04)
+        reads.append((str(i), revcomp(r) if i % 3 == 0 else r))
+    al = SpliceAligner({"bb": bb}, _star_align_cfg())
+    fused = al.map_batch_runs(reads)
+    orig = SpliceAligner._map_batch_runs_native
+    SpliceAligner._map_batch_runs_native = lambda self, r: None
+    try:
+        staged = al.map_batch_runs(reads)
+    finally:
+        SpliceAligner._map_batch_runs_native = orig
+    assert len(fused) == len(staged) > 0
+    for (n1, s1, q1, r1), (n2, s2, q2, r2) in zip(fused, staged):
+        assert (n1, s1, r1) == (n2, s2, r2)
+        assert np.array_equal(q1, q2)
