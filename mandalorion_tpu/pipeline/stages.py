@@ -24,8 +24,7 @@ import numpy as np
 
 from mandalorion_tpu.align.aligner import SpliceAligner
 from mandalorion_tpu.config import PipelineConfig
-from mandalorion_tpu.core.cleanpsl import (
-    clean_psl_file, discover_loci, split_loci)
+from mandalorion_tpu.core.cleanpsl import clean_psl_file, discover_loci
 from mandalorion_tpu.core.ends import define_start_end_sites
 from mandalorion_tpu.core.filtering import process_chromosome
 from mandalorion_tpu.core.genes import group_isoforms
