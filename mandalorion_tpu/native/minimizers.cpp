@@ -155,6 +155,11 @@ static void build_segments(
     for (int64_t i = 0; i < nmin; i++) {
         uint64_t hq = mhash[i];
         uint32_t b = (uint32_t)(hq >> bucket_shift);
+        if (i + 1 < nmin) {  // hide the next bucket's DRAM latency
+            uint32_t bn = (uint32_t)(mhash[i + 1] >> bucket_shift);
+            __builtin_prefetch(&bucket_lo[bn]);
+            __builtin_prefetch(&sorted_hashes[bucket_lo[bn]]);
+        }
         int64_t lo = bucket_lo[b];
         const int64_t bhi = bucket_lo[b + 1];
         int64_t l;
