@@ -39,12 +39,14 @@ def _pow2_at_least(n: int, floor: int = 64) -> int:
     return p
 
 
-def graph_arrays(graph: PoaGraph, n_cap: int, p_cap: int
+def graph_arrays(graph: PoaGraph, n_cap: int, p_cap: int,
+                 order: Optional[List[int]] = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[int]]:
     """Columnar rank-space arrays for one graph, padded to (n_cap, p_cap):
     (base_r, preds_r, is_end_r, order). preds_r holds predecessor ranks + 1
     (0 = virtual source row), -1 padding."""
-    order = graph.topo_order()
+    if order is None:
+        order = graph.topo_order()
     rank = {v: r for r, v in enumerate(order)}
     n = len(order)
     base_r = np.zeros(n_cap, np.int32)
@@ -238,7 +240,7 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
         qq = np.zeros((len(batch), l_cap), np.int32)
         ql = np.zeros(len(batch), np.int32)
         for bi, gi in enumerate(batch):
-            b, p, e, _ = graph_arrays(graphs[gi], n_cap, p_cap)
+            b, p, e, _ = graph_arrays(graphs[gi], n_cap, p_cap, orders[gi])
             base[bi], preds[bi], ends[bi] = b, p, e
             nn[bi] = len(orders[gi])
             q = queries[gi]
