@@ -183,35 +183,6 @@ _align_traceback_batch = jax.jit(
     static_argnames=("match", "mismatch", "gap", "band"))
 
 
-def _traceback(score: np.ndarray, ptrn: np.ndarray, ptro: np.ndarray,
-               order: List[int], is_end_r: np.ndarray, L: int
-               ) -> List[Tuple[int, Optional[int]]]:
-    """Host traceback — the exact walk from PoaGraph.align."""
-    n = len(order)
-    end_ranks = [r + 1 for r in range(n) if is_end_r[r]] or [n]
-    br = max(end_ranks, key=lambda rr: score[rr, L])
-    path: List[Tuple[int, Optional[int]]] = []
-    r, j = br, L
-    while r > 0 or j > 0:
-        if r == 0:
-            path.append((j - 1, None))
-            j -= 1
-            continue
-        op = ptro[r, j]
-        v = order[r - 1]
-        if op == 0:
-            path.append((j - 1, v))
-            r, j = int(ptrn[r, j]), j - 1
-        elif op == 1:
-            path.append((j - 1, None))
-            j -= 1
-        else:
-            path.append((-1, v))
-            r = int(ptrn[r, j])
-    path.reverse()
-    return path
-
-
 def align_graph_batch(graphs: Sequence[PoaGraph],
                       queries: Sequence[np.ndarray],
                       params: Optional[PoaParams] = None
