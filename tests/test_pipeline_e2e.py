@@ -416,3 +416,36 @@ def test_fused_native_path_matches_staged_across_configs(tmp_path):
         assert len(fused) == len(staged) > 0, f"config {k}"
         for a, b in zip(fused, staged):
             assert a == b, (k, a.q_name)
+
+
+def test_long_read_isoforms_exact(tmp_path):
+    """The abPOA -S regime: a 12 kb 4-exon transcript plus a 25 kb
+    mono-exon, 1% error — consensi recover the exact lengths."""
+    rng = np.random.default_rng(4)
+    genome = synthdata.make_genome(400_000, seed=8)
+    exons1 = [(20_000 + i * 6000, 20_000 + i * 6000 + 3000)
+              for i in range(4)]
+    genome = synthdata.plant_introns(genome, exons1, strand="+")
+    t1 = synthdata.transcript_seq(genome, exons1)
+    t2 = genome[200_000:225_000]
+    reads = []
+    for ri in range(15):
+        reads.append((f"a{ri}", synthdata.mutate_read(t1, rng, 0.01)[0]))
+        reads.append((f"b{ri}", synthdata.mutate_read(t2, rng, 0.01)[0]))
+    with open(tmp_path / "genome.fa", "w") as fh:
+        fh.write(f">chr1\n{genome}\n")
+    write_fasta(str(tmp_path / "reads.fasta"), reads)
+    with open(tmp_path / "ann.gtf", "w") as fh:
+        fh.write(synthdata.gtf_lines("chr1", "G0", "T0", exons1,
+                                     strand="+"))
+        fh.write(synthdata.gtf_lines("chr1", "G1", "T1",
+                                     [(200_000, 225_000)], strand="+"))
+    from mandalorion_tpu.pipeline.stages import run_pipeline
+    run_pipeline(str(tmp_path / "out"), str(tmp_path / "genome.fa"),
+                 str(tmp_path / "ann.gtf"), str(tmp_path / "reads.fasta"),
+                 PipelineConfig(threads=1))
+    fa = (tmp_path / "out" / "Isoforms.filtered.fasta").read_text()
+    lens = sorted(len(l) for l in fa.splitlines()
+                  if l and not l.startswith(">"))
+    assert fa.count(">") == 2
+    assert lens == [12000, 25000]
