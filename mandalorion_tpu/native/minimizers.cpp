@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -1072,30 +1073,27 @@ struct IndexBuildState {
     std::vector<int64_t> bucket_counts;
 };
 
-static void index_sweep_range(IndexBuildState* st, size_t t0, size_t t1) {
+static void index_sweep_one(IndexBuildState* st, size_t ti,
+                            int64_t* pos_scratch, uint64_t* hsh_scratch) {
     int32_t k = st->k, w = st->w;
-    for (size_t ti = t0; ti < t1; ti++) {
-        const IndexChunkTask& t = st->tasks[ti];
-        int64_t lo = t.start - (w - 1);
-        if (lo < 0) lo = 0;
-        int64_t hi = t.stop + k + w - 2;
-        if (hi > t.clen) hi = t.clen;
-        int64_t span = hi - lo;
-        if (span < k) continue;
-        std::vector<int64_t> pos(span - k + 1);
-        std::vector<uint64_t> hsh(span - k + 1);
-        int64_t n = minimizers_c(t.codes + lo, span, k, w,
-                                 pos.data(), hsh.data());
-        auto& hout = st->hashes[ti];
-        auto& pout = st->positions[ti];
-        hout.reserve(n);
-        pout.reserve(n);
-        for (int64_t i = 0; i < n; i++) {
-            int64_t p = pos[i] + lo;
-            if (p < t.start || p >= t.stop) continue;
-            hout.push_back(hsh[i]);
-            pout.push_back(p + t.goffset);
-        }
+    const IndexChunkTask& t = st->tasks[ti];
+    int64_t lo = t.start - (w - 1);
+    if (lo < 0) lo = 0;
+    int64_t hi = t.stop + k + w - 2;
+    if (hi > t.clen) hi = t.clen;
+    int64_t span = hi - lo;
+    if (span < k) return;
+    int64_t n = minimizers_c(t.codes + lo, span, k, w,
+                             pos_scratch, hsh_scratch);
+    auto& hout = st->hashes[ti];
+    auto& pout = st->positions[ti];
+    hout.reserve(n);
+    pout.reserve(n);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p = pos_scratch[i] + lo;
+        if (p < t.start || p >= t.stop) continue;
+        hout.push_back(hsh_scratch[i]);
+        pout.push_back(p + t.goffset);
     }
 }
 
@@ -1122,25 +1120,32 @@ void* index_build_start(
     st->positions.resize(nt);
     int nthr = n_threads > 1 ? n_threads : 1;
     if ((size_t)nthr > nt) nthr = (int)(nt > 0 ? nt : 1);
+    st->bucket_counts.assign((int64_t)1 << bucket_bits, 0);
+    const int32_t bucket_shift = 64 - bucket_bits;
+    int64_t* counts = st->bucket_counts.data();
+    int64_t scratch_cap = chunk + k + 2 * w;
     std::atomic<size_t> next(0);
     auto worker = [&]() {
+        // per-thread scratch reused across tasks (vectors would zero-init
+        // 256 MB per chunk); bucket counts fold into the sweep with
+        // relaxed atomics (collisions are rare at ~8 entries/bucket)
+        std::unique_ptr<int64_t[]> pos(new int64_t[scratch_cap]);
+        std::unique_ptr<uint64_t[]> hsh(new uint64_t[scratch_cap]);
         for (;;) {
             size_t ti = next.fetch_add(1);
             if (ti >= nt) break;
-            index_sweep_range(st, ti, ti + 1);
+            index_sweep_one(st, ti, pos.get(), hsh.get());
+            for (uint64_t h : st->hashes[ti])
+                __atomic_fetch_add(&counts[(uint32_t)(h >> bucket_shift)],
+                                   1, __ATOMIC_RELAXED);
         }
     };
     std::vector<std::thread> pool;
     for (int i = 1; i < nthr; i++) pool.emplace_back(worker);
     worker();
     for (auto& th : pool) th.join();
-    st->bucket_counts.assign((int64_t)1 << bucket_bits, 0);
-    const int32_t bucket_shift = 64 - bucket_bits;
-    for (size_t ti = 0; ti < nt; ti++) {
+    for (size_t ti = 0; ti < nt; ti++)
         st->total += (int64_t)st->hashes[ti].size();
-        for (uint64_t h : st->hashes[ti])
-            st->bucket_counts[(uint32_t)(h >> bucket_shift)]++;
-    }
     *out_total = st->total;
     return st;
 }
