@@ -50,8 +50,11 @@ int64_t minimizers_c(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     if (m <= 0) return 0;
 
     // rolling hash h[i] = sum_j (codes[i+j]+1) * B^(k-1-j)  (mod 2^64)
-    std::vector<uint64_t> h(m);
-    std::vector<uint8_t> valid(m);
+    // raw arrays: every element is written by the first pass before any
+    // read, so vector zero-init would memset 9 bytes/kmer for nothing
+    // (it dominated the whole-genome index sweep)
+    std::unique_ptr<uint64_t[]> h(new uint64_t[m]);
+    std::unique_ptr<uint8_t[]> valid(new uint8_t[m]);
     uint64_t bk = 1;  // B^(k-1)
     for (int32_t j = 0; j < k - 1; j++) bk *= B;
     uint64_t cur = 0;
@@ -86,7 +89,7 @@ int64_t minimizers_c(const uint8_t* codes, int64_t n, int32_t k, int32_t w,
     }
 
     // leftmost window-min per window, dedup consecutive (monotone deque)
-    std::vector<int64_t> deque_idx(m);
+    std::unique_ptr<int64_t[]> deque_idx(new int64_t[m]);
     int64_t head = 0, tail = 0;  // [head, tail)
     int64_t last_emitted = -1;
     for (int64_t i = 0; i < m; i++) {
