@@ -1192,25 +1192,48 @@ void index_build_finish(
     for (int i = 1; i < nthr; i++) pool.emplace_back(scatter);
     scatter();
     for (auto& th : pool) th.join();
-    // per-bucket sort by (hash, pos): equals numpy stable argsort by hash
+    // per-bucket sort by (hash, pos): equals numpy stable argsort by hash.
+    // Buckets hold ~8 entries; in-place insertion sort on the parallel
+    // arrays skips the pair-buffer round trip of the general path.
     std::atomic<int64_t> nextb(0);
     auto sorter = [&]() {
         std::vector<std::pair<uint64_t, uint64_t>> buf;
+        auto pos_at = [&](int64_t i) -> uint64_t {
+            return pos_is_u32 ? (uint64_t)pos32[i] : (uint64_t)pos64[i];
+        };
+        auto pos_set = [&](int64_t i, uint64_t v) {
+            if (pos_is_u32) pos32[i] = (uint32_t)v;
+            else pos64[i] = (int64_t)v;
+        };
         for (;;) {
             int64_t b = nextb.fetch_add(1);
             if (b >= NB) break;
             int64_t lo = bucket_lo[b], hi = bucket_lo[b + 1];
-            if (hi - lo <= 1) continue;
-            buf.resize(hi - lo);
+            int64_t n = hi - lo;
+            if (n <= 1) continue;
+            if (n <= 16) {  // insertion sort, no copies
+                for (int64_t i = lo + 1; i < hi; i++) {
+                    uint64_t hk = out_hashes[i], pk = pos_at(i);
+                    int64_t j = i - 1;
+                    while (j >= lo && (out_hashes[j] > hk
+                                       || (out_hashes[j] == hk
+                                           && pos_at(j) > pk))) {
+                        out_hashes[j + 1] = out_hashes[j];
+                        pos_set(j + 1, pos_at(j));
+                        j--;
+                    }
+                    out_hashes[j + 1] = hk;
+                    pos_set(j + 1, pk);
+                }
+                continue;
+            }
+            buf.resize(n);
             for (int64_t i = lo; i < hi; i++)
-                buf[i - lo] = {out_hashes[i],
-                               pos_is_u32 ? (uint64_t)pos32[i]
-                                          : (uint64_t)pos64[i]};
+                buf[i - lo] = {out_hashes[i], pos_at(i)};
             std::sort(buf.begin(), buf.end());
             for (int64_t i = lo; i < hi; i++) {
                 out_hashes[i] = buf[i - lo].first;
-                if (pos_is_u32) pos32[i] = (uint32_t)buf[i - lo].second;
-                else pos64[i] = (int64_t)buf[i - lo].second;
+                pos_set(i, buf[i - lo].second);
             }
         }
     };
