@@ -457,7 +457,9 @@ def native_align_read_runs(codes: np.ndarray, k: int, w: int, max_occ: int,
         return None
     codes = np.ascontiguousarray(codes, np.uint8)
     n = len(codes)
-    cap = max(2 * n + 64, 4096)
+    # runs <= q-advancing ops (~2n worst case) + per-gap structural ops
+    # (N/D runs, <= ~3 per chain segment, 512 segments max)
+    cap = max(2 * n + 4096, 8192)
     r_op = np.empty(cap, np.int8)
     r_q = np.empty(cap, np.int64)
     r_t = np.empty(cap, np.int64)
