@@ -56,6 +56,14 @@ def main(argv=None) -> int:
                     help="comma separated")
     sp.add_argument("-p", "--output_path", required=True)
 
+    sp = sub.add_parser("index", help="prebuild a genome minimizer index"
+                        " (.npz; minimap2 -d analogue)")
+    sp.add_argument("genome")
+    sp.add_argument("out", help=".npz path (use with mando-tpu"
+                    " --index_cache)")
+    sp.add_argument("-k", "--kmer", type=int, default=15)
+    sp.add_argument("-w", "--window", type=int, default=5)
+
     sp = sub.add_parser("bam2fasta", help="PacBio BAM -> fasta")
     sp.add_argument("bam")
     sp.add_argument("fasta")
@@ -107,6 +115,16 @@ def main(argv=None) -> int:
         from mandalorion_tpu.utils.phaser import phase
         phase(args.vcf_file, args.pslx_file_for_phasing,
               args.pslx_files_to_be_sorted.split(","), args.output_path)
+    elif args.cmd == "index":
+        import time
+        from mandalorion_tpu.align.index import build_index, save_index
+        from mandalorion_tpu.io.fastx import fastx_to_dict
+        t0 = time.time()
+        idx = build_index(fastx_to_dict(args.genome), args.kmer,
+                          args.window)
+        save_index(idx, args.out)
+        print(f"\t{len(idx.sorted_hashes)} minimizers in "
+              f"{time.time() - t0:.1f}s -> {args.out}")
     elif args.cmd == "bam2fasta":
         from mandalorion_tpu.io.bam import bam_to_fasta
         n = bam_to_fasta(args.bam, args.fasta)
