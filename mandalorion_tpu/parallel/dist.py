@@ -87,6 +87,69 @@ def sharded_quant_merge(mesh: Mesh, per_device_counts):
     return run(per_device_counts)
 
 
+def shard_index_arrays(index, n_shards: int):
+    """Split a GenomeIndex's (sorted_hashes, sorted_positions) into
+    n_shards hash-range shards for device sharding. Split points snap to
+    bucket boundaries so equal hashes never straddle shards (a hash's
+    occurrence count — the max_occ repeat filter — stays exact on its
+    owner shard). Returns (hashes (n,S), positions (n,S), lens (n,)),
+    padded with the max-hash sentinel."""
+    import numpy as np
+    total = len(index.sorted_hashes)
+    cuts = [0]
+    for i in range(1, n_shards):
+        target = i * total // n_shards
+        b = int(np.searchsorted(index.bucket_lo, target, side="left"))
+        cuts.append(int(index.bucket_lo[min(b, len(index.bucket_lo) - 1)]))
+    cuts.append(total)
+    cuts = sorted(cuts)
+    lens = np.array([cuts[i + 1] - cuts[i] for i in range(n_shards)],
+                    np.int32)
+    width = max(int(lens.max()), 1)
+    hashes = np.full((n_shards, width), np.uint64(0xFFFFFFFFFFFFFFFF))
+    positions = np.zeros((n_shards, width), np.int64)
+    for i in range(n_shards):
+        sl = slice(cuts[i], cuts[i + 1])
+        hashes[i, :lens[i]] = index.sorted_hashes[sl]
+        positions[i, :lens[i]] = index.sorted_positions[sl].astype(np.int64)
+    return hashes, positions, lens
+
+
+def sharded_index_lookup(mesh: Mesh, shard_hashes, shard_positions,
+                         shard_lens, queries, max_occ: int):
+    """Seed lookup against a hash-axis-sharded genome index: each device
+    binary-searches its own shard, expands up to max_occ hits per query,
+    and the candidate hits all_gather across the axis (SURVEY §2.3's
+    sharded-index alternative to per-host index replication). Returns
+    (positions (n_shards, nq, max_occ), valid mask) — a query's hits live
+    on the single shard owning its hash range. Runs under the x64 context
+    (the 64-bit minimizer hashes would truncate in 32-bit mode)."""
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(None)),
+        out_specs=(P(None, None, None), P(None, None, None)),
+        **{_CHECK_KW: False})  # all_gather replication is real
+    def run(h2, p2, ln2, q):
+        h, p, ln = h2[0], p2[0], ln2[0]
+        lo = jnp.searchsorted(h, q, side="left")
+        hi = jnp.searchsorted(h, q, side="right")
+        cnt = hi - lo
+        k = jnp.arange(max_occ)
+        idx = lo[:, None] + k[None, :]
+        valid = ((k[None, :] < cnt[:, None])
+                 & (cnt[:, None] <= max_occ)
+                 & (idx < ln))  # padding sentinel hits excluded
+        pos = jnp.take(p, jnp.clip(idx, 0, h.shape[0] - 1))
+        pos = jnp.where(valid, pos, -1)
+        return (jax.lax.all_gather(pos, axis),
+                jax.lax.all_gather(valid, axis))
+
+    with jax.enable_x64(True):
+        return run(shard_hashes, shard_positions, shard_lens, queries)
+
+
 def training_step(mesh: Mesh, q_codes, t_codes, iso_ids, sample_ids,
                   n_isoforms: int, n_samples: int):
     """One full sharded pipeline step (jitted by the dryrun):

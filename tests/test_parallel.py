@@ -63,3 +63,42 @@ def test_training_step(n):
     # ring rotation permutes shards: same multiset of rows
     assert sorted(map(tuple, np.asarray(rotated))) == \
         sorted(map(tuple, np.asarray(q)))
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_sharded_index_lookup_matches_local(n):
+    """Hash-axis index sharding: per-device searchsorted + all_gather of
+    candidate hits == GenomeIndex.lookup on the replicated index."""
+    import synthdata
+    from mandalorion_tpu.align.encode import encode, minimizers
+    from mandalorion_tpu.align.index import build_index
+    from mandalorion_tpu.parallel.dist import (
+        shard_index_arrays, sharded_index_lookup)
+    from mandalorion_tpu.parallel.mesh import make_mesh
+
+    genome = {"chr1": synthdata.make_genome(60_000, seed=31),
+              "chr2": synthdata.make_genome(30_000, seed=32)}
+    idx = build_index(genome)
+    rng = np.random.default_rng(7)
+    s = int(rng.integers(0, 50_000))
+    read, _ = synthdata.mutate_read(genome["chr1"][s:s + 2000], rng, 0.05)
+    _pos, hashes = minimizers(encode(read), 15, 5)
+    max_occ = 8
+
+    ref_q, ref_p = idx.lookup(hashes, max_occ)
+
+    mesh = make_mesh(n)
+    axis_len = mesh.devices.shape[0]
+    sh, sp, sl = shard_index_arrays(idx, axis_len)
+    pos, valid = sharded_index_lookup(mesh, sh, sp, sl, hashes, max_occ)
+    pos = np.asarray(pos)
+    valid = np.asarray(valid)
+    got_q, got_p = [], []
+    for qi in range(len(hashes)):
+        for d in range(pos.shape[0]):
+            for k in range(max_occ):
+                if valid[d, qi, k]:
+                    got_q.append(qi)
+                    got_p.append(int(pos[d, qi, k]))
+    assert got_q == list(ref_q)
+    assert got_p == list(ref_p)
