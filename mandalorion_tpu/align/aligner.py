@@ -46,9 +46,15 @@ class SpliceAligner:
     def __init__(self, genome: Dict[str, str],
                  cfg: Optional[AlignConfig] = None):
         self.cfg = cfg or AlignConfig()
-        from mandalorion_tpu.align.index import cached_index
+        from mandalorion_tpu.align.index import (
+            cached_index, frequency_occ_cap)
         self.index = cached_index(genome, self.cfg.kmer, self.cfg.window,
                                   getattr(self.cfg, "index_cache", ""))
+        # minimap2 -f analogue: raise the seed occurrence cap to the
+        # index's top-frequency quantile so repeat/tandem regions seed
+        self.max_occ = frequency_occ_cap(
+            self.index, getattr(self.cfg, "occ_frac", 0.0),
+            self.cfg.max_occ)
         backend = getattr(self.cfg, "dp_backend", "numpy")
         if backend == "rowscan":
             from mandalorion_tpu.align.kernels import solve_dp_rowscan
@@ -72,7 +78,7 @@ class SpliceAligner:
         if idx.bucket_lo is not None:
             from mandalorion_tpu.native import native_seed_chain
             res = native_seed_chain(
-                codes, cfg.kmer, cfg.window, cfg.max_occ, 100,
+                codes, cfg.kmer, cfg.window, self.max_occ, 100,
                 idx.sorted_hashes, idx.bucket_lo, idx.bucket_bits,
                 idx.sorted_positions, idx.chrom_offsets, cfg.min_intron,
                 cfg.max_intron)
@@ -83,12 +89,12 @@ class SpliceAligner:
                 chain = [Segment(int(a), int(b), int(c), int(d))
                          for a, b, c, d in zip(q0, qe, t0, te)]
                 return chain, score, ci
-        seeded = self.index.seed_segments(codes, cfg.max_occ)
+        seeded = self.index.seed_segments(codes, self.max_occ)
         if seeded is None:  # no native library: numpy seeding path
             pos, hashes = minimizers(codes, cfg.kmer, cfg.window)
             if len(pos) == 0:
                 return None, 0.0, -1
-            qidx, gpos = self.index.lookup(hashes, cfg.max_occ)
+            qidx, gpos = self.index.lookup(hashes, self.max_occ)
             if len(qidx) == 0:
                 return None, 0.0, -1
             qpos = pos[qidx]
@@ -114,7 +120,7 @@ class SpliceAligner:
         if idx.bucket_lo is not None:
             from mandalorion_tpu.native import native_seed_chain2
             res = native_seed_chain2(
-                codes, cfg.kmer, cfg.window, cfg.max_occ, 100,
+                codes, cfg.kmer, cfg.window, self.max_occ, 100,
                 idx.sorted_hashes, idx.bucket_lo, idx.bucket_bits,
                 idx.sorted_positions, idx.chrom_offsets, cfg.min_intron,
                 cfg.max_intron)
@@ -433,7 +439,7 @@ class SpliceAligner:
         for name, seq in reads:
             codes = encode(seq)
             res = native_align_read(
-                codes, cfg.kmer, cfg.window, cfg.max_occ, 100, self.index,
+                codes, cfg.kmer, cfg.window, self.max_occ, 100, self.index,
                 cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
                 cfg_min_len(cfg), cfg.match, cfg.mismatch, cfg.gap_open,
                 cfg.gap_extend, cfg.end_bonus, getattr(cfg, "zdrop", 0),
@@ -461,7 +467,7 @@ class SpliceAligner:
         for name, seq in reads:
             codes = encode(seq)
             res = native_align_read_runs(
-                codes, cfg.kmer, cfg.window, cfg.max_occ, 100, self.index,
+                codes, cfg.kmer, cfg.window, self.max_occ, 100, self.index,
                 cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
                 0.0,  # the staged runs path applies no min-chain gate
                 cfg.match, cfg.mismatch, cfg.gap_open,
@@ -488,7 +494,7 @@ class SpliceAligner:
             pos, hashes = minimizers(q_codes, cfg.kmer, cfg.window)
             if len(pos) == 0:
                 continue
-            qidx, gpos = self.index.lookup(hashes, cfg.max_occ)
+            qidx, gpos = self.index.lookup(hashes, self.max_occ)
             if len(qidx) == 0:
                 continue
             qpos = pos[qidx]

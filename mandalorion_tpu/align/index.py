@@ -165,6 +165,24 @@ def _bucket_bits_for(total_bases: int) -> int:
     return bits
 
 
+def frequency_occ_cap(idx: GenomeIndex, frac: float, floor: int) -> int:
+    """minimap2 -f analogue: the occurrence cap below which all but the
+    top `frac` fraction of distinct minimizers fall. Never below floor —
+    on ordinary genomes the quantile is tiny and the floor rules; on
+    repeat/tandem-heavy genomes the cap rises so those regions still
+    seed."""
+    h = idx.sorted_hashes
+    if frac <= 0 or len(h) == 0:
+        return floor
+    starts = np.empty(len(h), bool)
+    starts[0] = True
+    np.not_equal(h[1:], h[:-1], out=starts[1:])
+    lens = np.diff(np.flatnonzero(np.append(starts, True)))
+    if len(lens) == 0:
+        return floor
+    return max(floor, int(np.quantile(lens, 1.0 - frac)))
+
+
 def save_index(idx: GenomeIndex, path: str) -> None:
     """Persist the index (.npz) — the minimap2 `.mmi` analogue: build the
     whole-genome index once, reuse across runs/hosts."""

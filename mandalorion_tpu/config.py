@@ -21,7 +21,13 @@ class AlignConfig:
 
     kmer: int = 15                 # minimizer k (splice:hq: k=15)
     window: int = 5                # minimizer w (splice:hq: w=5)
-    max_occ: int = 200             # drop minimizers more frequent than this
+    max_occ: int = 200             # occurrence-cap floor for seed lookup
+    occ_frac: float = 2e-4         # minimap2 -f analogue: the cap rises to
+                                   # the (1 - occ_frac) quantile of the
+                                   # index's occurrence distribution, so
+                                   # high-copy repeat/tandem regions keep
+                                   # their seeds (cap never drops below
+                                   # max_occ; 0 disables)
     max_intron: int = 400_000      # -G 400k
     min_intron: int = 30           # target gaps >= this are introns
     match: int = 1                 # chain/extend match score

@@ -250,3 +250,30 @@ def test_alignment_accuracy_guard():
     n = len(reads)
     assert exact / n >= 0.95, f"exact {exact}/{n}"
     assert close / n >= 0.995, f"within-6 {close}/{n}"
+
+
+def test_adaptive_occ_cap_maps_tandem_repeats():
+    """minimap2 -f analogue: a high-copy tandem array (every minimizer
+    above the max_occ floor) still seeds because the cap rises to the
+    index's top-frequency quantile; ordinary genomes keep the floor."""
+    from mandalorion_tpu.align.index import frequency_occ_cap
+
+    rng = np.random.default_rng(0)
+    unique = synthdata.make_genome(400_000, seed=1)
+    tandem = synthdata.make_genome(200, seed=3) * 300  # 60 kb, 300 copies
+    genome = unique + tandem
+    al = SpliceAligner({"chr1": genome}, AlignConfig())
+    assert al.max_occ > al.cfg.max_occ  # the quantile raised the cap
+    reads = []
+    for i in range(10):
+        s = 400_000 + int(rng.integers(0, 58_000))
+        reads.append((f"t{i}",
+                      synthdata.mutate_read(genome[s:s + 1500], rng,
+                                            0.02)[0]))
+    res = al.map_batch(reads)
+    assert len(res) == 10  # previously 0: all seeds were over-frequent
+
+    # ordinary genome: quantile tiny, the floor rules
+    plain = SpliceAligner({"chr1": unique}, AlignConfig())
+    assert plain.max_occ == plain.cfg.max_occ
+    assert frequency_occ_cap(plain.index, 0.0, 200) == 200  # disabled
