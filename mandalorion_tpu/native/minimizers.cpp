@@ -156,6 +156,9 @@ static void build_segments(
     std::vector<Anchor> anchors;
     const uint32_t* pos32 = (const uint32_t*)sorted_positions;
     const int64_t* pos64 = (const int64_t*)sorted_positions;
+    // pass 1: per-minimizer hit ranges
+    std::vector<int64_t> rlo(nmin), rcnt(nmin);
+    int64_t total_hits = 0;
     for (int64_t i = 0; i < nmin; i++) {
         uint64_t hq = mhash[i];
         uint32_t b = (uint32_t)(hq >> bucket_shift);
@@ -187,8 +190,38 @@ static void build_segments(
                 if (sorted_hashes[mid] <= hq) l = mid + 1; else r = mid;
             }
         }
+        rlo[i] = lo;
         int64_t cnt = l - lo;
-        if (cnt == 0 || cnt > max_occ) continue;
+        if (cnt == 0 || cnt > max_occ) cnt = 0;
+        rcnt[i] = cnt;
+        total_hits += cnt;
+    }
+    // per-read anchor budget (minimap2's per-read mid-occ adaptation):
+    // when a read seeds mostly in high-copy repeats, keep its
+    // lowest-occurrence seeds and drop the most repetitive ones until
+    // the expansion fits the budget — bounded work per read, and the
+    // informative (rarer) seeds always survive
+    const int64_t ANCHOR_BUDGET = 16384;
+    if (total_hits > ANCHOR_BUDGET) {
+        std::vector<int64_t> cnts;
+        cnts.reserve(nmin);
+        for (int64_t i = 0; i < nmin; i++)
+            if (rcnt[i] > 0) cnts.push_back(rcnt[i]);
+        std::sort(cnts.begin(), cnts.end());
+        int64_t acc = 0, cut = 0;
+        for (int64_t c : cnts) {
+            if (acc + c > ANCHOR_BUDGET) break;
+            acc += c;
+            cut = c;
+        }
+        if (cut < 1) cut = 1;  // always keep unique seeds
+        for (int64_t i = 0; i < nmin; i++)
+            if (rcnt[i] > cut) rcnt[i] = 0;
+    }
+    // pass 2: expand surviving seeds into anchors
+    for (int64_t i = 0; i < nmin; i++) {
+        if (rcnt[i] == 0) continue;
+        int64_t lo = rlo[i], l = rlo[i] + rcnt[i];
         for (int64_t j = lo; j < l; j++) {
             int64_t g = pos_is_u32 ? (int64_t)pos32[j] : pos64[j];
             // chrom = searchsorted(chrom_offsets, g, 'right') - 1
