@@ -398,16 +398,18 @@ class SpliceAligner:
     def map_batch(self, reads: Sequence[Tuple[str, str]]
                   ) -> List[PslRecord]:
         """Align a batch of (name, seq) reads; primary alignments only."""
-        backend = getattr(self.cfg, "dp_backend", "numpy")
-        if backend == "numpy" and self.index.bucket_lo is not None:
-            out = self._map_batch_native(reads)
-            if out is not None:
-                return out
+        if getattr(self.cfg, "chain_backend", "native") == "device":
+            picks = self._chain_batch_device(reads)
+        else:
+            backend = getattr(self.cfg, "dp_backend", "numpy")
+            if backend == "numpy" and self.index.bucket_lo is not None:
+                out = self._map_batch_native(reads)
+                if out is not None:
+                    return out
+            picks = [self._chain_both(encode(seq)) for _name, seq in reads]
         problems: List[DpProblem] = []
         pendings: List[_Pending] = []
-        for name, seq in reads:
-            codes = encode(seq)
-            picked = self._chain_both(codes)
+        for (name, seq), picked in zip(reads, picks):
             if picked is None:
                 continue
             chain, strand, ci, q_codes = picked
@@ -425,6 +427,47 @@ class SpliceAligner:
             if rec is not None:
                 out.append(rec)
         return out
+
+    def _chain_batch_device(self, reads: Sequence[Tuple[str, str]]):
+        """Device chaining: seed every (read, orientation, chromosome)
+        candidate on the host, run ALL chain DPs in one batched jit call
+        (align/chain_kernel.py), then pick each read's best chain with
+        map_batch's tie-breaks (strict > over candidates in forward-first,
+        chromosome-ascending order). Returns per-read picks in
+        _chain_both's format."""
+        from mandalorion_tpu.align.chain_kernel import chain_batch_jax
+        cfg = self.cfg
+        cands = []  # (read_idx, strand, chrom, q_codes)
+        seg_lists: List[List[Segment]] = []
+        for ri, (_name, seq) in enumerate(reads):
+            codes = encode(seq)
+            for strand, qc in (("+", codes), ("-", revcomp_codes(codes))):
+                seeded = self.index.seed_segments(qc, self.max_occ)
+                if seeded is None:  # no native library: numpy seeding
+                    pos, hashes = minimizers(qc, cfg.kmer, cfg.window)
+                    if len(pos) == 0:
+                        continue
+                    qidx, gpos = self.index.lookup(hashes, self.max_occ)
+                    if len(qidx) == 0:
+                        continue
+                    qpos = pos[qidx]
+                    ci, _l = self.index.position_to_chrom(gpos)
+                    seeded = [(int(c),
+                               collapse_anchors(qpos[ci == c],
+                                                gpos[ci == c], cfg.kmer))
+                              for c in np.unique(ci)]
+                for c, segs in seeded:
+                    cands.append((ri, strand, int(c), qc))
+                    seg_lists.append(segs)
+        chains = chain_batch_jax(
+            seg_lists, min_intron=cfg.min_intron, max_intron=cfg.max_intron)
+        picks: List[Optional[tuple]] = [None] * len(reads)
+        best_score = [0.0] * len(reads)
+        for (ri, strand, c, qc), (chain, score) in zip(cands, chains):
+            if chain and score > best_score[ri]:
+                best_score[ri] = score
+                picks[ri] = (chain, strand, c, qc)
+        return picks
 
     def _map_batch_native(self, reads: Sequence[Tuple[str, str]]
                           ) -> Optional[List[PslRecord]]:

@@ -52,6 +52,10 @@ class AlignConfig:
     dp_backend: str = "numpy"      # 'numpy' | 'rowscan' (pure JAX) |
                                    # 'pallas' (TPU kernel); all three are
                                    # bit-identical (tests/test_kernels.py)
+    chain_backend: str = "native"  # 'native' (host C++/numpy) | 'device'
+                                   # (batched jit chain DP,
+                                   # align/chain_kernel.py); same chains
+                                   # (tests/test_chain_kernel.py)
     emit_sam: bool = False         # also write tmp/mm2Alignments.sam
     index_cache: str = ""          # persist/reuse the genome index (.npz),
                                    # minimap2 .mmi analogue; validated

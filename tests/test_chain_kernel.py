@@ -50,3 +50,39 @@ def test_chain_kernel_empty_and_single():
     assert got[0] == ([], 0.0)
     chain, score = got[1]
     assert len(chain) == 1 and score == 100.0
+
+
+def test_device_chain_backend_matches_native_map_batch():
+    """AlignConfig(chain_backend='device'): seeding on host, all chain
+    DPs in one jitted batch — alignments equal the native path's."""
+    import synthdata
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.config import AlignConfig
+    from mandalorion_tpu.io.fastx import revcomp
+
+    rng = np.random.default_rng(13)
+    genome = synthdata.make_genome(300_000, seed=3)
+    reads = []
+    for g in range(3):
+        base = g * 90_000 + 5000
+        exons = []
+        pos = base
+        for _ in range(int(rng.integers(2, 5))):
+            ln = int(rng.integers(150, 800))
+            exons.append((pos, pos + ln))
+            pos += ln + int(rng.integers(100, 15_000))
+        strand = "+" if g % 2 == 0 else "-"
+        genome = synthdata.plant_introns(genome, exons, strand=strand)
+        t = synthdata.transcript_seq(genome, exons)
+        if strand == "-":
+            t = revcomp(t)
+        for ri in range(15):
+            reads.append((f"g{g}r{ri}",
+                          synthdata.mutate_read(t, rng, 0.03)[0]))
+    ref = SpliceAligner({"chr1": genome}, AlignConfig()).map_batch(reads)
+    dev = SpliceAligner({"chr1": genome},
+                        AlignConfig(chain_backend="device")
+                        ).map_batch(reads)
+    assert len(ref) == len(dev) > 0
+    for a, b in zip(ref, dev):
+        assert a == b, a.q_name
