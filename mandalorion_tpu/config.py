@@ -154,5 +154,7 @@ def config_from_args(args) -> PipelineConfig:
         threads=int(args.minimap2_threads),
         pacbio=bool(getattr(args, "pacbio", False)),
         align=AlignConfig(
-            index_cache=str(getattr(args, "index_cache", "") or "")),
+            index_cache=str(getattr(args, "index_cache", "") or ""),
+            dp_backend=str(getattr(args, "dp_backend", "numpy")),
+            chain_backend=str(getattr(args, "chain_backend", "native"))),
     )

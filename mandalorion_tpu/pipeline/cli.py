@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="modules to run: subset of APDFQ")
     p.add_argument("-P", "--pacbio", default=False, action="store_true",
                    help=argparse.SUPPRESS)
+    p.add_argument("--dp_backend", default="numpy",
+                   choices=["numpy", "rowscan", "pallas"],
+                   help="gap-fill DP backend (bit-identical): numpy = "
+                        "host native C++, rowscan = pure JAX, pallas = "
+                        "TPU kernel")
+    p.add_argument("--chain_backend", default="native",
+                   choices=["native", "device"],
+                   help="chain DP backend: native host path or one "
+                        "batched jit chain per read batch")
     p.add_argument("--index_cache", default="", type=str,
                    help="persist/reuse the genome minimizer index at this"
                         " .npz path (minimap2 .mmi analogue); rebuilt"
