@@ -157,4 +157,6 @@ def config_from_args(args) -> PipelineConfig:
             index_cache=str(getattr(args, "index_cache", "") or ""),
             dp_backend=str(getattr(args, "dp_backend", "numpy")),
             chain_backend=str(getattr(args, "chain_backend", "native"))),
+        poa=PoaConfig(
+            engine=str(getattr(args, "consensus_engine", "star"))),
     )

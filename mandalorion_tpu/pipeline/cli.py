@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["native", "device"],
                    help="chain DP backend: native host path or one "
                         "batched jit chain per read batch")
+    p.add_argument("--consensus_engine", default="star",
+                   choices=["star", "graph"],
+                   help="isoform consensus engine: star (backbone+votes, "
+                        "fast path) or graph (full partial-order "
+                        "alignment; batched on device per locus)")
     p.add_argument("--index_cache", default="", type=str,
                    help="persist/reuse the genome minimizer index at this"
                         " .npz path (minimap2 .mmi analogue); rebuilt"
