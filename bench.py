@@ -9,9 +9,9 @@ vs_baseline compares against the reference pipeline's MEASURED throughput
 on this exact workload (tools/measure_reference_baseline.py): the reference
 ran end-to-end with stub minimap2/abpoa binaries that replay our
 precomputed alignments — i.e. its alignment and consensus compute were
-FREE — and completed at 35.05 reads/s (800 reads, 22.8 s wall, 8 threads).
-The baseline is therefore conservative: the real reference (paying for
-minimap2 + abPOA) is slower.
+FREE — and completed at 106.92 reads/s (2000 reads, 18.7 s wall, 8
+threads; same dataset as the bench). The baseline is therefore
+conservative: the real reference (paying for minimap2 + abPOA) is slower.
 """
 
 import json
@@ -25,10 +25,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
 
 # measured via tools/measure_reference_baseline.py (see module docstring)
-REFERENCE_READS_PER_SEC = 35.05
+REFERENCE_READS_PER_SEC = 106.92
 
 
-def make_dataset(tmp, n_genes=8, n_reads_per_gene=100, genome_len=200_000):
+def make_dataset(tmp, n_genes=8, n_reads_per_gene=250, genome_len=200_000):
     import synthdata
     from mandalorion_tpu.io.fastx import revcomp, write_fasta
 
