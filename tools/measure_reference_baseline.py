@@ -34,7 +34,7 @@ def main():
     from mandalorion_tpu.config import AlignConfig, PipelineConfig
     from mandalorion_tpu.pipeline.stages import run_pipeline
 
-    n_per_gene = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_per_gene = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     tmp = tempfile.mkdtemp(prefix="refbase_")
     n_reads = bench.make_dataset(tmp, n_reads_per_gene=n_per_gene)
 
