@@ -105,7 +105,9 @@ def psl_sort_key(line: str):
     (GNU's numeric parse of the field-16..17 span stops at the tab, so
     tEnd only matters via the last-resort comparison), then GNU's
     last-resort whole-line bytewise tie-break."""
-    a = line.split("\t")
+    # maxsplit stops before the long tail columns (comma lists, cs,
+    # sequence) — the key only needs fields 14 and 16
+    a = line.split("\t", 16)
     return (a[13].encode(), int(a[15]), line.encode())
 
 
