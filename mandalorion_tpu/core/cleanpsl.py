@@ -149,8 +149,9 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
             if not line.strip():
                 continue
             # cleaning only rewrites cols 17-20; surgical splice avoids a
-            # full record parse/format round-trip on the long lines
-            a = line.rstrip("\n").split("\t")
+            # full record parse/format round-trip on the long lines, and
+            # maxsplit leaves the long tail (cs + sequence) unscanned
+            a = line.rstrip("\n").split("\t", 21)
             name = a[9]
             if name in used:  # primary only
                 continue
