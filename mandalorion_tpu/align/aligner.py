@@ -469,6 +469,17 @@ class SpliceAligner:
                 picks[ri] = (chain, strand, c, qc)
         return picks
 
+    def _fused_args(self, codes: np.ndarray, min_chain: float) -> tuple:
+        """The shared argument tuple for the fused native entry points
+        (index + chain constants + DP/fill parameters)."""
+        cfg = self.cfg
+        return (codes, cfg.kmer, cfg.window, self.max_occ, 100, self.index,
+                cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
+                min_chain, cfg.match, cfg.mismatch, cfg.gap_open,
+                cfg.gap_extend, cfg.end_bonus, getattr(cfg, "zdrop", 0),
+                cfg.band_width, cfg.max_end_extend, cfg.splice_slack,
+                cfg.noncanonical_penalty)
+
     def _map_batch_native(self, reads: Sequence[Tuple[str, str]]
                           ) -> Optional[List[PslRecord]]:
         """Fully-fused native per-read path: one C call does seed+chain,
@@ -477,17 +488,11 @@ class SpliceAligner:
         (tests/test_native.py asserts it). Returns None when the native
         library is unavailable (caller falls back)."""
         from mandalorion_tpu.native import native_align_read
-        cfg = self.cfg
         out: List[PslRecord] = []
         for name, seq in reads:
             codes = encode(seq)
             res = native_align_read(
-                codes, cfg.kmer, cfg.window, self.max_occ, 100, self.index,
-                cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
-                cfg_min_len(cfg), cfg.match, cfg.mismatch, cfg.gap_open,
-                cfg.gap_extend, cfg.end_bonus, getattr(cfg, "zdrop", 0),
-                cfg.band_width, cfg.max_end_extend, cfg.splice_slack,
-                cfg.noncanonical_penalty)
+                *self._fused_args(codes, cfg_min_len(self.cfg)))
             if res is None:
                 return None
             strand, ci, stats, bs, bq, bt, cs = res
@@ -505,18 +510,11 @@ class SpliceAligner:
         """Fused runs-mode twin of map_batch_runs (one C call per read;
         bit-identical runs — tests assert it). None when unavailable."""
         from mandalorion_tpu.native import native_align_read_runs
-        cfg = self.cfg
         out = []
         for name, seq in reads:
             codes = encode(seq)
-            res = native_align_read_runs(
-                codes, cfg.kmer, cfg.window, self.max_occ, 100, self.index,
-                cfg.min_intron, cfg.max_intron, 1, 12.0, 4.0, 0.3, 512,
-                0.0,  # the staged runs path applies no min-chain gate
-                cfg.match, cfg.mismatch, cfg.gap_open,
-                cfg.gap_extend, cfg.end_bonus, getattr(cfg, "zdrop", 0),
-                cfg.band_width, cfg.max_end_extend, cfg.splice_slack,
-                cfg.noncanonical_penalty)
+            # min_chain 0: the staged runs path applies no min-chain gate
+            res = native_align_read_runs(*self._fused_args(codes, 0.0))
             if res is None:
                 return None
             strand, _ci, runs = res
