@@ -567,17 +567,19 @@ class SpliceAligner:
     def map_batch_runs(self, reads: Sequence[Tuple[str, str]]):
         """Like map_batch but returns raw (name, strand, q_codes, runs)
         tuples — the op-level interface used by the star consensus
-        (poa/star.py)."""
-        backend = getattr(self.cfg, "dp_backend", "numpy")
-        if backend == "numpy" and self.index.bucket_lo is not None:
-            out = self._map_batch_runs_native(reads)
-            if out is not None:
-                return out
+        (poa/star.py). Honors cfg.chain_backend like map_batch."""
+        if getattr(self.cfg, "chain_backend", "native") == "device":
+            picks = self._chain_batch_device(reads)
+        else:
+            backend = getattr(self.cfg, "dp_backend", "numpy")
+            if backend == "numpy" and self.index.bucket_lo is not None:
+                out = self._map_batch_runs_native(reads)
+                if out is not None:
+                    return out
+            picks = [self._chain_both(encode(seq)) for _name, seq in reads]
         problems: List[DpProblem] = []
         pendings: List[_Pending] = []
-        for name, seq in reads:
-            codes = encode(seq)
-            picked = self._chain_both(codes)
+        for (name, seq), picked in zip(reads, picks):
             if picked is None:
                 continue
             chain, strand, ci, q_codes = picked

@@ -18,6 +18,12 @@ import numpy as np
 
 from mandalorion_tpu.align.encode import encode, minimizers
 
+# per-read anchor budget (minimap2's mid-occ adaptation); MUST match the
+# native constant in native/minimizers.cpp (ANCHOR_BUDGET) — the numpy
+# fallback seeding and the native fused path drop the same seeds
+# (tests/test_native.py tandem-repeat parity)
+ANCHOR_BUDGET = 16384
+
 
 def ragged_gather(values: np.ndarray, lo: np.ndarray, hi: np.ndarray,
                   source_ids: np.ndarray):
@@ -59,7 +65,10 @@ class GenomeIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         """For query minimizer hashes, return (query_idx, genome_position)
         anchor pairs; hashes occurring more than max_occ times in the genome
-        are dropped (repeat masking, minimap2's -f analogue). Uses the
+        are dropped (repeat masking, minimap2's -f analogue), and a per-read
+        anchor budget keeps the lowest-occurrence seeds when a read seeds
+        mostly in high-copy repeats (identical semantics to the native
+        build_segments path, minimizers.cpp ANCHOR_BUDGET). Uses the
         native bucketed binary search when available."""
         from mandalorion_tpu.native import native_lookup_ranges
         res = (native_lookup_ranges(self.sorted_hashes, self.bucket_lo,
@@ -72,6 +81,15 @@ class GenomeIndex:
             hi = np.searchsorted(self.sorted_hashes, hashes, side="right")
         counts = hi - lo
         keep = (counts > 0) & (counts <= max_occ)
+        kept_counts = counts[keep]
+        if int(kept_counts.sum()) > ANCHOR_BUDGET:
+            # keep the largest per-seed count `cut` whose cumulative
+            # ascending expansion fits the budget; seeds above it drop
+            # (rarer = more informative seeds always survive)
+            c = np.sort(kept_counts)
+            k = int(np.searchsorted(np.cumsum(c), ANCHOR_BUDGET, "right"))
+            cut = max(int(c[k - 1]) if k > 0 else 1, 1)
+            keep &= counts <= cut
         lo, hi = lo[keep], hi[keep]
         qidx = np.nonzero(keep)[0]
         if len(lo) == 0:
@@ -183,6 +201,26 @@ def frequency_occ_cap(idx: GenomeIndex, frac: float, floor: int) -> int:
     return max(floor, int(np.quantile(lens, 1.0 - frac)))
 
 
+def content_checksum(seq_codes: np.ndarray) -> int:
+    """Cheap order-sensitive content hash of the concatenated genome codes:
+    dense up to 1 Mbp, then 64k sampled strides + length. Catches same-shape
+    content changes (SNP fixes, masking) that the (k, w, names, sizes)
+    cache key misses."""
+    n = len(seq_codes)
+    sample = (seq_codes if n <= (1 << 20)
+              else seq_codes[:: max(1, n >> 16)])
+    x = sample.astype(np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.uint64(n)
+    # position-dependent weights mult^(i+1) (wrapping) make the hash
+    # order-sensitive; uint64 overflow wraps silently, which is the point
+    with np.errstate(over="ignore"):
+        weights = np.cumprod(np.full(len(x), mult, np.uint64))
+        acc += np.bitwise_xor.reduce(
+            (x + np.uint64(0x2545F4914F6CDD1D)) * weights)
+    return int(acc)
+
+
 def save_index(idx: GenomeIndex, path: str) -> None:
     """Persist the index (.npz) — the minimap2 `.mmi` analogue: build the
     whole-genome index once, reuse across runs/hosts."""
@@ -193,13 +231,18 @@ def save_index(idx: GenomeIndex, path: str) -> None:
              chrom_offsets=idx.chrom_offsets, chrom_sizes=idx.chrom_sizes,
              sorted_hashes=idx.sorted_hashes,
              sorted_positions=idx.sorted_positions, bucket_lo=idx.bucket_lo,
-             bucket_bits=idx.bucket_bits)
+             bucket_bits=idx.bucket_bits,
+             content_sum=np.uint64(content_checksum(idx.seq_codes)))
     os.replace(tmp, path)
 
 
 def load_index(path: str) -> GenomeIndex:
+    return _load_index_with_sum(path)[0]
+
+
+def _load_index_with_sum(path: str):
     with np.load(path, allow_pickle=True) as z:
-        return GenomeIndex(
+        idx = GenomeIndex(
             kmer=int(z["kmer"]), window=int(z["window"]),
             seq_codes=z["seq_codes"],
             chrom_names=[str(n) for n in z["chrom_names"]],
@@ -209,19 +252,38 @@ def load_index(path: str) -> GenomeIndex:
             bucket_lo=z["bucket_lo"],
             bucket_bits=int(z["bucket_bits"]) if "bucket_bits" in z
             else 16)
+        stored_sum = int(z["content_sum"]) if "content_sum" in z else None
+    return idx, stored_sum
+
+
+def _genome_checksum(genome: Dict[str, str]) -> int:
+    """content_checksum of the genome as build_index would concatenate it
+    (sorted chroms, 'N' spacer after each)."""
+    parts = []
+    spacer = np.full(1, 4, np.uint8)
+    for name in sorted(genome):
+        parts.append(encode(genome[name]))
+        parts.append(spacer)
+    codes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return content_checksum(codes)
 
 
 def cached_index(genome: Dict[str, str], kmer: int, window: int,
                  cache_path: str = "", threads: int = 0) -> GenomeIndex:
     """build_index with an optional on-disk cache. A cached index is only
-    reused when (k, w, chromosome names+sizes) match the genome."""
+    reused when (k, w, chromosome names+sizes) match the genome AND the
+    stored content checksum matches the cached seq_codes' checksum of the
+    requested genome (same-length edits — SNP fixes, masking — must not
+    silently reuse a stale index)."""
     if cache_path and os.path.exists(cache_path):
         try:
-            idx = load_index(cache_path)
+            idx, stored_sum = _load_index_with_sum(cache_path)
             if (idx.kmer == kmer and idx.window == window
                     and idx.chrom_names == sorted(genome)
                     and all(int(s) == len(genome[n]) for n, s in
-                            zip(idx.chrom_names, idx.chrom_sizes))):
+                            zip(idx.chrom_names, idx.chrom_sizes))
+                    and stored_sum is not None
+                    and stored_sum == _genome_checksum(genome)):
                 return idx
         except (OSError, KeyError, ValueError):
             pass  # unreadable/stale cache: rebuild below

@@ -1282,8 +1282,9 @@ void index_build_abort(void* handle) {
 }
 
 // Bucketed binary search: for each query hash, find [lo, hi) in the sorted
-// hash array, restricted to its top-16-bit bucket (bucket_lo has 65537
-// entries). Cuts probe count and cache misses vs full-range binary search.
+// hash array, restricted to its top-`bucket_bits`-bit bucket (bucket_lo has
+// 2^bucket_bits + 1 entries; bits adapt to genome size, 16..28). Cuts probe
+// count and cache misses vs full-range binary search.
 void lookup_ranges_c(const uint64_t* sorted_hashes, const int64_t* bucket_lo,
                      int32_t bucket_bits,
                      const uint64_t* queries, int64_t n_queries,

@@ -86,3 +86,29 @@ def test_device_chain_backend_matches_native_map_batch():
     assert len(ref) == len(dev) > 0
     for a, b in zip(ref, dev):
         assert a == b, a.q_name
+
+
+def test_device_chain_backend_map_batch_runs():
+    """map_batch_runs honors chain_backend='device' (ADVICE r1): the
+    runs-interface output matches the native-chain path's runs."""
+    import synthdata
+    from mandalorion_tpu.align.aligner import SpliceAligner
+    from mandalorion_tpu.config import AlignConfig
+
+    rng = np.random.default_rng(21)
+    genome = synthdata.make_genome(120_000, seed=9)
+    exons = [(4000, 4600), (9000, 9500), (15_000, 15_700)]
+    genome = synthdata.plant_introns(genome, exons, strand="+")
+    t = synthdata.transcript_seq(genome, exons)
+    reads = [(f"r{i}", synthdata.mutate_read(t, rng, 0.02)[0])
+             for i in range(10)]
+    ref = SpliceAligner({"chr1": genome},
+                        AlignConfig()).map_batch_runs(reads)
+    dev = SpliceAligner({"chr1": genome},
+                        AlignConfig(chain_backend="device")
+                        ).map_batch_runs(reads)
+    assert len(ref) == len(dev) > 0
+    for (n1, s1, q1, runs1), (n2, s2, q2, runs2) in zip(ref, dev):
+        assert (n1, s1) == (n2, s2)
+        assert np.array_equal(q1, q2)
+        assert runs1 == runs2

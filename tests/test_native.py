@@ -302,3 +302,56 @@ def test_fused_align_read_matches_staged_path():
     assert len(fused) == len(staged) > 0
     for a, b in zip(fused, staged):
         assert a == b, (a.q_name, a.cs[:80], b.cs[:80])
+
+
+def test_anchor_budget_parity_tandem_repeat():
+    """The per-read ANCHOR_BUDGET mid-occ seed-dropping heuristic applies
+    identically in the native fused seeding and the numpy fallback
+    (GenomeIndex.lookup): a tandem-repeat read whose hits exceed the
+    budget yields bit-identical segments on both paths."""
+    from mandalorion_tpu.align.index import ANCHOR_BUDGET, build_index
+
+    # 200 copies of a 300 nt unit: a 2-unit read carries ~200 minimizers
+    # with ~200 occurrences each (~40k hits > 16384 budget)
+    unit = synthdata.make_genome(300, seed=77)
+    genome = {"chr1": synthdata.make_genome(50_000, seed=78) + unit * 200}
+    idx = build_index(genome)
+    read = unit * 2
+    codes = encode(read)
+
+    # confirm the scenario actually exceeds the budget under this max_occ
+    from mandalorion_tpu.align.encode import minimizers as _mins
+    _pos, hashes = _mins(codes, idx.kmer, idx.window)
+    lo = np.searchsorted(idx.sorted_hashes, hashes, side="left")
+    hi = np.searchsorted(idx.sorted_hashes, hashes, side="right")
+    counts = hi - lo
+    max_occ = 500
+    assert int(counts[(counts > 0) & (counts <= max_occ)].sum()) \
+        > ANCHOR_BUDGET
+
+    got = idx.seed_segments(codes, max_occ)
+    ref = _ref_seeded(idx, codes, max_occ)
+    assert got is not None and ref
+    assert [c for c, _s in got] == [c for c, _s in ref]
+    for (_c1, s1), (_c2, s2) in zip(got, ref):
+        assert _seg_tuples(s1) == _seg_tuples(s2)
+
+
+def test_index_cache_content_checksum(tmp_path):
+    """Same-shape genome edits (a SNP) invalidate the cache: the stale
+    index must be rebuilt, not silently reused."""
+    from mandalorion_tpu.align.index import cached_index
+
+    g = synthdata.make_genome(30_000, seed=91)
+    cache = str(tmp_path / "genome.idx.npz")
+    a = cached_index({"chr1": g}, 15, 5, cache)
+    # flip one base without changing the length
+    pos = 12_345
+    flip = {"A": "C", "C": "G", "G": "T", "T": "A"}[g[pos]]
+    g2 = g[:pos] + flip + g[pos + 1:]
+    b = cached_index({"chr1": g2}, 15, 5, cache)
+    assert b.seq_codes[pos] == encode(flip)[0]  # rebuilt against g2
+    assert not np.array_equal(a.seq_codes, b.seq_codes)
+    # and the refreshed cache now validates against g2
+    c = cached_index({"chr1": g2}, 15, 5, cache)
+    assert np.array_equal(b.sorted_hashes, c.sorted_hashes)
