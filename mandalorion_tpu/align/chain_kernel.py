@@ -110,12 +110,26 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
 
     fn = _chain_fn(min_intron, max_intron, match, intron_penalty,
                    indel_open, indel_scale, MAX_SEG)
-    score, parent, best = fn(jnp.asarray(qs), jnp.asarray(qe),
-                             jnp.asarray(ts), jnp.asarray(te),
-                             jnp.asarray(n_seg))
-    score = np.asarray(score)
-    parent = np.asarray(parent)
-    best = np.asarray(best)
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        # module A's 'reads' device axis: the candidate batch dim shards
+        # over the mesh (data parallel; the vmapped chain DP partitions
+        # with zero cross-shard traffic). Padding rows have n_seg=0 and
+        # are sliced off below — per-candidate results are identical to
+        # the single-device dispatch.
+        args, _b = shard_batch(mesh, [qs, qe, ts, te, n_seg])
+        score, parent, best = fn(*args)
+        score = np.asarray(score)[:B]
+        parent = np.asarray(parent)[:B]
+        best = np.asarray(best)[:B]
+    else:
+        score, parent, best = fn(jnp.asarray(qs), jnp.asarray(qe),
+                                 jnp.asarray(ts), jnp.asarray(te),
+                                 jnp.asarray(n_seg))
+        score = np.asarray(score)
+        parent = np.asarray(parent)
+        best = np.asarray(best)
 
     out: List[Tuple[List[Segment], float]] = []
     for b, segs in enumerate(prepped):

@@ -154,6 +154,15 @@ def solve_dp_rowscan(problems: Sequence[DpProblem], cfg: AlignConfig
 def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
     fn = _rowscan_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
                      max_q, cfg.end_bonus, getattr(cfg, "zdrop", 0))
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        # the DP problem batch shards over the mesh (module A 'reads'
+        # axis); padding rows carry qlen=0 and are sliced off
+        args, b = shard_batch(
+            mesh, [q_arr, t_arr, qlen[:, 0].copy(), tlen[:, 0].copy()])
+        ptr, meta = fn(*args)
+        return np.asarray(ptr)[:b], np.asarray(meta)[:b]
     ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
                    jnp.asarray(qlen[:, 0]), jnp.asarray(tlen[:, 0]))
     return np.asarray(ptr), np.asarray(meta)
@@ -242,9 +251,8 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
     meta_ref[:, :] = meta
 
 
-@functools.lru_cache(maxsize=32)
-def _pallas_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
-               interpret):
+def _pallas_raw(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
+                interpret):
     kernel = functools.partial(_dp_kernel, match=match, mismatch=mismatch,
                                go=go, ge=ge, end_bonus=end_bonus,
                                zdrop=zdrop, max_q=max_q)
@@ -276,10 +284,58 @@ def _pallas_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
                         for _ in range(8)],
         interpret=interpret,
     )
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
+               interpret):
+    return jax.jit(_pallas_raw(match, mismatch, go, ge, end_bonus, zdrop,
+                               n_tiles, max_q, interpret))
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_fn_sharded(match, mismatch, go, ge, end_bonus, zdrop,
+                       tiles_per_shard, max_q, interpret, mesh):
+    """Multi-chip Pallas dispatch: each device runs the kernel grid on its
+    own shard of the problem batch (shard_map over all mesh axes; no
+    cross-shard traffic — the per-problem DP is independent)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    import inspect
+    fn = _pallas_raw(match, mismatch, go, ge, end_bonus, zdrop,
+                     tiles_per_shard, max_q, interpret)
+    axes = tuple(mesh.axis_names)
+    batched = P(axes, None)
+    # the vma checker can't see through pallas_call's out_shape (jax 0.8)
+    check_kw = ("check_vma" if "check_vma"
+                in inspect.signature(shard_map).parameters else "check_rep")
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(batched, batched, batched, batched),
+        out_specs=(P(None, axes, None), batched),
+        **{check_kw: False})
+    return jax.jit(sharded)
 
 
 def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        args, b = shard_batch(mesh, [q_arr, t_arr, qlen, tlen],
+                              pad_multiple=TILE * n_dev)
+        tiles_per_shard = args[0].shape[0] // (TILE * n_dev)
+        fn = _pallas_fn_sharded(
+            cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+            cfg.end_bonus, getattr(cfg, "zdrop", 0), tiles_per_shard,
+            max_q, interpret, mesh)
+        ptr, meta = fn(*args)
+        return (np.asarray(ptr).transpose(1, 0, 2)[:b],
+                np.asarray(meta)[:b])
     n_tiles = q_arr.shape[0] // TILE
     fn = _pallas_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
                     cfg.end_bonus, getattr(cfg, "zdrop", 0), n_tiles,

@@ -69,10 +69,19 @@ def count_matrix(filtered_isoforms: Sequence[str],
             if sample is None:  # its sample file went missing since D ran
                 continue
             flat.append(i * n_samples + sample_idx[sample])
-    counts = np.bincount(
-        np.asarray(flat, np.int64),
-        minlength=len(filtered_isoforms) * n_samples,
-    ) if flat else np.zeros(len(filtered_isoforms) * n_samples, np.int64)
+    n_segments = len(filtered_isoforms) * n_samples
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh
+    mesh = pipeline_mesh()
+    if mesh is not None and flat and n_segments:
+        # device-sharded count: per-shard segment_sum + psum merge over
+        # the mesh (exact — integer counts), parallel/dist.py
+        from mandalorion_tpu.parallel.dist import mesh_count_matrix
+        counts = mesh_count_matrix(mesh, np.asarray(flat, np.int64),
+                                   n_segments)
+    else:
+        counts = np.bincount(
+            np.asarray(flat, np.int64), minlength=n_segments,
+        ) if flat else np.zeros(n_segments, np.int64)
     return counts.reshape(len(filtered_isoforms), n_samples)
 
 

@@ -12,6 +12,7 @@ histograms and quant count matrices merge via ``psum``; locus boundary
 tables via ``all_gather``; ring ``ppermute`` keeps traffic on ICI.
 """
 
-from mandalorion_tpu.parallel.mesh import make_mesh  # noqa: F401
+from mandalorion_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, pipeline_mesh, use_mesh)
 from mandalorion_tpu.parallel.dist import (  # noqa: F401
-    sharded_batch_score, sharded_quant_merge, training_step)
+    mesh_count_matrix, sharded_batch_score, sharded_quant_merge)

@@ -1,12 +1,12 @@
-"""Sharded pipeline steps: the device-parallel compute paths.
+"""Sharded collective steps used by the mesh-integrated pipeline.
 
-`training_step` is the full sharded step the multichip dryrun compiles:
-read batches ride the 'reads' mesh axis, locus tables the 'loci' axis;
-alignment scoring runs per shard (the rowscan DP, the same math as the
-Pallas kernel), per-locus coverage histograms and the isoform×sample count
-matrix merge with psum, and locus boundaries all_gather; a ring ppermute
-rotates read shards for load balancing. This is the TPU analogue of the
-reference's pool-and-merge structure (SURVEY §2.3).
+The production integration lives in the batched dispatch sites themselves
+(align/chain_kernel.py, align/kernels.py, poa/kernels.py consult
+parallel.mesh.pipeline_mesh and shard their batch axes); this module holds
+the explicitly-collective pieces: the quant count-matrix psum merge
+(module Q's cross-shard reduction, `mesh_count_matrix`), sharded alignment
+scoring, and the hash-axis-sharded genome-index lookup (the path to
+indexes larger than one host's memory). SURVEY §2.3 merge collectives.
 """
 
 from __future__ import annotations
@@ -150,48 +150,40 @@ def sharded_index_lookup(mesh: Mesh, shard_hashes, shard_positions,
         return run(shard_hashes, shard_positions, shard_lens, queries)
 
 
-def training_step(mesh: Mesh, q_codes, t_codes, iso_ids, sample_ids,
-                  n_isoforms: int, n_samples: int):
-    """One full sharded pipeline step (jitted by the dryrun):
-    score reads (DP over 'reads' axis) -> histogram coverage (psum over
-    'loci' if present) -> count matrix psum -> all_gather shard maxima ->
-    ring ppermute of read shards. Returns (scores, counts, gathered)."""
-    axes = mesh.axis_names
-    read_axis = axes[0]
+def mesh_count_matrix(mesh: Mesh, flat_ids: "np.ndarray",
+                      num_segments: int) -> "np.ndarray":
+    """The quant count matrix's cross-shard reduction (module Q): the
+    flattened (isoform*n_samples + sample) id stream shards over ALL mesh
+    axes, each device segment-sums its shard, and the partial matrices
+    merge with one psum riding ICI — the collective replacing
+    assignReadsToIsoforms' single-process count loop
+    (`assignReadsToIsoforms.py:27-48`, SURVEY §2.3). Integer counts, so
+    the merge is exact: byte-identical to np.bincount on one device.
 
-    in_reads = P(read_axis, None)
-    in_flat = P(read_axis)
+    flat_ids: int array of segment ids; returns int64 counts[num_segments].
+    """
+    import numpy as np
+    from mandalorion_tpu.parallel.mesh import shard_batch
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(in_reads, in_reads, in_flat, in_flat),
-        out_specs=(in_flat,
-                   P(None, None),   # merged counts: replicated
-                   P(None),         # all_gathered maxima: replicated
-                   in_reads),
-        **{_CHECK_KW: False})  # all_gather replication is real; the
-                               # checker is conservative about it
-    def step(q, t, iso, sample):
-        scores = _score_batch(q, t)
-        # per-shard (isoform, sample) partial counts via one segment-sum
-        flat = iso * n_samples + sample
+    axes = tuple(mesh.axis_names)
+    n_dev = int(mesh.devices.size)
+    ids = np.asarray(flat_ids, np.int32)
+    # pad to a device multiple with the overflow bucket (dropped after
+    # the merge) BEFORE sharding — zero would be a real isoform id
+    padded_n = max(((len(ids) + n_dev - 1) // n_dev) * n_dev, n_dev)
+    padded = np.full(padded_n, num_segments, np.int32)
+    padded[:len(ids)] = ids
+    (ids_sharded,), _n = shard_batch(mesh, [padded])
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axes),),
+                       out_specs=P(None),
+                       **{_CHECK_KW: False})  # psum replication is real
+    def run(shard_ids):
         counts = jax.ops.segment_sum(
-            jnp.ones_like(flat), flat, num_segments=n_isoforms * n_samples)
-        counts = counts.reshape(n_isoforms, n_samples)
-        # reads are sharded over 'reads' and REPLICATED over 'loci', so the
-        # count merge psums over 'reads' only
-        total = jax.lax.psum(counts, read_axis)
-        if len(axes) > 1:
-            # exercise the loci-axis collective: mean shard score (ICI)
-            loci_mean = jax.lax.pmean(jnp.max(scores), axes[1])
-            scores = scores + 0 * loci_mean
-        # shard max scores visible everywhere (locus boundary analogue)
-        gathered = jax.lax.all_gather(jnp.max(scores)[None], read_axis)
-        gathered = gathered.reshape(-1)
-        # ring rotation of the read shard (load-balancing pattern on ICI)
-        n_shards = jax.lax.psum(1, read_axis)
-        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        rotated = jax.lax.ppermute(q, read_axis, perm)
-        return scores, total, gathered, rotated
+            jnp.ones_like(shard_ids, jnp.int32), shard_ids,
+            num_segments=num_segments + 1)
+        return jax.lax.psum(counts, axes)
 
-    return step(q_codes, t_codes, iso_ids, sample_ids)
+    merged = np.asarray(run(ids_sharded))
+    return merged[:num_segments].astype(np.int64)

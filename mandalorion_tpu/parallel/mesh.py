@@ -1,13 +1,69 @@
-"""Device mesh construction helpers."""
+"""Device mesh construction + the pipeline-mesh context.
+
+The production APDFQ stages dispatch their batched device work (chain DP,
+affine-gap DP, POA graph DP, quant count merge) through a handful of entry
+points; installing a mesh with `use_mesh` makes every one of them shard its
+batch axis over the mesh devices (data parallel; XLA partitions the jitted
+computation) and merge cross-shard results with collectives (psum for the
+quant count matrix). This is the TPU replacement for the reference's three
+multiprocessing pools (SURVEY §2.3): same decomposition, device axes
+instead of forked processes, byte-identical outputs (tests/test_parallel).
+"""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import contextlib
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_PIPELINE_MESH: Optional[Mesh] = None
+
+
+def pipeline_mesh() -> Optional[Mesh]:
+    """The mesh installed by use_mesh (None = single-device execution)."""
+    return _PIPELINE_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Optional[Mesh]):
+    """Install `mesh` as the pipeline mesh for the duration of the block;
+    every batched device dispatch inside shards over it."""
+    global _PIPELINE_MESH
+    prev = _PIPELINE_MESH
+    _PIPELINE_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _PIPELINE_MESH = prev
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for a batch-major array: dim 0 split over ALL mesh axes,
+    remaining dims replicated."""
+    spec = P(mesh.axis_names, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch(mesh: Mesh, arrays: Sequence[np.ndarray],
+                pad_multiple: int = 1) -> Tuple[List[jax.Array], int]:
+    """Pad each array's batch dim to a common multiple of the device count
+    (and `pad_multiple`) with zeros-like rows, then device_put with the
+    batch sharding. Returns (sharded arrays, original batch size)."""
+    n_dev = int(mesh.devices.size)
+    b = arrays[0].shape[0]
+    step = int(np.lcm(n_dev, max(pad_multiple, 1)))
+    padded_b = max(((b + step - 1) // step) * step, step)
+    out: List[jax.Array] = []
+    for a in arrays:
+        if padded_b != b:
+            pad = np.zeros((padded_b - b,) + a.shape[1:], a.dtype)
+            a = np.concatenate([a, pad], axis=0)
+        out.append(jax.device_put(a, batch_sharding(mesh, a.ndim)))
+    return out, b
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -35,11 +91,24 @@ def make_mesh(n_devices: Optional[int] = None,
 def multihost_init(coordinator: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> None:
-    """jax.distributed bootstrap for multi-host pods (no-op when args are
-    absent and the environment provides them, e.g. on TPU VMs)."""
+    """jax.distributed bootstrap for multi-host pods. Explicit arguments
+    are a contract: if the caller names a coordinator/process topology and
+    initialization fails, that is a misconfigured pod run and must abort
+    loudly (silently proceeding single-process would corrupt a sharded
+    run). With no arguments, the TPU-VM environment provides the topology
+    and an 'already initialized' state is tolerated."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process run
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower() and (
+                coordinator is None and num_processes is None):
+            return  # idempotent no-arg init on an initialized runtime
+        if coordinator is None and num_processes is None \
+                and process_id is None:
+            return  # single-process run without a distributed environment
+        raise RuntimeError(
+            f"jax.distributed.initialize failed for coordinator="
+            f"{coordinator} num_processes={num_processes} "
+            f"process_id={process_id}: {e}") from e

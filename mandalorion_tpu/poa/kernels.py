@@ -217,11 +217,25 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
             q = queries[gi]
             qq[bi, :len(q)] = q
             ql[bi] = len(q)
-        buf, ks = _align_traceback_batch(
-            base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
-            params.match, params.mismatch, params.gap, params.band)
-        buf = np.asarray(buf)
-        ks = np.asarray(ks)
+        from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
+        mesh = pipeline_mesh()
+        if mesh is not None:
+            # the per-locus isoform axis shards over the mesh ('loci'):
+            # each device aligns its shard of (graph, query) problems;
+            # zero-padded rows (n_nodes=0, qlen=0) produce empty paths
+            # and are sliced off
+            args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
+            buf, ks = _align_traceback_batch(
+                *args, jnp.int32(int(nn.max())),
+                params.match, params.mismatch, params.gap, params.band)
+            buf = np.asarray(buf)[:b]
+            ks = np.asarray(ks)[:b]
+        else:
+            buf, ks = _align_traceback_batch(
+                base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
+                params.match, params.mismatch, params.gap, params.band)
+            buf = np.asarray(buf)
+            ks = np.asarray(ks)
         for bi, gi in enumerate(batch):
             order = orders[gi]
             steps = buf[bi, :ks[bi]][::-1]

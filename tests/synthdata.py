@@ -1,41 +1,17 @@
 """Synthetic genomes, transcripts, reads, and truth extended-PSL lines.
 
-Builds config-1-style datasets (BASELINE.md): a random genome with planted
-multi-exon genes (canonical gt..ag introns), transcripts, error-free or
-noisy reads, and the extended PSL lines a perfect splice aligner would
-produce — so core-module parity tests don't depend on the aligner.
+Shared generators live in mandalorion_tpu.utils.simulate (re-exported
+here); this module adds the truth extended-PSL emitters the core-module
+parity tests use, so they don't depend on the aligner.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-BASES = np.array(list("ACGT"))
-
-
-def make_genome(length: int, seed: int = 7) -> str:
-    rng = np.random.default_rng(seed)
-    codes = rng.integers(0, 4, size=length, dtype=np.uint8)
-    return np.frombuffer(b"ACGT", np.uint8)[codes].tobytes().decode()
-
-
-def plant_introns(genome: str, exons, strand: str = "+") -> str:
-    """Force canonical intron motifs at the boundaries between exons:
-    gt..ag on genome-forward for '+' transcripts, ct..ac for '-' ones.
-    exons: list of (start, end) genomic half-open intervals, ascending."""
-    donor, acceptor = ("GT", "AG") if strand == "+" else ("CT", "AC")
-    g = list(genome)
-    for (s1, e1), (s2, e2) in zip(exons, exons[1:]):
-        g[e1] = donor[0]
-        g[e1 + 1] = donor[1]
-        g[s2 - 2] = acceptor[0]
-        g[s2 - 1] = acceptor[1]
-    return "".join(g)
-
-
-def transcript_seq(genome: str, exons) -> str:
-    return "".join(genome[s:e] for s, e in exons)
-
+from mandalorion_tpu.utils.simulate import (  # noqa: F401
+    BASES, gtf_lines, make_genome, mutate_read, plant_introns,
+    transcript_seq)
 
 def truth_psl_line(name: str, genome: str, exons, chrom: str = "chr1",
                    strand: str = "+", left_extra: int = 0,
@@ -73,29 +49,6 @@ def truth_psl_line(name: str, genome: str, exons, chrom: str = "chr1",
         1.0, cs, full_seq,
     ]
     return "\t".join(str(c) for c in cols)
-
-
-def gtf_lines(chrom: str, gene: str, tid: str, exons, strand: str = "+",
-              tags: str = "") -> str:
-    out = []
-    attrs = (f'gene_id "{gene}"; transcript_id "{tid}"; '
-             f'gene_name "{gene}N";{tags}')
-    for s, e in exons:
-        out.append(f"{chrom}\tsynth\texon\t{s + 1}\t{e}\t.\t{strand}\t.\t{attrs}")
-    return "\n".join(out) + "\n"
-
-
-def mutate_read(seq: str, rng: np.random.Generator, sub_rate: float = 0.0):
-    """Introduce substitutions (keeps length). Returns (seq, n_subs)."""
-    if sub_rate <= 0:
-        return seq, 0
-    arr = np.array(list(seq))
-    mask = rng.random(len(arr)) < sub_rate
-    subs = int(mask.sum())
-    if subs:
-        repl = rng.choice(BASES, size=subs)
-        arr[mask] = repl
-    return "".join(arr), subs
 
 
 def noisy_psl_line(name, genome, exons, rng, sub_rate=0.02, chrom="chr1"):

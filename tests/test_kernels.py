@@ -155,3 +155,21 @@ def test_zdrop_truncates_junk_extension():
     res_z = solve_dp_numpy(p, AlignConfig(zdrop=12))[0]
     assert res_z.q_len >= 30           # the head is still consumed
     assert res_z.q_len <= 30 + 12 + 5  # but junk is not
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_backends_sharded_over_mesh_identical(n):
+    """With a pipeline mesh installed, the rowscan and Pallas dispatches
+    shard their problem batch over the devices (Pallas via shard_map,
+    per-shard grids) and stay bit-identical to the oracle."""
+    from mandalorion_tpu.parallel.mesh import make_mesh, use_mesh
+
+    cfg = AlignConfig(end_bonus=12)
+    rng = np.random.default_rng(77)
+    problems = _random_problems(rng, 21, "extend_right")  # ragged batch
+    ref = solve_dp_numpy(problems, cfg)
+    with use_mesh(make_mesh(n)):
+        _assert_same(ref, solve_dp_rowscan(problems, cfg),
+                     f"rowscan-mesh{n}")
+        _assert_same(ref, solve_dp_pallas(problems, cfg, interpret=True),
+                     f"pallas-mesh{n}")
