@@ -69,8 +69,10 @@ class PoaConfig:
 
     match: int = 5                 # -M 5
     mismatch: int = 4              # abPOA default mismatch penalty
-    gap_open: int = 6              # abPOA default -O 6,26
-    gap_extend: int = 2            # abPOA default -E 2,1
+    # convex dual-affine gap model (abPOA -O 6,26 -E 2,1):
+    # gap(k) = min(gap_open + k*gap_extend, gap_open2 + k*gap_extend2)
+    gap_open: int = 6
+    gap_extend: int = 2
     gap_open2: int = 26
     gap_extend2: int = 1
     adaptive_band_threshold: int = 8000  # -S when median read length >= 8000

@@ -102,7 +102,9 @@ def _poa_params(cfg: PoaConfig, lengths: Sequence[int]) -> PoaParams:
     if float(np.median(lengths)) >= cfg.adaptive_band_threshold:
         band = max(band, 256)  # abPOA -S analogue: wider adaptive band
     return PoaParams(match=cfg.match, mismatch=cfg.mismatch,
-                     gap=cfg.gap_extend + cfg.gap_open // 2, band=band)
+                     gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                     gap_open2=cfg.gap_open2, gap_extend2=cfg.gap_extend2,
+                     band=band)
 
 
 def determine_consensus_batch(

@@ -1,10 +1,23 @@
 """Partial-order alignment graph: sequence-to-DAG DP + heaviest bundle.
 
 The graph is columnar: node base codes, edge lists, edge weights. Each read
-is globally aligned to the DAG (nodes in topological order × banded query
-window); the traceback path adds nodes/edges with read support. Consensus =
-heaviest-bundle path (max edge-weight DP over topological order), abPOA's
-`-r 0` output mode.
+is globally aligned to the DAG with abPOA's convex (dual-affine) gap model
+(`abpoa -M 5 -r 0`, SpliceDefineConsensus.py:915-919; defaults -O 6,26
+-E 2,1): a gap of length k costs min(gap_open + k*gap_extend,
+gap_open2 + k*gap_extend2) — the cheap-open component wins short gaps, the
+cheap-extend component long ones. The DP carries two deletion states across
+graph edges and resolves the two insertion states per row with prefix-max
+scans (an insertion opening from another insertion's end pays both opens
+and never beats a pure single-component run, so the scan collapse is
+exact — tests/test_poa.py asserts optimality against a brute-force convex
+Gotoh oracle). The traceback path adds nodes/edges with read support.
+Consensus = heaviest-bundle path (max edge-weight DP over topological
+order), abPOA's `-r 0` output mode.
+
+Exact abPOA-binary output equivalence is unverifiable in this environment
+(no abpoa binary, zero egress — see NOTES.md); the scoring model, tie-break
+conventions, and graph-construction order are pinned here and mirrored
+bit-identically by the batched device kernel (poa/kernels.py).
 """
 
 from __future__ import annotations
@@ -21,7 +34,10 @@ NEG = -(10 ** 9)
 class PoaParams:
     match: int = 5          # abPOA -M 5
     mismatch: int = 4
-    gap: int = 4            # linear gap (v1; abPOA default is convex affine)
+    gap_open: int = 6       # abPOA -O 6,26 (convex: two affine components)
+    gap_extend: int = 2     # abPOA -E 2,1
+    gap_open2: int = 26
+    gap_extend2: int = 1
     band: int = 128         # query band half-width around node rank diagonal
 
 
@@ -68,97 +84,163 @@ class PoaGraph:
 
     # ------------------------------------------------------------- align
 
+    @staticmethod
+    def _gap0(params: PoaParams, jidx: np.ndarray) -> np.ndarray:
+        """Row-0 boundary: cost of inserting the first j query bases =
+        convex min over the two affine components (0 at j=0)."""
+        g1 = params.gap_open + params.gap_extend * jidx
+        g2 = params.gap_open2 + params.gap_extend2 * jidx
+        out = -np.minimum(g1, g2)
+        out[0] = 0
+        return out
+
     def align(self, q: np.ndarray, params: PoaParams
               ) -> List[Tuple[int, Optional[int]]]:
-        """Global banded alignment of query codes vs the graph.
-        Returns the path as (query_index | -1, node | None) steps:
+        """Global banded convex-affine alignment of query codes vs the
+        graph. Returns the path as (query_index | -1, node | None) steps:
         (qi, node)   — query base qi aligned to node (match or mismatch)
         (qi, None)   — query base qi inserted (new node needed)
         (-1, node)   — node deleted (skipped).
+
+        Tie-break conventions (pinned; the device kernel mirrors them):
+        H state order diag >= D1 >= D2, insertions replace on strict >
+        (I1 before I2); D open-from-H wins ties over extend; first max
+        over predecessors in declared order; end rank = first max.
         """
         order = self.topo_order()
         rank = {v: r for r, v in enumerate(order)}
         n, L = len(order), len(q)
         band = max(params.band, abs(n - L) + 16)
-        lo = np.maximum(0, np.arange(1, n + 1) * L // max(n, 1) - band)
-        hi = np.minimum(L, np.arange(1, n + 1) * L // max(n, 1) + band)
+        jidx = np.arange(L + 1, dtype=np.int64)
+        o1, e1 = params.gap_open, params.gap_extend
+        o2, e2 = params.gap_open2, params.gap_extend2
 
-        # score[r] over full query axis (memory L+1 per node; fine for v1)
-        score = np.full((n + 1, L + 1), NEG, np.int64)
-        ptr_node = np.full((n + 1, L + 1), -2, np.int64)  # pred rank or -1
-        ptr_op = np.zeros((n + 1, L + 1), np.uint8)  # 0 diag 1 ins 2 del
-        score[0, :] = -params.gap * np.arange(L + 1)
-        ptr_op[0, :] = 1
-        gap = params.gap
+        # state matrices over (rank+1, L+1)
+        score = np.full((n + 1, L + 1), NEG, np.int64)   # H (band-masked)
+        d1 = np.full((n + 1, L + 1), NEG, np.int64)
+        d2 = np.full((n + 1, L + 1), NEG, np.int64)
+        op = np.zeros((n + 1, L + 1), np.uint8)    # 0 diag 1 I1 2 D1 3 I2 4 D2
+        op0 = np.zeros((n + 1, L + 1), np.uint8)   # pre-insertion op (0/2/4)
+        node0 = np.full((n + 1, L + 1), -2, np.int32)  # diag pred rank
+        orig1 = np.zeros((n + 1, L + 1), np.int32)  # I1 run origin column
+        orig2 = np.zeros((n + 1, L + 1), np.int32)
+        score[0] = self._gap0(params, jidx)
+        op[0, :] = 1
+        orig1[0, :] = 0
 
         for r, v in enumerate(order, start=1):
             pred_ranks = [rank[u] + 1 for u in self.preds[v]]
             if not pred_ranks:
                 pred_ranks = [0]
-            j0, j1 = int(lo[r - 1]), int(hi[r - 1])
             base_v = self.base[v]
             sub = np.where(q == base_v, params.match, -params.mismatch)
+
             best_prev = np.full(L + 1, NEG, np.int64)
             best_prev_rank = np.full(L + 1, -2, np.int64)
+            d1_row = np.full(L + 1, NEG, np.int64)
+            d2_row = np.full(L + 1, NEG, np.int64)
             for pr in pred_ranks:
                 better = score[pr] > best_prev
                 best_prev = np.where(better, score[pr], best_prev)
                 best_prev_rank = np.where(better, pr, best_prev_rank)
-            diag = best_prev[:-1] + sub          # consume query base
-            dele = best_prev[1:] - gap           # skip node
-            row = np.full(L + 1, NEG, np.int64)
-            rowp = np.full(L + 1, -2, np.int64)
-            rowo = np.zeros(L + 1, np.uint8)
-            row[0] = best_prev[0] - gap
-            rowp[0] = best_prev_rank[0]
-            rowo[0] = 2
-            use_diag = diag >= dele
-            row[1:] = np.where(use_diag, diag, dele)
-            rowp[1:] = np.where(use_diag, best_prev_rank[:-1],
-                                best_prev_rank[1:])
-            rowo[1:] = np.where(use_diag, 0, 2)
-            # insertions within the row: with linear gaps the run is a
-            # prefix-max scan, fully vectorized:
-            # row[j] = max(row0[j], max_{j'<j}(row0[j'] + g*j') - g*j)
-            jidx = np.arange(L + 1, dtype=np.int64)
-            acc = np.maximum.accumulate(row + gap * jidx) - gap * jidx
-            ins_better = acc > row
-            row = np.where(ins_better, acc, row)
-            rowo = np.where(ins_better, np.uint8(1), rowo)
-            rowp = np.where(ins_better, -1, rowp)
-            # mask outside band (keep j0..j1 plus column 0)
-            if j0 > 1:
-                row[1:j0] = NEG
-            if j1 < L:
-                row[j1 + 1:] = NEG
-            score[r] = row
-            ptr_node[r] = rowp
-            ptr_op[r] = rowo
+                c1 = np.maximum(score[pr] - (o1 + e1), d1[pr] - e1)
+                c2 = np.maximum(score[pr] - (o2 + e2), d2[pr] - e2)
+                d1_row = np.maximum(d1_row, c1)
+                d2_row = np.maximum(d2_row, c2)
+            d1[r] = d1_row
+            d2[r] = d2_row
 
-        # best end: max over rows of nodes with no successors at column L
+            # H pre-insertion: diag >= D1 >= D2 on ties
+            diag = best_prev[:-1] + sub          # consume query base
+            row = np.concatenate([[NEG], diag])
+            rowo = np.zeros(L + 1, np.uint8)
+            rown = np.concatenate([[-2], best_prev_rank[:-1]])
+            m = d1_row > row
+            row = np.where(m, d1_row, row)
+            rowo = np.where(m, np.uint8(2), rowo)
+            m = d2_row > row
+            row = np.where(m, d2_row, row)
+            rowo = np.where(m, np.uint8(4), rowo)
+            op0[r] = rowo
+            node0[r] = rown
+
+            # insertions: per component, a prefix-max scan over the
+            # pre-insertion row (see module docstring for why this is
+            # exact); origin column recovered for traceback
+            fin = row.copy()
+            fino = rowo.copy()
+            for comp, (oo, ee, code, orig) in enumerate(
+                    (((o1, e1, 1, orig1)), (o2, e2, 3, orig2))):
+                vals = row + ee * jidx
+                acc = np.maximum.accumulate(vals)
+                prev_acc = np.concatenate([[NEG - 1], acc[:-1]])
+                is_new = vals > prev_acc
+                org = np.maximum.accumulate(np.where(is_new, jidx, -1))
+                ins = acc - oo - ee * jidx
+                m = ins > fin
+                fin = np.where(m, ins, fin)
+                fino = np.where(m, np.uint8(code), fino)
+                orig[r] = np.where(m, org, orig[r])
+
+            # band mask on the stored H row (values only, as before)
+            center = r * L // max(n, 1)
+            j0 = max(0, center - band)
+            j1 = min(L, center + band)
+            if j0 > 1:
+                fin[1:j0] = NEG
+            if j1 < L:
+                fin[j1 + 1:] = NEG
+            score[r] = fin
+            op[r] = fino
+
+        # best end: first max over rows of nodes with no successors at L
         end_ranks = [rank[v] + 1 for v in order if not self.succs[v]]
         if not end_ranks:
             end_ranks = [n]
         br = max(end_ranks, key=lambda rr: score[rr, L])
+
+        # ------------------------------------------------------ traceback
         path: List[Tuple[int, Optional[int]]] = []
+        st = "H"   # H (final op) | H0 (pre-insertion op) | D1 | D2
         r, j = br, L
         while r > 0 or j > 0:
-            op = ptr_op[r, j]
-            if r == 0:
-                path.append((j - 1, None))
-                j -= 1
-                continue
-            v = order[r - 1]
-            if op == 0:
-                path.append((j - 1, v))
-                pr = int(ptr_node[r, j])
-                r, j = pr, j - 1
-            elif op == 1:
-                path.append((j - 1, None))
-                j -= 1
+            if st in ("H", "H0"):
+                if r == 0:
+                    path.append((j - 1, None))
+                    j -= 1
+                    continue
+                o = op[r, j] if st == "H" else op0[r, j]
+                v = order[r - 1]
+                if o == 0:
+                    path.append((j - 1, v))
+                    r, j, st = int(node0[r, j]), j - 1, "H"
+                elif o in (1, 3):
+                    target = int((orig1 if o == 1 else orig2)[r, j])
+                    while j > target:
+                        path.append((j - 1, None))
+                        j -= 1
+                    st = "H0"
+                else:
+                    st = "D1" if o == 2 else "D2"
             else:
+                oo, ee = (o1, e1) if st == "D1" else (o2, e2)
+                dmat = d1 if st == "D1" else d2
+                v = order[r - 1]
                 path.append((-1, v))
-                r = int(ptr_node[r, j])
+                pred_ranks = [rank[u] + 1 for u in self.preds[v]]
+                if not pred_ranks:
+                    pred_ranks = [0]
+                target = dmat[r, j]
+                nxt = None
+                for pr in pred_ranks:  # first max, as in the forward pass
+                    c_open = score[pr, j] - (oo + ee)
+                    c_ext = dmat[pr, j] - ee
+                    if max(c_open, c_ext) == target:
+                        nxt = (pr, c_ext > c_open)  # open wins ties
+                        break
+                assert nxt is not None, "deletion traceback lost"
+                r = nxt[0]
+                st = st if nxt[1] else "H"
         path.reverse()
         return path
 
@@ -212,7 +294,10 @@ class PoaGraph:
         return np.array([self.base[v] for v in out], np.uint8)
 
 
-MAX_GRAPH_LEN = 20_000  # DP rows are O(nodes x len); guard runaway memory
+# DP state is O(nodes x query) with ~38 B/cell across the convex-affine
+# score/pointer matrices (~2.5 GB worst case at this cap); longer isoforms
+# fall back to the star engine (poa/consensus.py)
+MAX_GRAPH_LEN = 8192
 
 
 def poa_consensus(seq_codes_list: List[np.ndarray],

@@ -5,13 +5,20 @@ graph lives on the host as columnar padded arrays in topological-rank
 space, and the O(nodes x query) DP runs as one jitted `lax.fori_loop` over
 ranks with full-row vector ops, `vmap`ped over a batch of (graph, query)
 problems — many isoforms' reads aligned per device dispatch. Traceback
-(cheap, sequential) walks the returned pointer matrices on the host and
-feeds `PoaGraph.apply_path`.
+(cheap, sequential) walks the state matrices on the device (a while_loop;
+the O(nodes x query) matrices never cross the tunnel) and feeds
+`PoaGraph.apply_path`.
 
-Bit-identical contract: scores, tie-breaks (first-max predecessor, diag >=
-delete, strict > insertion), band semantics, and traceback order all match
-`PoaGraph.align` (tests/test_poa.py asserts equality), so the kernel and
-the Python engine are interchangeable per read.
+Gap model: abPOA's convex dual-affine (gap_open/gap_extend +
+gap_open2/gap_extend2) — two deletion states carried across graph edges,
+two insertion states resolved per row with prefix-max scans (see
+poa/graph.py for why the collapse is exact).
+
+Bit-identical contract: scores, tie-breaks (first-max predecessor,
+diag >= D1 >= D2, strict-> insertions I1 before I2, D open wins ties over
+extend), band semantics, and traceback order all match `PoaGraph.align`
+(tests/test_poa.py asserts equality), so the kernel and the Python engine
+are interchangeable per read.
 """
 
 from __future__ import annotations
@@ -27,9 +34,9 @@ import jax.numpy as jnp
 from mandalorion_tpu.poa.graph import NEG, PoaGraph, PoaParams
 
 # one batched DP dispatch is chunked to stay under this many DP cells
-# (score + 2 pointer matrices ~ 9 bytes/cell: 256M cells ~ 2.3 GB, well
-# inside a v5e's 16 GB HBM while leaving room for donation copies)
-MAX_CELLS_PER_DISPATCH = 256 * 1024 * 1024
+# (8 int32 state matrices = 32 bytes/cell: 64M cells ~ 2 GB, well inside a
+# v5e's 16 GB HBM while leaving room for donation copies)
+MAX_CELLS_PER_DISPATCH = 64 * 1024 * 1024
 
 
 def _pow2_at_least(n: int, floor: int = 64) -> int:
@@ -65,84 +72,126 @@ def graph_arrays(graph: PoaGraph, n_cap: int, p_cap: int,
 
 
 def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
-                match: int, mismatch: int, gap: int, band: int):
-    """One (graph, query) DP, shapes static. Returns (score, ptr_node,
-    ptr_op) matrices of shape (N+1, L+1). Vmapped over the batch axis by
-    the caller."""
+                match: int, mismatch: int, o1: int, e1: int,
+                o2: int, e2: int, band: int):
+    """One (graph, query) convex-affine DP, shapes static. Returns the
+    state matrices (score H, d1, d2, op, op0, node0, orig1, orig2), each
+    (N+1, L+1) int32. Vmapped over the batch axis by the caller."""
     n_cap = base_r.shape[0]
     l_cap = q.shape[0]
     width = l_cap + 1
     jidx = jnp.arange(width, dtype=jnp.int32)
 
-    # band per rank from ACTUAL sizes (PoaGraph.align band semantics)
     eff_band = jnp.maximum(band, jnp.abs(n_nodes - qlen) + 16)
 
-    score0 = jnp.full((n_cap + 1, width), NEG, jnp.int32)
-    score0 = score0.at[0].set(-gap * jidx)
-    ptrn0 = jnp.full((n_cap + 1, width), -2, jnp.int32)
-    ptro0 = jnp.zeros((n_cap + 1, width), jnp.uint8)
-    ptro0 = ptro0.at[0].set(1)
+    # row 0: convex insertion boundary
+    g0 = -jnp.minimum(o1 + e1 * jidx, o2 + e2 * jidx)
+    g0 = jnp.where(jidx == 0, 0, g0)
+    score0 = jnp.full((n_cap + 1, width), NEG, jnp.int32).at[0].set(g0)
+    d1m = jnp.full((n_cap + 1, width), NEG, jnp.int32)
+    d2m = jnp.full((n_cap + 1, width), NEG, jnp.int32)
+    op_m = jnp.zeros((n_cap + 1, width), jnp.int32).at[0].set(1)
+    op0m = jnp.zeros((n_cap + 1, width), jnp.int32)
+    node0m = jnp.full((n_cap + 1, width), -2, jnp.int32)
+    orig1m = jnp.zeros((n_cap + 1, width), jnp.int32)
+    orig2m = jnp.zeros((n_cap + 1, width), jnp.int32)
 
     p_cap = preds_r.shape[1]
 
     def body(r, carry):
-        score, ptrn, ptro = carry
+        score, d1, d2, op, op0, node0, orig1, orig2 = carry
         base_v = base_r[r - 1]
         sub = jnp.where(q == base_v, match, -mismatch).astype(jnp.int32)
-        # first-max over predecessors in declared order (strict >)
         best_prev = jnp.full(width, NEG, jnp.int32)
         best_rank = jnp.full(width, -2, jnp.int32)
+        d1_row = jnp.full(width, NEG, jnp.int32)
+        d2_row = jnp.full(width, NEG, jnp.int32)
         for p in range(p_cap):
             pr = preds_r[r - 1, p]
-            row_p = jax.lax.dynamic_index_in_dim(
-                score, jnp.maximum(pr, 0), axis=0, keepdims=False)
+            prc = jnp.maximum(pr, 0)
+            row_p = jax.lax.dynamic_index_in_dim(score, prc, axis=0,
+                                                 keepdims=False)
             row_p = jnp.where(pr >= 0, row_p, NEG)
+            d1_p = jax.lax.dynamic_index_in_dim(d1, prc, axis=0,
+                                                keepdims=False)
+            d1_p = jnp.where(pr >= 0, d1_p, NEG)
+            d2_p = jax.lax.dynamic_index_in_dim(d2, prc, axis=0,
+                                                keepdims=False)
+            d2_p = jnp.where(pr >= 0, d2_p, NEG)
             better = row_p > best_prev
             best_prev = jnp.where(better, row_p, best_prev)
             best_rank = jnp.where(better, pr, best_rank)
+            d1_row = jnp.maximum(
+                d1_row, jnp.maximum(row_p - (o1 + e1), d1_p - e1))
+            d2_row = jnp.maximum(
+                d2_row, jnp.maximum(row_p - (o2 + e2), d2_p - e2))
+
         diag = best_prev[:-1] + sub          # consume query base
-        dele = best_prev[1:] - gap           # skip node
-        use_diag = diag >= dele
-        row = jnp.concatenate(
-            [best_prev[:1] - gap, jnp.where(use_diag, diag, dele)])
-        rowp = jnp.concatenate(
-            [best_rank[:1],
-             jnp.where(use_diag, best_rank[:-1], best_rank[1:])])
-        rowo = jnp.concatenate(
-            [jnp.full(1, 2, jnp.uint8),
-             jnp.where(use_diag, jnp.uint8(0), jnp.uint8(2))])
-        # insertion prefix-max scan (linear gap)
-        acc = jax.lax.cummax(row + gap * jidx) - gap * jidx
-        ins_better = acc > row
-        row = jnp.where(ins_better, acc, row)
-        rowo = jnp.where(ins_better, jnp.uint8(1), rowo)
-        rowp = jnp.where(ins_better, -1, rowp)
-        # band mask (row values only; pointers stay, as in the oracle)
+        row = jnp.concatenate([jnp.full(1, NEG, jnp.int32), diag])
+        rowo = jnp.zeros(width, jnp.int32)
+        rown = jnp.concatenate(
+            [jnp.full(1, -2, jnp.int32), best_rank[:-1]])
+        m = d1_row > row
+        row = jnp.where(m, d1_row, row)
+        rowo = jnp.where(m, 2, rowo)
+        m = d2_row > row
+        row = jnp.where(m, d2_row, row)
+        rowo = jnp.where(m, 4, rowo)
+
+        fin = row
+        fino = rowo
+        org_out = []
+        for oo, ee, code in ((o1, e1, 1), (o2, e2, 3)):
+            vals = row + ee * jidx
+            acc = jax.lax.cummax(vals)
+            prev_acc = jnp.concatenate(
+                [jnp.full(1, NEG - 1, jnp.int32), acc[:-1]])
+            is_new = vals > prev_acc
+            org = jax.lax.cummax(jnp.where(is_new, jidx, -1))
+            ins = acc - oo - ee * jidx
+            m = ins > fin
+            fin = jnp.where(m, ins, fin)
+            fino = jnp.where(m, code, fino)
+            org_out.append(jnp.where(m, org, 0))
+
+        # band mask (stored H values only, as in the oracle)
         center = r * qlen // jnp.maximum(n_nodes, 1)
         j0 = jnp.maximum(0, center - eff_band)
         j1 = jnp.minimum(qlen, center + eff_band)
         masked = (jidx >= 1) & ((jidx < j0) | (jidx > j1))
-        row = jnp.where(masked, NEG, row)
-        score = jax.lax.dynamic_update_slice(score, row[None], (r, 0))
-        ptrn = jax.lax.dynamic_update_slice(ptrn, rowp[None], (r, 0))
-        ptro = jax.lax.dynamic_update_slice(ptro, rowo[None], (r, 0))
-        return score, ptrn, ptro
+        fin = jnp.where(masked, NEG, fin)
+
+        score = jax.lax.dynamic_update_slice(score, fin[None], (r, 0))
+        d1 = jax.lax.dynamic_update_slice(d1, d1_row[None], (r, 0))
+        d2 = jax.lax.dynamic_update_slice(d2, d2_row[None], (r, 0))
+        op = jax.lax.dynamic_update_slice(op, fino[None], (r, 0))
+        op0 = jax.lax.dynamic_update_slice(op0, rowo[None], (r, 0))
+        node0 = jax.lax.dynamic_update_slice(node0, rown[None], (r, 0))
+        orig1 = jax.lax.dynamic_update_slice(orig1, org_out[0][None],
+                                             (r, 0))
+        orig2 = jax.lax.dynamic_update_slice(orig2, org_out[1][None],
+                                             (r, 0))
+        return score, d1, d2, op, op0, node0, orig1, orig2
 
     # n_hi: the batch's actual max node count (traced scalar — rows past
     # any item's own n are computed but never read; rows past n_hi are
     # skipped entirely, which matters when padding rounds n_cap up)
-    return jax.lax.fori_loop(1, n_hi + 1, body, (score0, ptrn0, ptro0))
+    return jax.lax.fori_loop(
+        1, n_hi + 1, body,
+        (score0, d1m, d2m, op_m, op0m, node0m, orig1m, orig2m))
 
 
 def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
-                     match: int, mismatch: int, gap: int, band: int):
-    """DP + on-device traceback for one problem. The pointer matrices
+                     match: int, mismatch: int, o1: int, e1: int,
+                     o2: int, e2: int, band: int):
+    """DP + on-device traceback for one problem. The state matrices
     (O(nodes x query), hundreds of MB per batch) never leave the device —
     only the path steps (O(nodes + query) ints) are returned:
     (steps[k] = (qi, rank), n_steps), written in reverse order.
     qi == -1: node deleted; rank == -1: query base inserted."""
-    score, ptrn, ptro = _align_rows(base_r, preds_r, n_nodes, q, qlen,
-                                    n_hi, match, mismatch, gap, band)
+    score, d1, d2, op, op0, node0, orig1, orig2 = _align_rows(
+        base_r, preds_r, n_nodes, q, qlen, n_hi,
+        match, mismatch, o1, e1, o2, e2, band)
     n_cap = base_r.shape[0]
     l_cap = q.shape[0]
     # end rank: first max of score[r, qlen] over real end ranks — argmax's
@@ -156,31 +205,97 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
     max_steps = n_cap + l_cap + 2
     buf0 = jnp.zeros((max_steps, 2), jnp.int32)
 
+    # traceback states: 0 H (final op), 1 H0 (pre-insertion op),
+    # 2 D1, 3 D2, 4 INS (emitting an insertion run down to column `tgt`)
     def cond(c):
-        r, j, k, _ = c
+        st, r, j, tgt, k, _ = c
         return ((r > 0) | (j > 0)) & (r >= 0) & (k < max_steps)
 
-    def step(c):
-        r, j, k, buf = c
-        op = ptro[r, j]  # row 0 is initialized to op 1 (insertion run)
-        qi = jnp.where(op == 2, -1, j - 1)
-        rank = jnp.where(op == 1, -1, r - 1)
-        buf = jax.lax.dynamic_update_slice(
+    def emit(buf, k, qi, rank):
+        return jax.lax.dynamic_update_slice(
             buf, jnp.stack([qi, rank])[None].astype(jnp.int32), (k, 0))
-        pr = ptrn[r, j]
-        r = jnp.where(op == 1, r, pr)
-        j = jnp.where(op == 2, j, j - 1)
-        return r, j, k + 1, buf
 
-    _, _, k, buf = jax.lax.while_loop(
-        cond, step, (br, jnp.int32(qlen), jnp.int32(0), buf0))
+    def step(c):
+        st, r, j, tgt, k, buf = c
+
+        def at_cell(mat):
+            return mat[r, j]
+
+        def h_case(use0):
+            # r == 0: boundary insertion run to column 0
+            def row0_case():
+                return (jnp.int32(0), r, j - 1, tgt, k + 1,
+                        emit(buf, k, j - 1, -1))
+
+            def node_case():
+                opv = jnp.where(use0, at_cell(op0), at_cell(op))
+
+                def diag_case():
+                    return (jnp.int32(0), at_cell(node0), j - 1, tgt,
+                            k + 1, emit(buf, k, j - 1, r - 1))
+
+                def ins_case():
+                    t = jnp.where(opv == 1, at_cell(orig1),
+                                  at_cell(orig2))
+                    nst = jnp.where(j - 1 > t, jnp.int32(4), jnp.int32(1))
+                    return (nst, r, j - 1, t, k + 1,
+                            emit(buf, k, j - 1, -1))
+
+                def del_case():
+                    return (jnp.where(opv == 2, jnp.int32(2),
+                                      jnp.int32(3)), r, j, tgt, k, buf)
+
+                is_diag = opv == 0
+                is_ins = (opv == 1) | (opv == 3)
+                return jax.lax.cond(
+                    is_diag, diag_case,
+                    lambda: jax.lax.cond(is_ins, ins_case, del_case))
+
+            return jax.lax.cond(r == 0, row0_case, node_case)
+
+        def ins_run_case():
+            nst = jnp.where(j - 1 > tgt, jnp.int32(4), jnp.int32(1))
+            return (nst, r, j - 1, tgt, k + 1, emit(buf, k, j - 1, -1))
+
+        def d_case(dmat, oo, ee, st_code):
+            target = dmat[r, j]
+            best_p = jnp.int32(preds_r.shape[1])
+            best_ext = jnp.bool_(False)
+            best_pr = jnp.int32(-2)
+            for p in reversed(range(preds_r.shape[1])):
+                pr = preds_r[r - 1, p]
+                prc = jnp.maximum(pr, 0)
+                c_open = score[prc, j] - (oo + ee)
+                c_ext = dmat[prc, j] - ee
+                cand = jnp.maximum(c_open, c_ext)
+                hit = (pr >= 0) & (cand == target)
+                # iterate high->low so the LAST hit standing is the first
+                # predecessor in declared order (forward-pass first max)
+                best_p = jnp.where(hit, p, best_p)
+                best_ext = jnp.where(hit, c_ext > c_open, best_ext)
+                best_pr = jnp.where(hit, pr, best_pr)
+            nst = jnp.where(best_ext, st_code, jnp.int32(0))
+            return (nst, best_pr, j, tgt, k + 1, emit(buf, k, -1, r - 1))
+
+        return jax.lax.switch(
+            st,
+            [lambda: h_case(jnp.bool_(False)),
+             lambda: h_case(jnp.bool_(True)),
+             lambda: d_case(d1, o1, e1, jnp.int32(2)),
+             lambda: d_case(d2, o2, e2, jnp.int32(3)),
+             ins_run_case])
+
+    _, _, _, _, k, buf = jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), br, jnp.int32(qlen), jnp.int32(0), jnp.int32(0),
+         buf0))
     return buf, k
 
 
 _align_traceback_batch = jax.jit(
     jax.vmap(_align_traceback,
-             in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, None)),
-    static_argnames=("match", "mismatch", "gap", "band"))
+             in_axes=(0, 0, 0, 0, 0, 0) + (None,) * 8),
+    static_argnames=("match", "mismatch", "o1", "e1", "o2", "e2", "band"))
 
 
 def align_graph_batch(graphs: Sequence[PoaGraph],
@@ -219,6 +334,7 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
             ql[bi] = len(q)
         from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
         mesh = pipeline_mesh()
+        pp = params
         if mesh is not None:
             # the per-locus isoform axis shards over the mesh ('loci'):
             # each device aligns its shard of (graph, query) problems;
@@ -227,13 +343,15 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
             args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
             buf, ks = _align_traceback_batch(
                 *args, jnp.int32(int(nn.max())),
-                params.match, params.mismatch, params.gap, params.band)
+                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+                pp.gap_open2, pp.gap_extend2, pp.band)
             buf = np.asarray(buf)[:b]
             ks = np.asarray(ks)[:b]
         else:
             buf, ks = _align_traceback_batch(
                 base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
-                params.match, params.mismatch, params.gap, params.band)
+                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+                pp.gap_open2, pp.gap_extend2, pp.band)
             buf = np.asarray(buf)
             ks = np.asarray(ks)
         for bi, gi in enumerate(batch):

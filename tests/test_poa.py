@@ -174,3 +174,172 @@ def test_determine_consensus_batch_graph_engine():
     bat = determine_consensus_batch(read_sets, cfg,
                                     np.random.default_rng(11))
     assert seq == bat
+
+
+# ------------------- convex (dual-affine) gap model, abPOA semantics ------
+
+def _convex_gotoh_score(a, b, p):
+    """Brute-force optimal global alignment score of codes a vs b under
+    the convex model: gap(k) = min(o1 + k*e1, o2 + k*e2). Independent
+    5-state Gotoh oracle (both gap states open from full H)."""
+    o1, e1, o2, e2 = p.gap_open, p.gap_extend, p.gap_open2, p.gap_extend2
+    NEG = -(10 ** 9)
+    la, lb = len(a), len(b)
+    H = np.full((la + 1, lb + 1), NEG, np.int64)
+    E1 = np.full_like(H, NEG)   # gap in a (consume b)
+    E2 = np.full_like(H, NEG)
+    F1 = np.full_like(H, NEG)   # gap in b (consume a)
+    F2 = np.full_like(H, NEG)
+    H[0, 0] = 0
+    for i in range(la + 1):
+        for j in range(lb + 1):
+            if i == 0 and j == 0:
+                continue
+            if j > 0:
+                E1[i, j] = max(H[i, j - 1] - o1 - e1, E1[i, j - 1] - e1)
+                E2[i, j] = max(H[i, j - 1] - o2 - e2, E2[i, j - 1] - e2)
+            if i > 0:
+                F1[i, j] = max(H[i - 1, j] - o1 - e1, F1[i - 1, j] - e1)
+                F2[i, j] = max(H[i - 1, j] - o2 - e2, F2[i - 1, j] - e2)
+            diag = NEG
+            if i > 0 and j > 0:
+                diag = H[i - 1, j - 1] + (
+                    p.match if a[i - 1] == b[j - 1] else -p.mismatch)
+            H[i, j] = max(diag, E1[i, j], E2[i, j], F1[i, j], F2[i, j])
+    return int(H[la, lb])
+
+
+def _path_score(path, backbone, q, p):
+    """Score an alignment path under the convex model (contiguous
+    insertion/deletion runs cost min over the two components)."""
+    def gap_cost(k):
+        return min(p.gap_open + k * p.gap_extend,
+                   p.gap_open2 + k * p.gap_extend2)
+
+    score = 0
+    run_i = run_d = 0
+    for qi, node in path:
+        if qi == -1:
+            if run_i:
+                score -= gap_cost(run_i)
+                run_i = 0
+            run_d += 1
+        elif node is None:
+            if run_d:
+                score -= gap_cost(run_d)
+                run_d = 0
+            run_i += 1
+        else:
+            if run_i:
+                score -= gap_cost(run_i)
+                run_i = 0
+            if run_d:
+                score -= gap_cost(run_d)
+                run_d = 0
+            score += (p.match if backbone[node] == q[qi]
+                      else -p.mismatch)
+    if run_i:
+        score -= gap_cost(run_i)
+    if run_d:
+        score -= gap_cost(run_d)
+    return score
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_convex_alignment_is_optimal(seed):
+    """PoaGraph.align's convex-affine DP returns paths whose convex-model
+    score equals the brute-force Gotoh optimum (random pairs, band off)."""
+    rng = np.random.default_rng(seed)
+    p = PoaParams(band=10_000)
+    for _ in range(8):
+        a = rng.integers(0, 4, size=int(rng.integers(10, 60))).astype(
+            np.uint8)
+        b = list(a)
+        for _e in range(int(rng.integers(1, 6))):
+            kind = rng.integers(0, 3)
+            pos = int(rng.integers(0, max(len(b), 1)))
+            if kind == 0 and b:
+                b[pos] = int(rng.integers(0, 4))
+            elif kind == 1:
+                ln = int(rng.integers(1, 40))  # long enough to flip comps
+                for _ in range(ln):
+                    b.insert(pos, int(rng.integers(0, 4)))
+            elif b:
+                del b[pos:pos + int(rng.integers(1, min(len(b), 30) + 1))]
+        b = np.asarray(b, np.uint8)
+        if len(b) == 0:
+            continue
+        g = PoaGraph(a)
+        path = g.align(b, p)
+        assert _path_score(path, g.base, b, p) == \
+            _convex_gotoh_score(a, b, p), (seed, a, b)
+
+
+def test_convex_long_gap_uses_cheap_extend_component():
+    """abPOA's documented convex scoring: a 30 nt deletion costs
+    min(6+30*2, 26+30*1) = 56 via the second component, and the DP keeps
+    it as ONE contiguous gap (an affine-only or fragmented model would
+    score/shape it differently)."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 4, size=120).astype(np.uint8)
+    b = np.concatenate([a[:40], a[70:]])  # 30 nt deletion vs the backbone
+    p = PoaParams()
+    g = PoaGraph(a)
+    path = g.align(b, p)
+    score = _path_score(path, g.base, b, p)
+    assert score == p.match * len(b) - (p.gap_open2 + 30 * p.gap_extend2)
+    # the deletion is one contiguous node-skip run
+    runs = []
+    cur = 0
+    for qi, node in path:
+        if qi == -1:
+            cur += 1
+        elif cur:
+            runs.append(cur)
+            cur = 0
+    if cur:
+        runs.append(cur)
+    assert runs == [30]
+
+
+def test_convex_short_gap_uses_cheap_open_component():
+    """Short gaps take the cheap-open component: a 3 nt insertion costs
+    min(6+3*2, 26+3*1) = 12."""
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 4, size=80).astype(np.uint8)
+    b = np.concatenate([a[:30],
+                        np.array([0, 1, 2], np.uint8) ^ 0,  # inserted
+                        a[30:]])
+    # make sure the inserted bases aren't accidental matches at the join
+    p = PoaParams()
+    g = PoaGraph(a)
+    path = g.align(b, p)
+    score = _path_score(path, g.base, b, p)
+    assert score == _convex_gotoh_score(a, b, p)
+    assert score >= p.match * 80 - (p.gap_open + 3 * p.gap_extend)
+
+
+def test_kernel_matches_python_convex_fixtures():
+    """The device kernel reproduces the Python engine's convex-affine
+    paths on gap-heavy fixtures (long deletions, long insertions)."""
+    from mandalorion_tpu.poa.kernels import align_graph_batch
+
+    rng = np.random.default_rng(9)
+    p = PoaParams()
+    graphs, queries, expect = [], [], []
+    for trial in range(6):
+        a = rng.integers(0, 4, size=150).astype(np.uint8)
+        cut = int(rng.integers(20, 100))
+        gap = int(rng.integers(1, 45))
+        if trial % 2 == 0:
+            b = np.concatenate([a[:cut], a[cut + gap:]])      # deletion
+        else:
+            ins = rng.integers(0, 4, size=gap).astype(np.uint8)
+            b = np.concatenate([a[:cut], ins, a[cut:]])       # insertion
+        g = PoaGraph(a)
+        expect.append(g.align(b, p))
+        graphs.append(g)
+        queries.append(b)
+    got = align_graph_batch(graphs, queries, p)
+    for e, k in zip(expect, got):
+        assert e == k
