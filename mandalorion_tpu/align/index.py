@@ -221,18 +221,43 @@ def content_checksum(seq_codes: np.ndarray) -> int:
     return int(acc)
 
 
+_DIR_ARRAYS = ("seq_codes", "chrom_offsets", "chrom_sizes",
+               "sorted_hashes", "sorted_positions", "bucket_lo")
+
+
 def save_index(idx: GenomeIndex, path: str) -> None:
-    """Persist the index (.npz) — the minimap2 `.mmi` analogue: build the
-    whole-genome index once, reuse across runs/hosts."""
-    tmp = f"{path}.{os.getpid()}.tmp.npz"  # atomic publish (racing workers)
-    np.savez(tmp, kmer=idx.kmer, window=idx.window,
-             seq_codes=idx.seq_codes,
-             chrom_names=np.asarray(idx.chrom_names, dtype=object),
-             chrom_offsets=idx.chrom_offsets, chrom_sizes=idx.chrom_sizes,
-             sorted_hashes=idx.sorted_hashes,
-             sorted_positions=idx.sorted_positions, bucket_lo=idx.bucket_lo,
-             bucket_bits=idx.bucket_bits,
-             content_sum=np.uint64(content_checksum(idx.seq_codes)))
+    """Persist the index — the minimap2 `.mmi` analogue: build the
+    whole-genome index once, reuse across runs/hosts. A path ending in
+    `.npz` writes the legacy single-file archive; any other path writes a
+    DIRECTORY of raw `.npy` files that load memory-mapped (hg38-scale
+    indexes — ~15 GB of arrays — page in lazily instead of being read
+    up front; npz archives cannot mmap)."""
+    meta = dict(kmer=idx.kmer, window=idx.window,
+                bucket_bits=idx.bucket_bits,
+                content_sum=int(content_checksum(idx.seq_codes)))
+    if path.endswith(".npz"):
+        tmp = f"{path}.{os.getpid()}.tmp.npz"  # atomic (racing workers)
+        np.savez(tmp, seq_codes=idx.seq_codes,
+                 chrom_names=np.asarray(idx.chrom_names, dtype=object),
+                 chrom_offsets=idx.chrom_offsets,
+                 chrom_sizes=idx.chrom_sizes,
+                 sorted_hashes=idx.sorted_hashes,
+                 sorted_positions=idx.sorted_positions,
+                 bucket_lo=idx.bucket_lo,
+                 **{k: np.asarray(v) for k, v in meta.items()})
+        os.replace(tmp, path)
+        return
+    import json
+    tmp = f"{path}.{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for name in _DIR_ARRAYS:
+        np.save(os.path.join(tmp, name + ".npy"), getattr(idx, name))
+    meta["chrom_names"] = idx.chrom_names
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path)
     os.replace(tmp, path)
 
 
@@ -241,6 +266,18 @@ def load_index(path: str) -> GenomeIndex:
 
 
 def _load_index_with_sum(path: str):
+    if os.path.isdir(path):  # directory format: arrays memory-map
+        import json
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        arrays = {name: np.load(os.path.join(path, name + ".npy"),
+                                mmap_mode="r")
+                  for name in _DIR_ARRAYS}
+        idx = GenomeIndex(
+            kmer=int(meta["kmer"]), window=int(meta["window"]),
+            chrom_names=[str(n) for n in meta["chrom_names"]],
+            bucket_bits=int(meta["bucket_bits"]), **arrays)
+        return idx, meta.get("content_sum")
     with np.load(path, allow_pickle=True) as z:
         idx = GenomeIndex(
             kmer=int(z["kmer"]), window=int(z["window"]),

@@ -3,7 +3,10 @@
 - `solve_dp_rowscan` — pure-JAX (vmap over problems) for CPU testing and
   as the structural reference;
 - `solve_dp_pallas`  — the Pallas TPU kernel: 8 problems per sublane tile,
-  target axis on the 128 lanes, query axis as the sequential row loop.
+  target axis on the lane axis (width-bucketed, 128..2304 lanes), query
+  axis streamed over the grid's row dimension with DP state carried in
+  VMEM scratch — pointer rows stream straight to HBM, so query depth is
+  not VMEM-bound (end extensions up to 2048 rows run on device).
 
 The horizontal (deletion) state's in-row dependency collapses to one
 prefix-max scan (affine gap re-opening never beats extending), so each row
@@ -12,6 +15,9 @@ bits walked on the host; tie-break rules match the numpy oracle
 (align/extend.py) exactly, so all three backends are interchangeable.
 
 Layout: lane j holds target base j-1; lane 0 is the DP boundary column.
+Problems are bucketed by target width (multiples of 128) and query-row
+cap; only degenerate problems (target > MAX_T_DEVICE or query >
+MAX_Q_DEVICE) fall back to the host solver.
 """
 
 from __future__ import annotations
@@ -30,8 +36,13 @@ from mandalorion_tpu.align.extend import DpProblem, DpResult, _solve_one
 from mandalorion_tpu.config import AlignConfig
 
 NEG = -(10 ** 9)
-MAXT = 127          # target bases per problem (+ boundary col = 128 lanes)
+MAXT = 127          # single-tile target bound (128-lane bucket)
 TILE = 8            # problems per sublane tile
+# width buckets for the target axis (lanes = target + 1 boundary column);
+# 2304 covers the largest end extension (max_end_extend + band = 2176)
+WIDTHS = (128, 256, 512, 1024, 2304)
+MAX_T_DEVICE = WIDTHS[-1] - 1
+MAX_Q_DEVICE = 2048
 
 
 def _shift_right(x, fill=NEG, roll_fn=None):
@@ -101,11 +112,12 @@ def _row0(jidx, go, ge):
 
 # ------------------------------------------------------------ jax backend
 
-@functools.lru_cache(maxsize=32)
-def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0, zdrop=0):
+@functools.lru_cache(maxsize=64)
+def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0, zdrop=0,
+                width=128):
     def one(q, t_codes, qlen, tlen):
-        """q (max_q,), t_codes (128,) with lane j = base j-1."""
-        jidx = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        """q (max_q,), t_codes (width,) with lane j = base j-1."""
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
         t2 = t_codes[None, :]
         h0, ptr0 = _row0(jidx, go, ge)
 
@@ -118,11 +130,11 @@ def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0, zdrop=0):
             return (h, e), (h, packed)
 
         (_h, _e), (hs, ptrs) = jax.lax.scan(
-            step, (h0, jnp.full((1, 128), NEG, jnp.int32)), q)
+            step, (h0, jnp.full((1, width), NEG, jnp.int32)), q)
         hs = jnp.concatenate([h0[None], hs], axis=0)[:, 0, :]
         ptrs = jnp.concatenate([ptr0[None], ptrs], axis=0)[:, 0, :]
         iidx = jnp.arange(max_q + 1)[:, None]
-        jj = jnp.arange(128)[None, :]
+        jj = jnp.arange(width)[None, :]
         valid = (iidx >= 1) & (iidx <= qlen) & (jj <= tlen)
         if zdrop > 0:
             # minimap2 -z: exclude the first row whose raw best falls
@@ -137,7 +149,7 @@ def _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus=0, zdrop=0):
         masked = jnp.where(valid, hs, NEG)
         masked = masked + jnp.where((iidx == qlen) & valid, end_bonus, 0)
         flat = jnp.argmax(masked)
-        best_i, best_j = flat // 128, flat % 128
+        best_i, best_j = flat // width, flat % width
         best = masked.reshape(-1)[flat]
         final = hs[qlen, tlen]
         return ptrs, jnp.stack([best_i, best_j, best, final])
@@ -151,9 +163,10 @@ def solve_dp_rowscan(problems: Sequence[DpProblem], cfg: AlignConfig
     return _solve_batched(problems, cfg, _dispatch_rowscan)
 
 
-def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
+def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
+                      interpret):
     fn = _rowscan_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-                     max_q, cfg.end_bonus, getattr(cfg, "zdrop", 0))
+                     max_q, cfg.end_bonus, getattr(cfg, "zdrop", 0), width)
     from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
     mesh = pipeline_mesh()
     if mesh is not None:
@@ -173,45 +186,49 @@ def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
 def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
                h_scr, e_scr, final_scr, bestv_scr, besti_scr, bestj_scr,
                raw_scr, cut_scr,
-               *, match, mismatch, go, ge, end_bonus, zdrop, max_q):
-    """DP state and best-cell tracking live in VMEM scratch (fori_loop
-    carries of mixed layouts trip Mosaic relayout); only pointer bits and
-    a small meta row stream to HBM. meta lanes: 0 best_i, 1 best_j,
+               *, match, mismatch, go, ge, end_bonus, zdrop, max_q, width):
+    """One grid step computes ONE DP row (grid = (tiles, rows)): DP state
+    and best-cell tracking live in VMEM scratch carried across row steps;
+    each row's pointer bits stream straight to HBM, so query depth is
+    bounded by HBM, not VMEM. meta lanes: 0 best_i, 1 best_j,
     2 best_score (end_bonus applied), 3 final H[qlen][tlen]."""
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, max_q), 1)
+    i = pl.program_id(1)  # row index: 0 = boundary row, r = query row r
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
     tlen = tlen_ref[:, 0:1]
     qlen = qlen_ref[:, 0:1]
-    t_codes = t_ref[:, :]
-    q_codes = q_ref[:, :]
-    h0, ptr0 = _row0(jidx, go, ge)
-    ptr_ref[0, :, :] = ptr0
-    h_scr[:, :] = h0
-    e_scr[:, :] = jnp.full((TILE, 128), NEG, jnp.int32)
-    final_scr[:, :] = jnp.full((TILE, 128), NEG, jnp.int32)
-    bestv_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # best = H[0,0] = 0
-    besti_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)
-    bestj_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)
-    raw_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # running raw best
-    cut_scr[:, :] = jnp.zeros((TILE, 128), jnp.int32)  # zdrop latch
 
-    def body(i, _):
+    @pl.when(i == 0)
+    def _init():
+        h0, ptr0 = _row0(jidx, go, ge)
+        ptr_ref[0, :, :] = ptr0
+        h_scr[:, :] = h0
+        e_scr[:, :] = jnp.full((TILE, width), NEG, jnp.int32)
+        final_scr[:, :] = jnp.full((TILE, width), NEG, jnp.int32)
+        bestv_scr[:, :] = jnp.zeros((TILE, width), jnp.int32)  # H[0,0]=0
+        besti_scr[:, :] = jnp.zeros((TILE, width), jnp.int32)
+        bestj_scr[:, :] = jnp.zeros((TILE, width), jnp.int32)
+        raw_scr[:, :] = jnp.zeros((TILE, width), jnp.int32)  # running best
+        cut_scr[:, :] = jnp.zeros((TILE, width), jnp.int32)  # zdrop latch
+
+    @pl.when(i > 0)
+    def _row():
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, max_q), 1)
         h_prev = h_scr[:, :]
         e_prev = e_scr[:, :]
         # row i's query code via masked lane reduction (Mosaic forbids a
         # dynamic lane index)
-        q_col = jnp.sum(jnp.where(kidx == i, q_codes, 0), axis=1,
+        q_col = jnp.sum(jnp.where(kidx == i - 1, q_ref[:, :], 0), axis=1,
                         keepdims=True)
         h_row, e_row, packed = row_step(
-            h_prev, e_prev, t_codes, q_col, jidx,
+            h_prev, e_prev, t_ref[:, :], q_col, jidx,
             match=match, mismatch=mismatch, go=go, ge=ge)
-        ptr_ref[pl.ds(i + 1, 1), :, :] = packed[None, :, :]
+        ptr_ref[0, :, :] = packed
         h_scr[:, :] = h_row
         e_scr[:, :] = e_row
-        is_final = qlen == (i + 1)
+        is_final = qlen == i
         final_scr[:, :] = jnp.where(is_final, h_row, final_scr[:, :])
-        valid = (jidx <= tlen) & ((i + 1) <= qlen)
-        zero = 0 * jidx  # broadcast (TILE,1) -> (TILE,128)
+        valid = (jidx <= tlen) & (i <= qlen)
+        zero = 0 * jidx  # broadcast (TILE,1) -> (TILE,width)
         if zdrop > 0:
             # minimap2 -z latch: the triggering row is itself excluded
             raw_row = jnp.max(jnp.where(valid, h_row, NEG), axis=1,
@@ -229,74 +246,74 @@ def _dp_kernel(q_ref, t_ref, qlen_ref, tlen_ref, ptr_ref, meta_ref,
             masked = masked + jnp.where(is_final & valid, end_bonus, 0)
         row_best = jnp.max(masked, axis=1, keepdims=True)
         # first-max lane (Mosaic lacks int argmax): min index among maxima
-        row_arg = jnp.min(jnp.where(masked == row_best, jidx, 128),
+        row_arg = jnp.min(jnp.where(masked == row_best, jidx, width),
                           axis=1, keepdims=True)
         better = row_best > bestv_scr[:, 0:1]
         bestv_scr[:, :] = jnp.where(better, row_best,
                                     bestv_scr[:, 0:1]) + zero
-        besti_scr[:, :] = jnp.where(better, i + 1,
+        besti_scr[:, :] = jnp.where(better, i,
                                     besti_scr[:, 0:1]) + zero
         bestj_scr[:, :] = jnp.where(better, row_arg,
                                     bestj_scr[:, 0:1]) + zero
-        return 0
 
-    jax.lax.fori_loop(0, max_q, body, 0)
-    final_row = final_scr[:, :]
-    final_score = jnp.max(jnp.where(jidx == tlen, final_row, NEG),
-                          axis=1, keepdims=True)
-    meta = jnp.where(jidx == 0, besti_scr[:, 0:1],
-                     jnp.where(jidx == 1, bestj_scr[:, 0:1],
-                               jnp.where(jidx == 2, bestv_scr[:, 0:1],
-                                         final_score)))
-    meta_ref[:, :] = meta
+    @pl.when(i == max_q)
+    def _emit_meta():
+        final_score = jnp.max(
+            jnp.where(jidx == tlen, final_scr[:, :], NEG),
+            axis=1, keepdims=True)
+        meta = jnp.where(jidx == 0, besti_scr[:, 0:1],
+                         jnp.where(jidx == 1, bestj_scr[:, 0:1],
+                                   jnp.where(jidx == 2, bestv_scr[:, 0:1],
+                                             final_score)))
+        meta_ref[:, :] = meta
 
 
 def _pallas_raw(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
-                interpret):
+                width, interpret):
     kernel = functools.partial(_dp_kernel, match=match, mismatch=mismatch,
                                go=go, ge=ge, end_bonus=end_bonus,
-                               zdrop=zdrop, max_q=max_q)
+                               zdrop=zdrop, max_q=max_q, width=width)
     fn = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, max_q + 1),
         in_specs=[
-            pl.BlockSpec((TILE, max_q), lambda i: (i, 0),
+            pl.BlockSpec((TILE, max_q), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+            pl.BlockSpec((TILE, width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((TILE, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((max_q + 1, TILE, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((1, TILE, width), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+            pl.BlockSpec((TILE, width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((max_q + 1, n_tiles * TILE, 128),
+            jax.ShapeDtypeStruct((max_q + 1, n_tiles * TILE, width),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * TILE, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * TILE, width), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((TILE, 128), jnp.int32)
+        scratch_shapes=[pltpu.VMEM((TILE, width), jnp.int32)
                         for _ in range(8)],
         interpret=interpret,
     )
     return fn
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _pallas_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
-               interpret):
+               width, interpret):
     return jax.jit(_pallas_raw(match, mismatch, go, ge, end_bonus, zdrop,
-                               n_tiles, max_q, interpret))
+                               n_tiles, max_q, width, interpret))
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _pallas_fn_sharded(match, mismatch, go, ge, end_bonus, zdrop,
-                       tiles_per_shard, max_q, interpret, mesh):
+                       tiles_per_shard, max_q, width, interpret, mesh):
     """Multi-chip Pallas dispatch: each device runs the kernel grid on its
     own shard of the problem batch (shard_map over all mesh axes; no
     cross-shard traffic — the per-problem DP is independent)."""
@@ -307,7 +324,7 @@ def _pallas_fn_sharded(match, mismatch, go, ge, end_bonus, zdrop,
     from jax.sharding import PartitionSpec as P
     import inspect
     fn = _pallas_raw(match, mismatch, go, ge, end_bonus, zdrop,
-                     tiles_per_shard, max_q, interpret)
+                     tiles_per_shard, max_q, width, interpret)
     axes = tuple(mesh.axis_names)
     batched = P(axes, None)
     # the vma checker can't see through pallas_call's out_shape (jax 0.8)
@@ -321,7 +338,8 @@ def _pallas_fn_sharded(match, mismatch, go, ge, end_bonus, zdrop,
     return jax.jit(sharded)
 
 
-def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
+def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
+                     interpret):
     from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
     mesh = pipeline_mesh()
     if mesh is not None:
@@ -332,18 +350,21 @@ def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret):
         fn = _pallas_fn_sharded(
             cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
             cfg.end_bonus, getattr(cfg, "zdrop", 0), tiles_per_shard,
-            max_q, interpret, mesh)
+            max_q, width, interpret, mesh)
         ptr, meta = fn(*args)
         return (np.asarray(ptr).transpose(1, 0, 2)[:b],
                 np.asarray(meta)[:b])
     n_tiles = q_arr.shape[0] // TILE
     fn = _pallas_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
                     cfg.end_bonus, getattr(cfg, "zdrop", 0), n_tiles,
-                    max_q, interpret)
+                    max_q, width, interpret)
     ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
                    jnp.asarray(qlen), jnp.asarray(tlen))
-    # ptr layout (rows, N, 128) -> (N, rows, 128) for the shared traceback
-    return np.asarray(ptr).transpose(1, 0, 2), np.asarray(meta)
+    # keep ptr device-resident (rows, N, W): the traceback walks it on
+    # device (_traceback_device_fn) and only O(q+t) step codes come back —
+    # pulling the O(q*t) pointer matrices through the tunnel dominated
+    # wall time at the wide envelope
+    return ptr, np.asarray(meta)
 
 
 def solve_dp_pallas(problems: Sequence[DpProblem], cfg: AlignConfig,
@@ -353,6 +374,71 @@ def solve_dp_pallas(problems: Sequence[DpProblem], cfg: AlignConfig,
 
 
 # ------------------------------------------------------------ shared glue
+
+@functools.lru_cache(maxsize=16)
+def _traceback_device_fn(max_steps):
+    """Vmapped on-device pointer walk (the host _traceback's state machine
+    verbatim): returns per-problem op-step codes (1 M, 2 I, 3 D, reverse
+    order) and counts, so only O(q+t) bytes cross the tunnel instead of
+    the O(q*t) pointer matrix."""
+    def one(ptr, qi, tj):
+        buf0 = jnp.zeros(max_steps, jnp.int8)
+
+        def cond(c):
+            st, i, j, k, _ = c
+            return ((i > 0) | (j > 0)) & (k < max_steps)
+
+        def step(c):
+            st, i, j, k, buf = c
+            p = ptr[i, j]
+            code = p & 3
+            is_h = st == 0
+            h_diag = is_h & (code == 0) & (i > 0) & (j > 0)
+            h_to_e = is_h & ~h_diag & (code == 1)
+            h_to_f = is_h & ~h_diag & (code != 1)
+            is_e = st == 1
+            is_f = st == 2
+            emit = h_diag | is_e | is_f
+            opc = jnp.where(h_diag, 1, jnp.where(is_e, 2, 3)).astype(
+                jnp.int8)
+            buf = jnp.where(emit, buf.at[k].set(opc), buf)
+            k = k + emit.astype(jnp.int32)
+            i = i - (h_diag | is_e).astype(jnp.int32)
+            j = j - (h_diag | is_f).astype(jnp.int32)
+            e_next = jnp.where((p >> 2) & 1, 1, 0)
+            f_next = jnp.where((p >> 3) & 1, 2, 0)
+            st = jnp.where(
+                h_diag, 0,
+                jnp.where(h_to_e, 1,
+                          jnp.where(h_to_f, 2,
+                                    jnp.where(is_e, e_next,
+                                              jnp.where(is_f, f_next,
+                                                        st)))))
+            return st, i, j, k, buf
+
+        _, _, _, k, buf = jax.lax.while_loop(
+            cond, step,
+            (jnp.int32(0), jnp.int32(qi), jnp.int32(tj), jnp.int32(0),
+             buf0))
+        return buf, k
+
+    return jax.jit(jax.vmap(one, in_axes=(1, 0, 0)))
+
+
+def _merge_steps(steps: np.ndarray) -> List[Tuple[str, int, int]]:
+    """Reverse-order step codes -> merged (op, dq, dt) runs (the host
+    _traceback's output contract)."""
+    ops: List[Tuple[str, int, int]] = []
+    for c in steps[::-1]:
+        op = "MID"[c - 1]
+        dq = 1 if op != "D" else 0
+        dt = 1 if op != "I" else 0
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + dq, ops[-1][2] + dt)
+        else:
+            ops.append((op, dq, dt))
+    return ops
+
 
 def _traceback(ptr: np.ndarray, qi: int, tj: int
                ) -> List[Tuple[str, int, int]]:
@@ -390,49 +476,78 @@ def _traceback(ptr: np.ndarray, qi: int, tj: int
     return merged
 
 
+def _width_for(tlen: int) -> int:
+    for w in WIDTHS:
+        if tlen + 1 <= w:
+            return w
+    raise ValueError(tlen)
+
+
 def _solve_batched(problems: Sequence[DpProblem], cfg: AlignConfig,
                    dispatch, interpret: bool = False,
-                   max_rows: int = 256) -> List[DpResult]:
+                   max_rows: int = MAX_Q_DEVICE) -> List[DpResult]:
+    """Problems bucket by target-width (one device dispatch per bucket);
+    only degenerate problems (query > MAX_Q_DEVICE rows or target >
+    MAX_T_DEVICE) fall back to the host solver."""
     results: List[DpResult] = [None] * len(problems)  # type: ignore
-    fit = set()
+    buckets: dict = {}
     for i, p in enumerate(problems):
-        if 0 < len(p.q) <= max_rows and 0 < len(p.t) <= MAXT:
-            fit.add(i)
+        if 0 < len(p.q) <= max_rows and 0 < len(p.t) <= MAX_T_DEVICE:
+            buckets.setdefault(_width_for(len(p.t)), []).append(i)
         else:
             results[i] = _solve_one(p, cfg)
-    fit_idx = sorted(fit)
-    if not fit_idx:
-        return results
+    for width in sorted(buckets):
+        fit_idx = buckets[width]
+        n = len(fit_idx)
+        n_tiles = (n + TILE - 1) // TILE
+        N = n_tiles * TILE
+        max_q = 8
+        longest = max(len(problems[i].q) for i in fit_idx)
+        while max_q < longest:
+            max_q *= 2
+        q_arr = np.zeros((N, max_q), np.int32)
+        t_arr = np.full((N, width), 9, np.int32)   # 9 matches nothing
+        qlen = np.zeros((N, 1), np.int32)
+        tlen = np.zeros((N, 1), np.int32)
+        for slot, i in enumerate(fit_idx):
+            p = problems[i]
+            q_arr[slot, :len(p.q)] = p.q
+            t_arr[slot, 1:1 + len(p.t)] = p.t
+            qlen[slot, 0] = len(p.q)
+            tlen[slot, 0] = len(p.t)
 
-    n = len(fit_idx)
-    n_tiles = (n + TILE - 1) // TILE
-    N = n_tiles * TILE
-    max_q = 8
-    longest = max(len(problems[i].q) for i in fit_idx)
-    while max_q < longest:
-        max_q *= 2
-    q_arr = np.zeros((N, max_q), np.int32)
-    t_arr = np.full((N, 128), 9, np.int32)   # 9 matches nothing
-    qlen = np.zeros((N, 1), np.int32)
-    tlen = np.zeros((N, 1), np.int32)
-    for slot, i in enumerate(fit_idx):
-        p = problems[i]
-        q_arr[slot, :len(p.q)] = p.q
-        t_arr[slot, 1:1 + len(p.t)] = p.t
-        qlen[slot, 0] = len(p.q)
-        tlen[slot, 0] = len(p.t)
+        ptr, meta = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
+                             interpret)
 
-    ptr, meta = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, interpret)
+        starts: List[Tuple[int, int, int]] = []  # (slot, qi, tj)
+        for slot, i in enumerate(fit_idx):
+            p = problems[i]
+            nq, nt = len(p.q), len(p.t)
+            if p.mode == "global":
+                qi, tj = nq, nt
+            else:
+                qi, tj = int(meta[slot, 0]), int(meta[slot, 1])
+                if int(meta[slot, 2]) <= 0:
+                    results[i] = DpResult([], 0, 0)
+                    continue
+            starts.append((slot, qi, tj))
 
-    for slot, i in enumerate(fit_idx):
-        p = problems[i]
-        nq, nt = len(p.q), len(p.t)
-        if p.mode == "global":
-            qi, tj = nq, nt
+        if isinstance(ptr, jax.Array):
+            # device-resident pointers (rows, N, W): walk on device
+            qi_arr = np.zeros(N, np.int32)
+            tj_arr = np.zeros(N, np.int32)
+            for slot, qi, tj in starts:
+                qi_arr[slot] = qi
+                tj_arr[slot] = tj
+            fn = _traceback_device_fn(max_q + width + 2)
+            buf, ks = fn(ptr, jnp.asarray(qi_arr), jnp.asarray(tj_arr))
+            buf = np.asarray(buf)
+            ks = np.asarray(ks)
+            for slot, qi, tj in starts:
+                results[fit_idx[slot]] = DpResult(
+                    _merge_steps(buf[slot, :ks[slot]]), qi, tj)
         else:
-            qi, tj = int(meta[slot, 0]), int(meta[slot, 1])
-            if int(meta[slot, 2]) <= 0:
-                results[i] = DpResult([], 0, 0)
-                continue
-        results[i] = DpResult(_traceback(ptr[slot], qi, tj), qi, tj)
+            for slot, qi, tj in starts:
+                results[fit_idx[slot]] = DpResult(
+                    _traceback(ptr[slot], qi, tj), qi, tj)
     return results

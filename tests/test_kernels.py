@@ -173,3 +173,44 @@ def test_backends_sharded_over_mesh_identical(n):
                      f"rowscan-mesh{n}")
         _assert_same(ref, solve_dp_pallas(problems, cfg, interpret=True),
                      f"pallas-mesh{n}")
+
+
+@pytest.mark.parametrize("mode", ["global", "extend_right"])
+def test_wide_envelope_matches_oracle(mode):
+    """Targets beyond 127 lanes and queries beyond 256 rows run on device
+    (width-bucketed lanes, row-streaming grid) and stay bit-identical to
+    the host oracle — the end-extension envelope (VERDICT r1 #4)."""
+    from mandalorion_tpu.align.kernels import MAX_T_DEVICE, _width_for
+
+    rng = np.random.default_rng(99)
+    cfg = AlignConfig(end_bonus=12)
+    problems = []
+    for nq, nt in ((40, 300), (300, 290), (600, 700), (150, 1100),
+                   (900, 961)):
+        q = rng.integers(0, 4, size=nq).astype(np.uint8)
+        t = q[:min(nq, nt)].copy()
+        t[rng.integers(0, len(t), size=8)] = 0  # sprinkle mismatches
+        pad = rng.integers(0, 4, size=max(0, nt - len(t))).astype(np.uint8)
+        problems.append(DpProblem(q, np.concatenate([t, pad]), mode))
+    assert all(len(p.t) <= MAX_T_DEVICE for p in problems)
+    assert {_width_for(len(p.t)) for p in problems} >= {512, 1024, 2304}
+    ref = solve_dp_numpy(problems, cfg)
+    _assert_same(ref, solve_dp_rowscan(problems, cfg), f"rowscan-{mode}")
+    _assert_same(ref, solve_dp_pallas(problems, cfg, interpret=True),
+                 f"pallas-{mode}")
+
+
+def test_device_fallback_only_degenerate():
+    """Host fallback now covers only degenerate problems."""
+    from mandalorion_tpu.align.kernels import MAX_Q_DEVICE, MAX_T_DEVICE
+
+    rng = np.random.default_rng(5)
+    q = rng.integers(0, 4, size=MAX_Q_DEVICE + 1).astype(np.uint8)
+    t = rng.integers(0, 4, size=MAX_T_DEVICE + 1).astype(np.uint8)
+    small_q = q[:50]
+    small_t = t[:60]
+    problems = [DpProblem(q, small_t, "global"),      # too many rows
+                DpProblem(small_q, t, "global"),      # too wide
+                DpProblem(small_q, small_t, "global")]
+    ref = solve_dp_numpy(problems, CFG)
+    _assert_same(ref, solve_dp_rowscan(problems, CFG), "fallback-mix")

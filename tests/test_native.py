@@ -355,3 +355,21 @@ def test_index_cache_content_checksum(tmp_path):
     # and the refreshed cache now validates against g2
     c = cached_index({"chr1": g2}, 15, 5, cache)
     assert np.array_equal(b.sorted_hashes, c.sorted_hashes)
+
+
+def test_index_cache_directory_mmap(tmp_path):
+    """Non-.npz cache paths persist as a directory of raw .npy files that
+    load memory-mapped (hg38-scale indexes page in lazily)."""
+    from mandalorion_tpu.align.index import build_index, cached_index
+
+    genome = {"c1": synthdata.make_genome(25_000, seed=13),
+              "c2": synthdata.make_genome(6_000, seed=14)}
+    cache = str(tmp_path / "genome.idx")
+    a = cached_index(genome, 15, 5, cache)
+    b = cached_index(genome, 15, 5, cache)
+    assert isinstance(b.sorted_hashes, np.memmap)
+    fresh = build_index(genome)
+    for name in ("sorted_hashes", "sorted_positions", "seq_codes",
+                 "bucket_lo", "chrom_offsets", "chrom_sizes"):
+        assert np.array_equal(getattr(b, name), getattr(fresh, name)), name
+    assert b.chrom_names == fresh.chrom_names and b.kmer == 15
