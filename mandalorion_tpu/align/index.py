@@ -50,6 +50,10 @@ class GenomeIndex:
                                    # the genome fits 4 Gbp, else int64)
     bucket_lo: np.ndarray = None   # 2^bits+1 offsets over hash top bits
     bucket_bits: int = 16          # adaptive: ~8 minimizers per bucket
+    occ_hist: np.ndarray = None    # histogram of per-hash occurrence
+                                   # counts (persisted by the cache so
+                                   # frequency_occ_cap needn't scan the
+                                   # full hash array on every startup)
 
     @property
     def total_length(self) -> int:
@@ -183,22 +187,47 @@ def _bucket_bits_for(total_bases: int) -> int:
     return bits
 
 
+def occurrence_histogram(sorted_hashes: np.ndarray) -> np.ndarray:
+    """Histogram of per-distinct-hash occurrence counts (index = count)."""
+    h = sorted_hashes
+    if len(h) == 0:
+        return np.zeros(1, np.int64)
+    starts = np.empty(len(h), bool)
+    starts[0] = True
+    np.not_equal(h[1:], h[:-1], out=starts[1:])
+    lens = np.diff(np.flatnonzero(np.append(starts, True)))
+    return np.bincount(lens).astype(np.int64)
+
+
+def _quantile_from_hist(hist: np.ndarray, q: float) -> float:
+    """np.quantile (linear interpolation) over the values a histogram
+    encodes, without materializing them."""
+    n = int(hist.sum())
+    if n == 0:
+        return 0.0
+    pos = (n - 1) * q
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    cum = np.cumsum(hist)
+    v_lo = int(np.searchsorted(cum, lo, side="right"))
+    v_hi = int(np.searchsorted(cum, hi, side="right"))
+    return v_lo + (pos - lo) * (v_hi - v_lo)
+
+
 def frequency_occ_cap(idx: GenomeIndex, frac: float, floor: int) -> int:
     """minimap2 -f analogue: the occurrence cap below which all but the
     top `frac` fraction of distinct minimizers fall. Never below floor —
     on ordinary genomes the quantile is tiny and the floor rules; on
     repeat/tandem-heavy genomes the cap rises so those regions still
-    seed."""
-    h = idx.sorted_hashes
-    if frac <= 0 or len(h) == 0:
+    seed. Uses the cached occurrence histogram when present (a full hash
+    scan costs ~a minute at hg38 scale)."""
+    if frac <= 0 or len(idx.sorted_hashes) == 0:
         return floor
-    starts = np.empty(len(h), bool)
-    starts[0] = True
-    np.not_equal(h[1:], h[:-1], out=starts[1:])
-    lens = np.diff(np.flatnonzero(np.append(starts, True)))
-    if len(lens) == 0:
-        return floor
-    return max(floor, int(np.quantile(lens, 1.0 - frac)))
+    hist = idx.occ_hist
+    if hist is None:
+        hist = occurrence_histogram(idx.sorted_hashes)
+        idx.occ_hist = hist
+    return max(floor, int(_quantile_from_hist(hist, 1.0 - frac)))
 
 
 def content_checksum(seq_codes: np.ndarray) -> int:
@@ -222,7 +251,8 @@ def content_checksum(seq_codes: np.ndarray) -> int:
 
 
 _DIR_ARRAYS = ("seq_codes", "chrom_offsets", "chrom_sizes",
-               "sorted_hashes", "sorted_positions", "bucket_lo")
+               "sorted_hashes", "sorted_positions", "bucket_lo",
+               "occ_hist")
 
 
 def save_index(idx: GenomeIndex, path: str) -> None:
@@ -232,6 +262,8 @@ def save_index(idx: GenomeIndex, path: str) -> None:
     DIRECTORY of raw `.npy` files that load memory-mapped (hg38-scale
     indexes — ~15 GB of arrays — page in lazily instead of being read
     up front; npz archives cannot mmap)."""
+    if idx.occ_hist is None:
+        idx.occ_hist = occurrence_histogram(idx.sorted_hashes)
     meta = dict(kmer=idx.kmer, window=idx.window,
                 bucket_bits=idx.bucket_bits,
                 content_sum=int(content_checksum(idx.seq_codes)))
@@ -243,7 +275,7 @@ def save_index(idx: GenomeIndex, path: str) -> None:
                  chrom_sizes=idx.chrom_sizes,
                  sorted_hashes=idx.sorted_hashes,
                  sorted_positions=idx.sorted_positions,
-                 bucket_lo=idx.bucket_lo,
+                 bucket_lo=idx.bucket_lo, occ_hist=idx.occ_hist,
                  **{k: np.asarray(v) for k, v in meta.items()})
         os.replace(tmp, path)
         return
@@ -272,7 +304,8 @@ def _load_index_with_sum(path: str):
             meta = json.load(fh)
         arrays = {name: np.load(os.path.join(path, name + ".npy"),
                                 mmap_mode="r")
-                  for name in _DIR_ARRAYS}
+                  for name in _DIR_ARRAYS
+                  if os.path.exists(os.path.join(path, name + ".npy"))}
         idx = GenomeIndex(
             kmer=int(meta["kmer"]), window=int(meta["window"]),
             chrom_names=[str(n) for n in meta["chrom_names"]],
@@ -288,7 +321,8 @@ def _load_index_with_sum(path: str):
             sorted_positions=z["sorted_positions"],
             bucket_lo=z["bucket_lo"],
             bucket_bits=int(z["bucket_bits"]) if "bucket_bits" in z
-            else 16)
+            else 16,
+            occ_hist=z["occ_hist"] if "occ_hist" in z else None)
         stored_sum = int(z["content_sum"]) if "content_sum" in z else None
     return idx, stored_sum
 

@@ -116,22 +116,71 @@ def sam_to_psl_line(fields, t_size: int, mando: bool = False) -> Optional[str]:
     return line
 
 
-def sam_to_psl(sam_path: str, psl_path: str, mando: bool = False) -> None:
-    """Convert a SAM file to (extended) PSL."""
+_POOL_JOB = None  # (chrom_sizes, mando) inherited by fork workers
+
+
+def _convert_batch(lines) -> str:
+    chrom_sizes, mando = _POOL_JOB
+    parts = []
+    for line in lines:
+        fields = line.rstrip("\n").split("\t")
+        if fields[2] == "*":
+            continue
+        psl = sam_to_psl_line(fields, chrom_sizes[fields[2]], mando=mando)
+        if psl is not None:
+            parts.append(psl + "\n")
+    return "".join(parts)
+
+
+def sam_to_psl(sam_path: str, psl_path: str, mando: bool = False,
+               threads: int = 1, batch_lines: int = 100_000) -> None:
+    """Convert a SAM file to (extended) PSL. With threads > 1, alignment
+    lines convert in pooled 100k-line batches with an ordered merge —
+    mirroring the reference emtrey's pool structure
+    (`emtrey.py:154-195`); output is byte-identical to the serial path."""
+    import os as _os
     chrom_sizes: Dict[str, int] = {}
     with open(sam_path) as fh, open(psl_path, "w") as out:
+        while True:  # readline keeps tell() usable (iteration disables it)
+            body_start = fh.tell()
+            line = fh.readline()
+            if not line or not line.startswith("@"):
+                break
+            if line.startswith("@SQ"):
+                a = line.rstrip("\n").split("\t")
+                sn = next(x for x in a if x.startswith("SN:"))[3:]
+                ln = int(next(x for x in a if x.startswith("LN:"))[3:])
+                chrom_sizes[sn] = ln
+        fh.seek(body_start)
+
+        workers = max(1, min(threads, _os.cpu_count() or 1))
+        if workers > 1:
+            import multiprocessing as mp
+            global _POOL_JOB
+            _POOL_JOB = (chrom_sizes, mando)
+
+            def batches():
+                buf = []
+                for line in fh:
+                    buf.append(line)
+                    if len(buf) >= batch_lines:
+                        yield buf
+                        buf = []
+                if buf:
+                    yield buf
+
+            ctx = mp.get_context("fork")
+            with ctx.Pool(workers) as pool:
+                # imap preserves submission order: deterministic merge
+                for chunk in pool.imap(_convert_batch, batches()):
+                    out.write(chunk)
+            return
         for line in fh:
-            if line.startswith("@"):
-                if line.startswith("@SQ"):
-                    a = line.rstrip("\n").split("\t")
-                    sn = next(x for x in a if x.startswith("SN:"))[3:]
-                    ln = int(next(x for x in a if x.startswith("LN:"))[3:])
-                    chrom_sizes[sn] = ln
-                continue
             fields = line.rstrip("\n").split("\t")
             if fields[2] == "*":
                 continue
-            psl = sam_to_psl_line(fields, chrom_sizes[fields[2]], mando=mando)
+            psl = sam_to_psl_line(fields, chrom_sizes[fields[2]],
+                                  mando=mando)
             if psl is not None:
                 out.write(psl + "\n")
 

@@ -90,17 +90,21 @@ def make_mesh(n_devices: Optional[int] = None,
 
 def multihost_init(coordinator: Optional[str] = None,
                    num_processes: Optional[int] = None,
-                   process_id: Optional[int] = None) -> None:
+                   process_id: Optional[int] = None,
+                   timeout_s: int = 300) -> None:
     """jax.distributed bootstrap for multi-host pods. Explicit arguments
     are a contract: if the caller names a coordinator/process topology and
     initialization fails, that is a misconfigured pod run and must abort
     loudly (silently proceeding single-process would corrupt a sharded
     run). With no arguments, the TPU-VM environment provides the topology
-    and an 'already initialized' state is tolerated."""
+    and an 'already initialized' state is tolerated. Exercised for real by
+    tests/test_multihost.py: two CPU-backend processes through this
+    function, a global mesh, and a cross-process psum."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id,
+                                   initialization_timeout=timeout_s)
     except (RuntimeError, ValueError) as e:
         if "already" in str(e).lower() and (
                 coordinator is None and num_processes is None):

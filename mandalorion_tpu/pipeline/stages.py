@@ -206,7 +206,8 @@ def module_p(paths: Paths, cfg: PipelineConfig) -> None:
     if not os.path.exists(psl) or os.path.getsize(psl) == 0:
         if os.path.exists(sam) and os.path.getsize(sam) > 0:
             print("\tconverting external SAM to extended psl")
-            sam_to_psl(sam, psl, mando=True)
+            sam_to_psl(sam, psl, mando=True,
+                       threads=cfg.threads if _fork_safe() else 1)
         else:
             print("\tno alignments found; skipping")
             return

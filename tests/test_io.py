@@ -184,3 +184,33 @@ def test_parse_gene_exons(tmp_path):
     assert 100 not in coord["+"]["chr1"]
     assert 101 in coord["+"]["chr1"]
     assert parse_gene_exons("None") == {"+": {}, "-": {}}
+
+
+def test_sam_to_psl_pooled_matches_serial(tmp_path):
+    """Pooled 100k-line-batch SAM->PSL (emtrey.py:154-195 analogue) is
+    byte-identical to the serial conversion."""
+    import numpy as np
+
+    from mandalorion_tpu.io.sam import sam_to_psl
+
+    rng = np.random.default_rng(2)
+    bases = "ACGT"
+    sam = tmp_path / "in.sam"
+    with open(sam, "w") as fh:
+        fh.write("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n"
+                 "@SQ\tSN:chr2\tLN:50000\n")
+        for i in range(500):
+            seq = "".join(bases[b] for b in rng.integers(0, 4, 60))
+            chrom = "chr1" if i % 3 else "chr2"
+            pos = int(rng.integers(1, 40_000))
+            flag = 16 if i % 5 == 0 else 0
+            cigar = "30M5N25M" if i % 2 else "10S40M10S"
+            fh.write(f"r{i}\t{flag}\t{chrom}\t{pos}\t60\t{cigar}\t*\t0\t0\t"
+                     f"{seq}\t*\tNM:i:2\tcs:Z:={seq[:30]}\n")
+        fh.write(f"unmapped\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\t*\n")
+    a = tmp_path / "serial.psl"
+    b = tmp_path / "pooled.psl"
+    sam_to_psl(str(sam), str(a), mando=True, threads=1)
+    sam_to_psl(str(sam), str(b), mando=True, threads=2, batch_lines=37)
+    assert a.read_bytes() == b.read_bytes()
+    assert sum(1 for _ in open(a)) == 500
