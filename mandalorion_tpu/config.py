@@ -13,6 +13,11 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Tuple
 
+# Single source for the POA band half-width default: PoaConfig.band_width
+# (the user-facing knob) and poa.graph.PoaParams.band (the engine's
+# parameter object) both read it, so the two can't drift.
+POA_BAND_DEFAULT = 128
+
 
 @dataclass(frozen=True)
 class AlignConfig:
@@ -76,7 +81,7 @@ class PoaConfig:
     gap_open2: int = 26
     gap_extend2: int = 1
     adaptive_band_threshold: int = 8000  # -S when median read length >= 8000
-    band_width: int = 128          # adaptive band half width
+    band_width: int = POA_BAND_DEFAULT  # adaptive band half width
     max_reads: int = 100           # consensus subsample cap (`SDC.py:884-885`)
     seed: int = 0                  # our subsampling is seeded (reference: unseeded)
     engine: str = "star"           # 'star' (backbone+vote, fast path) or

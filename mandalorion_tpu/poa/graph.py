@@ -27,6 +27,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from mandalorion_tpu.config import POA_BAND_DEFAULT
+
 NEG = -(10 ** 9)
 
 
@@ -38,7 +40,9 @@ class PoaParams:
     gap_extend: int = 2     # abPOA -E 2,1
     gap_open2: int = 26
     gap_extend2: int = 1
-    band: int = 128         # query band half-width around node rank diagonal
+    # query band half-width around the node-rank diagonal; single default
+    # shared with PoaConfig.band_width (config.POA_BAND_DEFAULT)
+    band: int = POA_BAND_DEFAULT
 
 
 class PoaGraph:

@@ -211,3 +211,16 @@ cat {ours}/tmp/mm2Alignments.sam
            (ref / "Mando_isoforms.read_stat.txt").read_text()
     assert (ours / "Isoforms.filtered.clean.quant").read_text() == \
            (ref / "Isoforms.filtered.clean.quant").read_text()
+
+
+@pytest.mark.skip(reason=(
+    "UNVERIFIED vs real abPOA: the abpoa binary is absent in this "
+    "environment (zero egress), so byte-equality of Isoform_Consensi.fasta "
+    "against `abpoa -M 5 -r 0 [-S]` (SpliceDefineConsensus.py:915-919) "
+    "cannot be tested. What IS verified: the graph engine implements "
+    "abPOA's convex dual-affine scoring model and is optimal vs a "
+    "brute-force convex Gotoh oracle (tests/test_poa.py), and the device "
+    "kernel is bit-identical to the Python engine. abPOA's exact traceback "
+    "tie-break order and adaptive-band shape remain unpinned (NOTES.md)."))
+def test_consensus_fasta_matches_real_abpoa_binary():
+    raise AssertionError("requires the real abpoa binary")
