@@ -129,6 +129,7 @@ class PoaGraph:
         orig1 = np.zeros((n + 1, L + 1), np.int32)  # I1 run origin column
         orig2 = np.zeros((n + 1, L + 1), np.int32)
         score[0] = self._gap0(params, jidx)
+        score[0, min(L, band) + 1:] = NEG   # row 0 is band-local too
         op[0, :] = 1
         orig1[0, :] = 0
 
@@ -138,6 +139,14 @@ class PoaGraph:
                 pred_ranks = [0]
             base_v = self.base[v]
             sub = np.where(q == base_v, params.match, -params.mismatch)
+
+            # band-local DP (true banded: ALL states exist only inside the
+            # per-row band, like abPOA's banded SIMD rows — this is what
+            # lets the device kernel store only the band window)
+            center = r * L // max(n, 1)
+            j0 = max(0, center - band)
+            j1 = min(L, center + band)
+            masked = (jidx < j0) | (jidx > j1)
 
             best_prev = np.full(L + 1, NEG, np.int64)
             best_prev_rank = np.full(L + 1, -2, np.int64)
@@ -151,6 +160,8 @@ class PoaGraph:
                 c2 = np.maximum(score[pr] - (o2 + e2), d2[pr] - e2)
                 d1_row = np.maximum(d1_row, c1)
                 d2_row = np.maximum(d2_row, c2)
+            d1_row = np.where(masked, NEG, d1_row)
+            d2_row = np.where(masked, NEG, d2_row)
             d1[r] = d1_row
             d2[r] = d2_row
 
@@ -167,6 +178,9 @@ class PoaGraph:
             rowo = np.where(m, np.uint8(4), rowo)
             op0[r] = rowo
             node0[r] = rown
+
+            # insertions may only open from in-band cells (band-local)
+            row = np.where(masked, NEG, row)
 
             # insertions: per component, a prefix-max scan over the
             # pre-insertion row (see module docstring for why this is
@@ -186,15 +200,8 @@ class PoaGraph:
                 fino = np.where(m, np.uint8(code), fino)
                 orig[r] = np.where(m, org, orig[r])
 
-            # band mask on the stored H row (values only, as before)
-            center = r * L // max(n, 1)
-            j0 = max(0, center - band)
-            j1 = min(L, center + band)
-            if j0 > 1:
-                fin[1:j0] = NEG
-            if j1 < L:
-                fin[j1 + 1:] = NEG
-            score[r] = fin
+            # band mask on the stored H row
+            score[r] = np.where(masked, NEG, fin)
             op[r] = fino
 
         # best end: first max over rows of nodes with no successors at L

@@ -71,66 +71,98 @@ def graph_arrays(graph: PoaGraph, n_cap: int, p_cap: int,
     return base_r, preds_r, is_end_r, order
 
 
+def _off_row(t, n_nodes, qlen, eff_band, W: int):
+    """Absolute column where matrix row t's stored window starts. The
+    window [off, off+W) always covers the row's band [j0, j1] (the host
+    guarantees W >= 2*eff_band+2 or W >= qlen+1), and every absolute
+    column outside the band is NEG by the band-local masking semantics,
+    so windowed reads with NEG fill are bit-exact vs the full-width
+    oracle. off <= j0 always (clip can only lower it)."""
+    center = t * qlen // jnp.maximum(n_nodes, 1)
+    return jnp.clip(center - eff_band, 0,
+                    jnp.maximum(0, qlen + 1 - W))
+
+
 def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
                 match: int, mismatch: int, o1: int, e1: int,
-                o2: int, e2: int, band: int):
-    """One (graph, query) convex-affine DP, shapes static. Returns the
-    state matrices (score H, d1, d2, op, op0, node0, orig1, orig2), each
-    (N+1, L+1) int32. Vmapped over the batch axis by the caller."""
+                o2: int, e2: int, band: int, W: int):
+    """One (graph, query) convex-affine DP in banded storage: matrix row
+    r holds only the W-wide window starting at _off_row(r) (absolute
+    column j lives at stored column j - off). Returns the windowed state
+    matrices (score H, d1, d2, op, op0, node0, orig1, orig2), each
+    (N+1, W) int32. Vmapped over the batch axis by the caller."""
     n_cap = base_r.shape[0]
-    l_cap = q.shape[0]
-    width = l_cap + 1
-    jidx = jnp.arange(width, dtype=jnp.int32)
+    cidx = jnp.arange(W, dtype=jnp.int32)
 
     eff_band = jnp.maximum(band, jnp.abs(n_nodes - qlen) + 16)
 
-    # row 0: convex insertion boundary
-    g0 = -jnp.minimum(o1 + e1 * jidx, o2 + e2 * jidx)
-    g0 = jnp.where(jidx == 0, 0, g0)
-    score0 = jnp.full((n_cap + 1, width), NEG, jnp.int32).at[0].set(g0)
-    d1m = jnp.full((n_cap + 1, width), NEG, jnp.int32)
-    d2m = jnp.full((n_cap + 1, width), NEG, jnp.int32)
-    op_m = jnp.zeros((n_cap + 1, width), jnp.int32).at[0].set(1)
-    op0m = jnp.zeros((n_cap + 1, width), jnp.int32)
-    node0m = jnp.full((n_cap + 1, width), -2, jnp.int32)
-    orig1m = jnp.zeros((n_cap + 1, width), jnp.int32)
-    orig2m = jnp.zeros((n_cap + 1, width), jnp.int32)
+    # row 0 (off = 0): convex insertion boundary, band-local
+    g0 = -jnp.minimum(o1 + e1 * cidx, o2 + e2 * cidx)
+    g0 = jnp.where(cidx == 0, 0, g0)
+    g0 = jnp.where(cidx > jnp.minimum(qlen, eff_band), NEG, g0)
+    score0 = jnp.full((n_cap + 1, W), NEG, jnp.int32).at[0].set(g0)
+    d1m = jnp.full((n_cap + 1, W), NEG, jnp.int32)
+    d2m = jnp.full((n_cap + 1, W), NEG, jnp.int32)
+    op_m = jnp.zeros((n_cap + 1, W), jnp.int32).at[0].set(1)
+    op0m = jnp.zeros((n_cap + 1, W), jnp.int32)
+    node0m = jnp.full((n_cap + 1, W), -2, jnp.int32)
+    orig1m = jnp.zeros((n_cap + 1, W), jnp.int32)
+    orig2m = jnp.zeros((n_cap + 1, W), jnp.int32)
 
     p_cap = preds_r.shape[1]
 
     def body(r, carry):
         score, d1, d2, op, op0, node0, orig1, orig2 = carry
         base_v = base_r[r - 1]
-        sub = jnp.where(q == base_v, match, -mismatch).astype(jnp.int32)
-        best_prev = jnp.full(width, NEG, jnp.int32)
-        best_rank = jnp.full(width, -2, jnp.int32)
-        d1_row = jnp.full(width, NEG, jnp.int32)
-        d2_row = jnp.full(width, NEG, jnp.int32)
+        off = _off_row(r, n_nodes, qlen, eff_band, W)
+        jabs = off + cidx                    # absolute columns
+        center = r * qlen // jnp.maximum(n_nodes, 1)
+        j0 = jnp.maximum(0, center - eff_band)
+        j1 = jnp.minimum(qlen, center + eff_band)
+        masked = (jabs < j0) | (jabs > j1)
+
+        # query base consumed by diag at absolute column j is q[j-1]
+        qm1 = jnp.take(q, jnp.clip(jabs - 1, 0, q.shape[0] - 1))
+        sub = jnp.where(qm1 == base_v, match, -mismatch).astype(jnp.int32)
+
+        # predecessor gathers over the extended absolute range
+        # [off-1, off+W-1] (W+1 wide: position e+1 is column jabs[e], the
+        # leading -1 column feeds the diagonal)
+        eabs = (off - 1) + jnp.arange(W + 1, dtype=jnp.int32)
+        best_prev = jnp.full(W + 1, NEG, jnp.int32)
+        best_rank = jnp.full(W + 1, -2, jnp.int32)
+        d1_row = jnp.full(W, NEG, jnp.int32)
+        d2_row = jnp.full(W, NEG, jnp.int32)
         for p in range(p_cap):
             pr = preds_r[r - 1, p]
             prc = jnp.maximum(pr, 0)
-            row_p = jax.lax.dynamic_index_in_dim(score, prc, axis=0,
-                                                 keepdims=False)
-            row_p = jnp.where(pr >= 0, row_p, NEG)
-            d1_p = jax.lax.dynamic_index_in_dim(d1, prc, axis=0,
+            off_p = _off_row(prc, n_nodes, qlen, eff_band, W)
+            rel = eabs - off_p
+            ok = (pr >= 0) & (rel >= 0) & (rel < W) & (eabs >= 0)
+            relc = jnp.clip(rel, 0, W - 1)
+            srow = jax.lax.dynamic_index_in_dim(score, prc, axis=0,
                                                 keepdims=False)
-            d1_p = jnp.where(pr >= 0, d1_p, NEG)
-            d2_p = jax.lax.dynamic_index_in_dim(d2, prc, axis=0,
-                                                keepdims=False)
-            d2_p = jnp.where(pr >= 0, d2_p, NEG)
+            row_p = jnp.where(ok, jnp.take(srow, relc), NEG)
+            d1s = jax.lax.dynamic_index_in_dim(d1, prc, axis=0,
+                                               keepdims=False)
+            d1_p = jnp.where(ok, jnp.take(d1s, relc), NEG)
+            d2s = jax.lax.dynamic_index_in_dim(d2, prc, axis=0,
+                                               keepdims=False)
+            d2_p = jnp.where(ok, jnp.take(d2s, relc), NEG)
             better = row_p > best_prev
             best_prev = jnp.where(better, row_p, best_prev)
             best_rank = jnp.where(better, pr, best_rank)
             d1_row = jnp.maximum(
-                d1_row, jnp.maximum(row_p - (o1 + e1), d1_p - e1))
+                d1_row, jnp.maximum(row_p[1:] - (o1 + e1), d1_p[1:] - e1))
             d2_row = jnp.maximum(
-                d2_row, jnp.maximum(row_p - (o2 + e2), d2_p - e2))
+                d2_row, jnp.maximum(row_p[1:] - (o2 + e2), d2_p[1:] - e2))
+        d1_row = jnp.where(masked, NEG, d1_row)
+        d2_row = jnp.where(masked, NEG, d2_row)
 
-        diag = best_prev[:-1] + sub          # consume query base
-        row = jnp.concatenate([jnp.full(1, NEG, jnp.int32), diag])
-        rowo = jnp.zeros(width, jnp.int32)
-        rown = jnp.concatenate(
-            [jnp.full(1, -2, jnp.int32), best_rank[:-1]])
+        # H pre-insertion: diag >= D1 >= D2 on ties
+        row = jnp.where(jabs == 0, NEG, best_prev[:-1] + sub)
+        rowo = jnp.zeros(W, jnp.int32)
+        rown = jnp.where(jabs == 0, -2, best_rank[:-1])
         m = d1_row > row
         row = jnp.where(m, d1_row, row)
         rowo = jnp.where(m, 2, rowo)
@@ -138,27 +170,35 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
         row = jnp.where(m, d2_row, row)
         rowo = jnp.where(m, 4, rowo)
 
+        # insertions may only open from in-band cells (band-local)
+        row = jnp.where(masked, NEG, row)
+
         fin = row
         fino = rowo
         org_out = []
         for oo, ee, code in ((o1, e1, 1), (o2, e2, 3)):
-            vals = row + ee * jidx
-            acc = jax.lax.cummax(vals)
-            prev_acc = jnp.concatenate(
-                [jnp.full(1, NEG - 1, jnp.int32), acc[:-1]])
+            # prefix-max carry from the masked columns < off: their vals
+            # are NEG + ee*j (monotone), so the carry into the window is
+            # acc = NEG + ee*(off-1) with origin off-1 (ee>0) / 0 (ee==0)
+            vals = row + ee * jabs
+            acc_c = jnp.where(off > 0, NEG + ee * (off - 1),
+                              jnp.int32(NEG - 1))
+            if ee > 0:
+                org_c = jnp.where(off > 0, off - 1, -1)
+            else:
+                org_c = jnp.where(off > 0, 0, -1)
+            acc = jnp.maximum(jax.lax.cummax(vals), acc_c)
+            prev_acc = jnp.concatenate([acc_c[None], acc[:-1]])
             is_new = vals > prev_acc
-            org = jax.lax.cummax(jnp.where(is_new, jidx, -1))
-            ins = acc - oo - ee * jidx
+            org = jnp.maximum(
+                jax.lax.cummax(jnp.where(is_new, jabs, -1)), org_c)
+            ins = acc - oo - ee * jabs
             m = ins > fin
             fin = jnp.where(m, ins, fin)
             fino = jnp.where(m, code, fino)
             org_out.append(jnp.where(m, org, 0))
 
-        # band mask (stored H values only, as in the oracle)
-        center = r * qlen // jnp.maximum(n_nodes, 1)
-        j0 = jnp.maximum(0, center - eff_band)
-        j1 = jnp.minimum(qlen, center + eff_band)
-        masked = (jidx >= 1) & ((jidx < j0) | (jidx > j1))
+        # band mask on the stored H row
         fin = jnp.where(masked, NEG, fin)
 
         score = jax.lax.dynamic_update_slice(score, fin[None], (r, 0))
@@ -183,21 +223,33 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
 
 def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
                      match: int, mismatch: int, o1: int, e1: int,
-                     o2: int, e2: int, band: int):
-    """DP + on-device traceback for one problem. The state matrices
-    (O(nodes x query), hundreds of MB per batch) never leave the device —
-    only the path steps (O(nodes + query) ints) are returned:
+                     o2: int, e2: int, band: int, W: int):
+    """DP + on-device traceback for one problem. The windowed state
+    matrices (O(nodes x W)) never leave the device — only the path steps
+    (O(nodes + query) ints) are returned:
     (steps[k] = (qi, rank), n_steps), written in reverse order.
     qi == -1: node deleted; rank == -1: query base inserted."""
     score, d1, d2, op, op0, node0, orig1, orig2 = _align_rows(
         base_r, preds_r, n_nodes, q, qlen, n_hi,
-        match, mismatch, o1, e1, o2, e2, band)
+        match, mismatch, o1, e1, o2, e2, band, W)
     n_cap = base_r.shape[0]
     l_cap = q.shape[0]
+    eff_band = jnp.maximum(band, jnp.abs(n_nodes - qlen) + 16)
+
+    def cell(mat, t, j, fill=NEG):
+        """mat value at matrix row t, ABSOLUTE column j (NEG-fill outside
+        the stored window — exactly the band-local masked value)."""
+        rel = j - _off_row(t, n_nodes, qlen, eff_band, W)
+        ok = (rel >= 0) & (rel < W)
+        return jnp.where(ok, mat[t, jnp.clip(rel, 0, W - 1)], fill)
+
     # end rank: first max of score[r, qlen] over real end ranks — argmax's
     # first-occurrence rule IS PoaGraph.align's ascending-order tie-break
-    col = jax.lax.dynamic_index_in_dim(score.T, qlen, axis=0,
-                                       keepdims=False)
+    rows_t = jnp.arange(n_cap + 1, dtype=jnp.int32)
+    rel = qlen - _off_row(rows_t, n_nodes, qlen, eff_band, W)
+    col = jnp.take_along_axis(
+        score, jnp.clip(rel, 0, W - 1)[:, None], axis=1)[:, 0]
+    col = jnp.where((rel >= 0) & (rel < W), col, NEG)
     end_mask = jnp.concatenate([jnp.zeros(1, bool), is_end_r])
     end_mask &= jnp.arange(n_cap + 1) <= n_nodes
     br = jnp.argmax(jnp.where(end_mask, col, NEG - 1)).astype(jnp.int32)
@@ -219,7 +271,7 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
         st, r, j, tgt, k, buf = c
 
         def at_cell(mat):
-            return mat[r, j]
+            return cell(mat, r, j)
 
         def h_case(use0):
             # r == 0: boundary insertion run to column 0
@@ -258,15 +310,15 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
             return (nst, r, j - 1, tgt, k + 1, emit(buf, k, j - 1, -1))
 
         def d_case(dmat, oo, ee, st_code):
-            target = dmat[r, j]
+            target = cell(dmat, r, j)
             best_p = jnp.int32(preds_r.shape[1])
             best_ext = jnp.bool_(False)
             best_pr = jnp.int32(-2)
             for p in reversed(range(preds_r.shape[1])):
                 pr = preds_r[r - 1, p]
                 prc = jnp.maximum(pr, 0)
-                c_open = score[prc, j] - (oo + ee)
-                c_ext = dmat[prc, j] - ee
+                c_open = cell(score, prc, j) - (oo + ee)
+                c_ext = cell(dmat, prc, j) - ee
                 cand = jnp.maximum(c_open, c_ext)
                 hit = (pr >= 0) & (cand == target)
                 # iterate high->low so the LAST hit standing is the first
