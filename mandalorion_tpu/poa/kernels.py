@@ -346,8 +346,22 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
 
 _align_traceback_batch = jax.jit(
     jax.vmap(_align_traceback,
-             in_axes=(0, 0, 0, 0, 0, 0) + (None,) * 8),
-    static_argnames=("match", "mismatch", "o1", "e1", "o2", "e2", "band"))
+             in_axes=(0, 0, 0, 0, 0, 0) + (None,) * 9),
+    static_argnames=("match", "mismatch", "o1", "e1", "o2", "e2", "band",
+                     "W"))
+
+
+def _window_width(orders: Sequence[Sequence[int]],
+                  queries: Sequence[np.ndarray],
+                  band: int, l_cap: int) -> int:
+    """Banded-storage window width for a batch: wide enough that every
+    item's per-row band [j0, j1] (half-width eff_band, see _off_row) fits,
+    rounded up to the 128-lane TPU tile, capped at full width l_cap+1."""
+    need = 2  # empty batch guard
+    for order, q in zip(orders, queries):
+        eff = max(band, abs(len(order) - len(q)) + 16)
+        need = max(need, min(len(q) + 1, 2 * eff + 2))
+    return min(l_cap + 1, -(-need // 128) * 128)
 
 
 def align_graph_batch(graphs: Sequence[PoaGraph],
@@ -366,7 +380,8 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     p_max = max(1, max((len(g.preds[v]) for g in graphs
                         for v in range(len(g.base))), default=1))
     p_cap = _pow2_at_least(p_max, floor=4)  # bucketed: caps recompiles
-    per_item = (n_cap + 1) * (l_cap + 1)
+    W = _window_width(orders, queries, params.band, l_cap)
+    per_item = (n_cap + 1) * W
     chunk = max(1, MAX_CELLS_PER_DISPATCH // per_item)
     paths: List[List[Tuple[int, Optional[int]]]] = []
     for c0 in range(0, len(graphs), chunk):
@@ -396,14 +411,14 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
             buf, ks = _align_traceback_batch(
                 *args, jnp.int32(int(nn.max())),
                 pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-                pp.gap_open2, pp.gap_extend2, pp.band)
+                pp.gap_open2, pp.gap_extend2, pp.band, W)
             buf = np.asarray(buf)[:b]
             ks = np.asarray(ks)[:b]
         else:
             buf, ks = _align_traceback_batch(
                 base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
                 pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-                pp.gap_open2, pp.gap_extend2, pp.band)
+                pp.gap_open2, pp.gap_extend2, pp.band, W)
             buf = np.asarray(buf)
             ks = np.asarray(ks)
         for bi, gi in enumerate(batch):
