@@ -51,7 +51,7 @@ def main():
     total_bases = sum(len(s) for ss in seq_sets for s in ss)
     params = PoaParams()
 
-    poa_consensus_batch(seq_sets[:2], params)  # compile warmup
+    poa_consensus_batch(seq_sets, params)  # compile warmup (same shapes)
     t0 = time.time()
     consensi = poa_consensus_batch(seq_sets, params)
     dt = time.time() - t0
