@@ -36,7 +36,6 @@ from mandalorion_tpu.align.extend import DpProblem, DpResult, _solve_one
 from mandalorion_tpu.config import AlignConfig
 
 NEG = -(10 ** 9)
-MAXT = 127          # single-tile target bound (128-lane bucket)
 TILE = 8            # problems per sublane tile
 # width buckets for the target axis (lanes = target + 1 boundary column);
 # 2304 covers the largest end extension (max_end_extend + band = 2176)

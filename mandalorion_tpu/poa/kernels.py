@@ -351,17 +351,14 @@ _align_traceback_batch = jax.jit(
                      "W"))
 
 
-def _window_width(orders: Sequence[Sequence[int]],
-                  queries: Sequence[np.ndarray],
-                  band: int, l_cap: int) -> int:
-    """Banded-storage window width for a batch: wide enough that every
-    item's per-row band [j0, j1] (half-width eff_band, see _off_row) fits,
-    rounded up to the 128-lane TPU tile, capped at full width l_cap+1."""
-    need = 2  # empty batch guard
-    for order, q in zip(orders, queries):
-        eff = max(band, abs(len(order) - len(q)) + 16)
-        need = max(need, min(len(q) + 1, 2 * eff + 2))
-    return min(l_cap + 1, -(-need // 128) * 128)
+def _item_width(n_nodes: int, qlen: int, band: int, l_cap: int) -> int:
+    """Banded-storage window width for one item: wide enough that its
+    per-row band [j0, j1] (half-width eff_band, see _off_row) fits, always
+    rounded up to the 128-lane TPU tile (including the capped full-width
+    case — lanes beyond qlen are band-masked NEG, so over-width is safe)."""
+    eff = max(band, abs(n_nodes - qlen) + 16)
+    need = min(qlen + 1, 2 * eff + 2)
+    return -(-min(l_cap + 1, need) // 128) * 128
 
 
 def align_graph_batch(graphs: Sequence[PoaGraph],
@@ -380,53 +377,69 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     p_max = max(1, max((len(g.preds[v]) for g in graphs
                         for v in range(len(g.base))), default=1))
     p_cap = _pow2_at_least(p_max, floor=4)  # bucketed: caps recompiles
-    W = _window_width(orders, queries, params.band, l_cap)
-    per_item = (n_cap + 1) * W
-    chunk = max(1, MAX_CELLS_PER_DISPATCH // per_item)
-    paths: List[List[Tuple[int, Optional[int]]]] = []
-    for c0 in range(0, len(graphs), chunk):
-        batch = list(range(c0, min(c0 + chunk, len(graphs))))
-        base = np.zeros((len(batch), n_cap), np.int32)
-        preds = np.full((len(batch), n_cap, p_cap), -1, np.int32)
-        ends = np.zeros((len(batch), n_cap), bool)
-        nn = np.zeros(len(batch), np.int32)
-        qq = np.zeros((len(batch), l_cap), np.int32)
-        ql = np.zeros(len(batch), np.int32)
-        for bi, gi in enumerate(batch):
-            b, p, e, _ = graph_arrays(graphs[gi], n_cap, p_cap, orders[gi])
-            base[bi], preds[bi], ends[bi] = b, p, e
-            nn[bi] = len(orders[gi])
-            q = queries[gi]
-            qq[bi, :len(q)] = q
-            ql[bi] = len(q)
-        from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
-        mesh = pipeline_mesh()
-        pp = params
-        if mesh is not None:
-            # the per-locus isoform axis shards over the mesh ('loci'):
-            # each device aligns its shard of (graph, query) problems;
-            # zero-padded rows (n_nodes=0, qlen=0) produce empty paths
-            # and are sliced off
-            args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
-            buf, ks = _align_traceback_batch(
-                *args, jnp.int32(int(nn.max())),
-                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-                pp.gap_open2, pp.gap_extend2, pp.band, W)
-            buf = np.asarray(buf)[:b]
-            ks = np.asarray(ks)[:b]
-        else:
-            buf, ks = _align_traceback_batch(
-                base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
-                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-                pp.gap_open2, pp.gap_extend2, pp.band, W)
-            buf = np.asarray(buf)
-            ks = np.asarray(ks)
-        for bi, gi in enumerate(batch):
-            order = orders[gi]
-            steps = buf[bi, :ks[bi]][::-1]
-            paths.append([(int(qi), order[rank] if rank >= 0 else None)
-                          for qi, rank in steps])
-    return paths
+    # group items by their own 128-rounded window width so one wide
+    # outlier no longer widens (and shrinks the chunks of) the whole
+    # batch; W values are 128-multiples, bounding recompiles
+    by_width: dict = {}
+    for i, (order, q) in enumerate(zip(orders, queries)):
+        w = _item_width(len(order), len(q), params.band, l_cap)
+        by_width.setdefault(w, []).append(i)
+    paths: List[Optional[List[Tuple[int, Optional[int]]]]] = (
+        [None] * len(graphs))
+    for W in sorted(by_width):
+        idxs = by_width[W]
+        per_item = (n_cap + 1) * W
+        chunk = max(1, MAX_CELLS_PER_DISPATCH // per_item)
+        for c0 in range(0, len(idxs), chunk):
+            _run_graph_chunk(idxs[c0:c0 + chunk], graphs, queries, orders,
+                             n_cap, l_cap, p_cap, W, params, paths)
+    return paths  # type: ignore[return-value]
+
+
+def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
+                     W, params, paths) -> None:
+    """Dispatch one chunk of (graph, query) problems; write each problem's
+    alignment path into paths[original_index]."""
+    base = np.zeros((len(batch), n_cap), np.int32)
+    preds = np.full((len(batch), n_cap, p_cap), -1, np.int32)
+    ends = np.zeros((len(batch), n_cap), bool)
+    nn = np.zeros(len(batch), np.int32)
+    qq = np.zeros((len(batch), l_cap), np.int32)
+    ql = np.zeros(len(batch), np.int32)
+    for bi, gi in enumerate(batch):
+        b, p, e, _ = graph_arrays(graphs[gi], n_cap, p_cap, orders[gi])
+        base[bi], preds[bi], ends[bi] = b, p, e
+        nn[bi] = len(orders[gi])
+        q = queries[gi]
+        qq[bi, :len(q)] = q
+        ql[bi] = len(q)
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
+    mesh = pipeline_mesh()
+    pp = params
+    if mesh is not None:
+        # the per-locus isoform axis shards over the mesh ('loci'):
+        # each device aligns its shard of (graph, query) problems;
+        # zero-padded rows (n_nodes=0, qlen=0) produce empty paths
+        # and are sliced off
+        args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
+        buf, ks = _align_traceback_batch(
+            *args, jnp.int32(int(nn.max())),
+            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+            pp.gap_open2, pp.gap_extend2, pp.band, W)
+        buf = np.asarray(buf)[:b]
+        ks = np.asarray(ks)[:b]
+    else:
+        buf, ks = _align_traceback_batch(
+            base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
+            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+            pp.gap_open2, pp.gap_extend2, pp.band, W)
+        buf = np.asarray(buf)
+        ks = np.asarray(ks)
+    for bi, gi in enumerate(batch):
+        order = orders[gi]
+        steps = buf[bi, :ks[bi]][::-1]
+        paths[gi] = [(int(qi), order[rank] if rank >= 0 else None)
+                     for qi, rank in steps]
 
 
 def poa_consensus_batch(seq_sets: Sequence[List[np.ndarray]],

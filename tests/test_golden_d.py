@@ -73,7 +73,10 @@ def test_reference_d_on_our_alignments(pipeline_front):
          "-p", str(ref_out), "-c", "0.1", "-g", str(tmp / "ann.gtf"),
          "-w", "1", "-m", "2", "-W", "0", "-n", "1",
          "-j", "gtag,gcag,atac,ctac,ctgc,gtat",
-         "-u", "10", "-d", "50", "-a", "/nonexistent/abpoa"])
+         "-u", "10", "-d", "50", "-a", "/nonexistent/abpoa"],
+        # the reference redirects abpoa stderr to ./abpoa.messages
+        # (SDC.py:917); run in the output dir so the spill stays in tmp
+        cwd=str(ref_out))
     assert r.returncode == 0, r.stderr
     ref_r2i = (ref_out / "reads2isoforms.txt").read_text()
 

@@ -8,8 +8,10 @@ import pytest
 
 from mandalorion_tpu.align.extend import DpProblem, solve_dp_numpy
 from mandalorion_tpu.align.kernels import (
-    MAXT, solve_dp_pallas, solve_dp_rowscan)
+    solve_dp_pallas, solve_dp_rowscan)
 from mandalorion_tpu.config import AlignConfig
+
+MAXT = 127  # single 128-lane bucket bound (this file's small-case regime)
 
 CFG = AlignConfig()
 
