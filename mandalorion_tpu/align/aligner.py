@@ -56,6 +56,11 @@ class SpliceAligner:
             self.index, getattr(self.cfg, "occ_frac", 0.0),
             self.cfg.max_occ)
         backend = getattr(self.cfg, "dp_backend", "numpy")
+        if backend in ("rowscan", "pallas") or \
+                getattr(self.cfg, "chain_backend", "native") == "device":
+            # device compute selected: persist kernel compiles across runs
+            from mandalorion_tpu.runtime import enable_compilation_cache
+            enable_compilation_cache()
         if backend == "rowscan":
             from mandalorion_tpu.align.kernels import solve_dp_rowscan
             self.dp_backend = solve_dp_rowscan

@@ -95,11 +95,18 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
         prepare_segments(segs, max_intron, MAX_SEG) if segs else []
         for segs in per_read_segments]
 
-    qs = np.zeros((B, MAX_SEG), np.int32)
-    qe = np.zeros((B, MAX_SEG), np.int32)
-    ts = np.zeros((B, MAX_SEG), np.int32)
-    te = np.zeros((B, MAX_SEG), np.int32)
-    n_seg = np.zeros(B, np.int32)
+    # pad the batch dim to a power-of-two bucket (floor 64): the vmapped
+    # chain fn then compiles for a bounded shape set (cached persistently)
+    # instead of retracing on every batch size; padding rows carry
+    # n_seg=0 and produce empty chains, sliced off below
+    Bp = 64
+    while Bp < B:
+        Bp *= 2
+    qs = np.zeros((Bp, MAX_SEG), np.int32)
+    qe = np.zeros((Bp, MAX_SEG), np.int32)
+    ts = np.zeros((Bp, MAX_SEG), np.int32)
+    te = np.zeros((Bp, MAX_SEG), np.int32)
+    n_seg = np.zeros(Bp, np.int32)
     for b, segs in enumerate(prepped):
         n_seg[b] = len(segs)
         t_base = min((s.t_start for s in segs), default=0)

@@ -482,71 +482,107 @@ def _width_for(tlen: int) -> int:
     raise ValueError(tlen)
 
 
+# quantized query-row caps: together with WIDTHS this fixes the FULL set
+# of kernel shapes the aligner can ever dispatch (<= 5x5 combos, each with
+# one fixed batch size from _dispatch_tiles) — so compiles are bounded per
+# process and hit the persistent cache across processes. Before this the
+# batch size and the power-of-two row cap both floated with the data and
+# nearly every read batch recompiled (BENCH_r02: 5.3 reads/s device path).
+Q_STEPS = (8, 32, 128, 512, MAX_Q_DEVICE)
+# per-dispatch pointer-cell budget (int32 cells; 64M = 256 MB on device)
+CELLS_CAP = 64 * 1024 * 1024
+
+
+def _quant_q(longest: int) -> int:
+    for q in Q_STEPS:
+        if longest <= q:
+            return q
+    raise ValueError(longest)
+
+
+def _dispatch_tiles(width: int, max_q: int) -> int:
+    """Fixed tile count for a (width, max_q) class: the largest power of
+    two whose pointer matrix stays under CELLS_CAP, capped at 128 tiles
+    (1024 problems per dispatch)."""
+    cap = max(1, CELLS_CAP // ((max_q + 1) * width * TILE))
+    t = 1
+    while t * 2 <= min(cap, 128):
+        t *= 2
+    return t
+
+
 def _solve_batched(problems: Sequence[DpProblem], cfg: AlignConfig,
                    dispatch, interpret: bool = False,
                    max_rows: int = MAX_Q_DEVICE) -> List[DpResult]:
-    """Problems bucket by target-width (one device dispatch per bucket);
-    only degenerate problems (query > MAX_Q_DEVICE rows or target >
+    """Problems bucket by (target-width, quantized query-row) class; each
+    class dispatches in fixed-size chunks (one compiled kernel per class).
+    Only degenerate problems (query > MAX_Q_DEVICE rows or target >
     MAX_T_DEVICE) fall back to the host solver."""
     results: List[DpResult] = [None] * len(problems)  # type: ignore
     buckets: dict = {}
     for i, p in enumerate(problems):
         if 0 < len(p.q) <= max_rows and 0 < len(p.t) <= MAX_T_DEVICE:
-            buckets.setdefault(_width_for(len(p.t)), []).append(i)
+            key = (_width_for(len(p.t)), _quant_q(len(p.q)))
+            buckets.setdefault(key, []).append(i)
         else:
             results[i] = _solve_one(p, cfg)
-    for width in sorted(buckets):
-        fit_idx = buckets[width]
-        n = len(fit_idx)
-        n_tiles = (n + TILE - 1) // TILE
-        N = n_tiles * TILE
-        max_q = 8
-        longest = max(len(problems[i].q) for i in fit_idx)
-        while max_q < longest:
-            max_q *= 2
-        q_arr = np.zeros((N, max_q), np.int32)
-        t_arr = np.full((N, width), 9, np.int32)   # 9 matches nothing
-        qlen = np.zeros((N, 1), np.int32)
-        tlen = np.zeros((N, 1), np.int32)
-        for slot, i in enumerate(fit_idx):
-            p = problems[i]
-            q_arr[slot, :len(p.q)] = p.q
-            t_arr[slot, 1:1 + len(p.t)] = p.t
-            qlen[slot, 0] = len(p.q)
-            tlen[slot, 0] = len(p.t)
-
-        ptr, meta = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
-                             interpret)
-
-        starts: List[Tuple[int, int, int]] = []  # (slot, qi, tj)
-        for slot, i in enumerate(fit_idx):
-            p = problems[i]
-            nq, nt = len(p.q), len(p.t)
-            if p.mode == "global":
-                qi, tj = nq, nt
-            else:
-                qi, tj = int(meta[slot, 0]), int(meta[slot, 1])
-                if int(meta[slot, 2]) <= 0:
-                    results[i] = DpResult([], 0, 0)
-                    continue
-            starts.append((slot, qi, tj))
-
-        if isinstance(ptr, jax.Array):
-            # device-resident pointers (rows, N, W): walk on device
-            qi_arr = np.zeros(N, np.int32)
-            tj_arr = np.zeros(N, np.int32)
-            for slot, qi, tj in starts:
-                qi_arr[slot] = qi
-                tj_arr[slot] = tj
-            fn = _traceback_device_fn(max_q + width + 2)
-            buf, ks = fn(ptr, jnp.asarray(qi_arr), jnp.asarray(tj_arr))
-            buf = np.asarray(buf)
-            ks = np.asarray(ks)
-            for slot, qi, tj in starts:
-                results[fit_idx[slot]] = DpResult(
-                    _merge_steps(buf[slot, :ks[slot]]), qi, tj)
-        else:
-            for slot, qi, tj in starts:
-                results[fit_idx[slot]] = DpResult(
-                    _traceback(ptr[slot], qi, tj), qi, tj)
+    for width, max_q in sorted(buckets):
+        fit_idx = buckets[(width, max_q)]
+        N = _dispatch_tiles(width, max_q) * TILE
+        for c0 in range(0, len(fit_idx), N):
+            _solve_chunk(fit_idx[c0:c0 + N], N, problems, cfg, dispatch,
+                         max_q, width, interpret, results)
     return results
+
+
+def _solve_chunk(chunk_idx: List[int], N: int,
+                 problems: Sequence[DpProblem], cfg: AlignConfig,
+                 dispatch, max_q: int, width: int, interpret: bool,
+                 results: List[DpResult]) -> None:
+    """One fixed-shape dispatch: exactly N problem rows (padded with
+    qlen=0/tlen=0 rows past the chunk)."""
+    q_arr = np.zeros((N, max_q), np.int32)
+    t_arr = np.full((N, width), 9, np.int32)   # 9 matches nothing
+    qlen = np.zeros((N, 1), np.int32)
+    tlen = np.zeros((N, 1), np.int32)
+    for slot, i in enumerate(chunk_idx):
+        p = problems[i]
+        q_arr[slot, :len(p.q)] = p.q
+        t_arr[slot, 1:1 + len(p.t)] = p.t
+        qlen[slot, 0] = len(p.q)
+        tlen[slot, 0] = len(p.t)
+
+    ptr, meta = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
+                         interpret)
+
+    starts: List[Tuple[int, int, int]] = []  # (slot, qi, tj)
+    for slot, i in enumerate(chunk_idx):
+        p = problems[i]
+        nq, nt = len(p.q), len(p.t)
+        if p.mode == "global":
+            qi, tj = nq, nt
+        else:
+            qi, tj = int(meta[slot, 0]), int(meta[slot, 1])
+            if int(meta[slot, 2]) <= 0:
+                results[i] = DpResult([], 0, 0)
+                continue
+        starts.append((slot, qi, tj))
+
+    if isinstance(ptr, jax.Array):
+        # device-resident pointers (rows, N, W): walk on device
+        qi_arr = np.zeros(N, np.int32)
+        tj_arr = np.zeros(N, np.int32)
+        for slot, qi, tj in starts:
+            qi_arr[slot] = qi
+            tj_arr[slot] = tj
+        fn = _traceback_device_fn(max_q + width + 2)
+        buf, ks = fn(ptr, jnp.asarray(qi_arr), jnp.asarray(tj_arr))
+        buf = np.asarray(buf)
+        ks = np.asarray(ks)
+        for slot, qi, tj in starts:
+            results[chunk_idx[slot]] = DpResult(
+                _merge_steps(buf[slot, :ks[slot]]), qi, tj)
+    else:
+        for slot, qi, tj in starts:
+            results[chunk_idx[slot]] = DpResult(
+                _traceback(ptr[slot], qi, tj), qi, tj)

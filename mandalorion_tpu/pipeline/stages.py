@@ -229,12 +229,24 @@ def _locus_worker(locus_psl, chrom, lb, rb, cfg):
                          np.random.default_rng(cfg.seed))
 
 
+def _locus_prepare_worker(locus_psl, chrom, lb, rb, cfg):
+    """Like _locus_worker but stops after the host consensus phase,
+    returning ConsensusJobs; the graph DPs then batch across ALL loci in
+    the parent (one shared device dispatch set per round instead of one
+    small set per locus)."""
+    return process_locus(locus_psl, chrom, lb, rb, cfg,
+                         np.random.default_rng(cfg.seed),
+                         prepare_jobs=True)
+
+
 def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
                   right_bounds: Dict[str, List[int]], cfg: PipelineConfig,
-                  rng: Optional[np.random.Generator] = None
-                  ) -> List[Tuple[str, List[str]]]:
+                  rng: Optional[np.random.Generator] = None,
+                  prepare_jobs: bool = False):
     """One locus: peaks → junction identities → isoforms → consensus.
-    Returns [(consensus_sequence, [read names]), ...] in isoform order."""
+    Returns [(consensus_sequence, [read names]), ...] in isoform order;
+    with prepare_jobs=True, the pending ConsensusJobs instead (same rng
+    consumption, device phase deferred to the caller)."""
     records = [parse_psl_line(l) for l in open(locus_psl) if l.strip()]
     reads = LocusReads.from_records(records)
     hist = collect_reads(reads, cfg.accuracy_gate)
@@ -260,6 +272,9 @@ def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
         cfg.minimum_feature_count, rng, cfg.ends_subsample)
     read_sets = [[(reads.names[i], reads.sequences[i])
                   for i in iso[key].read_indices] for key in iso]
+    if prepare_jobs:
+        from mandalorion_tpu.poa.consensus import prepare_consensus_jobs
+        return prepare_consensus_jobs(read_sets, cfg.poa, rng)
     # graph engine: all of the locus' seq-to-graph DPs batch into shared
     # device dispatches; star engine: per-isoform fast path (unchanged)
     return determine_consensus_batch(read_sets, cfg.poa, rng)
@@ -304,14 +319,25 @@ def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
         jobs.append((os.path.join(paths.tmp_ss, root + ".psl"), chrom,
                      lb, rb, cfg))
 
+    graph_engine = cfg.poa.engine == "graph"
+    worker = _locus_prepare_worker if graph_engine else _locus_worker
     if cfg.threads > 1 and len(jobs) > 1 and _fork_safe():
         import multiprocessing as mp
         ctx = mp.get_context("fork")
         with ctx.Pool(_pool_size(cfg.threads, len(jobs)),
                       maxtasksperchild=8) as pool:
-            all_results = pool.starmap(_locus_worker, jobs)
+            all_results = pool.starmap(worker, jobs)
     else:
-        all_results = [_locus_worker(*j) for j in jobs]
+        all_results = [worker(*j) for j in jobs]
+    if graph_engine:
+        # device phase: the pending graph DPs of ALL loci resolve in
+        # shared batched dispatches (bit-identical to per-locus resolves;
+        # grouping only changes padding)
+        from mandalorion_tpu.poa.consensus import resolve_consensus_jobs
+        flat = [job for locus_jobs in all_results for job in locus_jobs]
+        resolved = iter(resolve_consensus_jobs(flat))
+        all_results = [[next(resolved) for _ in locus_jobs]
+                       for locus_jobs in all_results]
 
     counter = 0
     with open(paths.t("Isoform_Consensi.fasta"), "w") as out, \

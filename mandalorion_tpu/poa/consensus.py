@@ -11,6 +11,7 @@ otherwise POA consensus over the oriented set.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -107,6 +108,81 @@ def _poa_params(cfg: PoaConfig, lengths: Sequence[int]) -> PoaParams:
                      band=band)
 
 
+@dataclass
+class ConsensusJob:
+    """One isoform's consensus work item, split so the host phase (rng
+    subsample + orientation, fork-parallel per locus) can run apart from
+    the batched device phase (graph DP across ALL loci at once). Either
+    `result` is already resolved on the host, or `oriented`+`params`
+    describe a pending graph-POA problem with `fallback` the
+    empty-consensus fallback sequence (abPOA empty-output behavior)."""
+
+    names: List[str]
+    result: Optional[str] = None
+    oriented: Optional[List[np.ndarray]] = None
+    params: Optional[PoaParams] = None
+    fallback: Optional[str] = None
+
+
+def prepare_consensus_jobs(
+    read_sets: Sequence[Sequence[Tuple[str, str]]],
+    cfg: Optional[PoaConfig] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> List[ConsensusJob]:
+    """Host phase of determine_consensus_batch: subsample (SAME rng
+    consumption order as the sequential calls), orient, and resolve every
+    isoform that never needs the graph DP (star engine, <=2 reads,
+    over-length star fallback)."""
+    cfg = cfg or PoaConfig()
+    jobs: List[ConsensusJob] = []
+    from mandalorion_tpu.poa.graph import MAX_GRAPH_LEN
+    from mandalorion_tpu.poa.star import star_consensus
+    for reads in read_sets:
+        names = [name for name, _ in reads]
+        if cfg.engine == "star":
+            cons, _names = determine_consensus(reads, cfg, rng)
+            jobs.append(ConsensusJob(names, result=cons))
+            continue
+        subsample = _subsample(reads, cfg, rng)
+        first_seq = subsample[0][1]
+        oriented, lengths = _orient(subsample)
+        if not oriented:
+            jobs.append(ConsensusJob(names, result=first_seq))
+        elif len(oriented) <= 2:
+            jobs.append(ConsensusJob(names, result=_decode(oriented[0])))
+        elif max(len(c) for c in oriented) > MAX_GRAPH_LEN:
+            cons_str = star_consensus([_decode(c) for c in oriented])
+            jobs.append(ConsensusJob(
+                names, result=cons_str or _decode(oriented[0])))
+        else:
+            jobs.append(ConsensusJob(
+                names, oriented=oriented, params=_poa_params(cfg, lengths),
+                fallback=_decode(oriented[0])))
+    return jobs
+
+
+def resolve_consensus_jobs(jobs: Sequence[ConsensusJob]
+                           ) -> List[Tuple[str, List[str]]]:
+    """Device phase: run every pending graph-POA job, grouped by params
+    (the adaptive -S analogue can split the band), in batched dispatches
+    across whatever set of loci the jobs came from."""
+    import dataclasses
+    from mandalorion_tpu.poa.kernels import poa_consensus_batch
+    by_params: dict = {}
+    for i, job in enumerate(jobs):
+        if job.result is None:
+            key = dataclasses.astuple(job.params)
+            by_params.setdefault(key, []).append(i)
+    for ids in by_params.values():
+        params = jobs[ids[0]].params
+        consensi = poa_consensus_batch([jobs[i].oriented for i in ids],
+                                       params)
+        for i, cons in zip(ids, consensi):
+            jobs[i].result = (_decode(cons) if len(cons)
+                              else jobs[i].fallback)
+    return [(job.result, job.names) for job in jobs]
+
+
 def determine_consensus_batch(
     read_sets: Sequence[Sequence[Tuple[str, str]]],
     cfg: Optional[PoaConfig] = None,
@@ -120,46 +196,5 @@ def determine_consensus_batch(
     cfg = cfg or PoaConfig()
     if cfg.engine == "star" or len(read_sets) <= 1:
         return [determine_consensus(rs, cfg, rng) for rs in read_sets]
-    results: List[Optional[Tuple[str, List[str]]]] = [None] * len(read_sets)
-    batch_ids: List[int] = []
-    batch_seqs: List[List[np.ndarray]] = []
-    batch_params: Optional[PoaParams] = None
-    from mandalorion_tpu.poa.graph import MAX_GRAPH_LEN
-    from mandalorion_tpu.poa.star import star_consensus
-    for i, reads in enumerate(read_sets):
-        names = [name for name, _ in reads]
-        subsample = _subsample(reads, cfg, rng)  # rng order == sequential
-        first_seq = subsample[0][1]
-        oriented, lengths = _orient(subsample)
-        if not oriented:
-            results[i] = (first_seq, names)
-        elif len(oriented) <= 2:
-            results[i] = (_decode(oriented[0]), names)
-        elif max(len(c) for c in oriented) > MAX_GRAPH_LEN:
-            cons_str = star_consensus([_decode(c) for c in oriented])
-            results[i] = (cons_str or _decode(oriented[0]), names)
-        else:
-            params = _poa_params(cfg, lengths)
-            if batch_params is not None and params != batch_params:
-                # band differs (adaptive -S analogue): flush current batch
-                _flush_graph_batch(batch_ids, batch_seqs, batch_params,
-                                   read_sets, results)
-                batch_ids, batch_seqs = [], []
-            batch_params = params
-            batch_ids.append(i)
-            batch_seqs.append(oriented)
-    if batch_ids:
-        _flush_graph_batch(batch_ids, batch_seqs, batch_params,
-                           read_sets, results)
-    return results  # type: ignore[return-value]
-
-
-def _flush_graph_batch(batch_ids, batch_seqs, params, read_sets, results):
-    from mandalorion_tpu.poa.kernels import poa_consensus_batch
-    consensi = poa_consensus_batch(batch_seqs, params)
-    for i, oriented, cons in zip(batch_ids, batch_seqs, consensi):
-        names = [name for name, _ in read_sets[i]]
-        if len(cons) == 0:
-            results[i] = (_decode(oriented[0]), names)
-        else:
-            results[i] = (_decode(cons), names)
+    return resolve_consensus_jobs(prepare_consensus_jobs(read_sets, cfg,
+                                                         rng))

@@ -111,6 +111,14 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
 
     p_cap = preds_r.shape[1]
 
+    # q with a leading boundary slot and W trailing zeros so the per-row
+    # window read below is one contiguous dynamic slice (reads past qlen
+    # are band-masked); TPU gathers are serial, slices are vector loads
+    q_ext = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), q.astype(jnp.int32),
+         jnp.zeros(W, jnp.int32)])
+    neg_pad = jnp.full(W + 1, NEG, jnp.int32)
+
     def body(r, carry):
         score, d1, d2, op, op0, node0, orig1, orig2 = carry
         base_v = base_r[r - 1]
@@ -122,12 +130,17 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
         masked = (jabs < j0) | (jabs > j1)
 
         # query base consumed by diag at absolute column j is q[j-1]
-        qm1 = jnp.take(q, jnp.clip(jabs - 1, 0, q.shape[0] - 1))
+        qm1 = jax.lax.dynamic_slice(q_ext, (off,), (W,))
         sub = jnp.where(qm1 == base_v, match, -mismatch).astype(jnp.int32)
 
-        # predecessor gathers over the extended absolute range
+        # predecessor reads over the extended absolute range
         # [off-1, off+W-1] (W+1 wide: position e+1 is column jabs[e], the
-        # leading -1 column feeds the diagonal)
+        # leading -1 column feeds the diagonal). A predecessor row's
+        # window starts at off_p, so its stored lanes sit at a constant
+        # shift rel0 = off-1-off_p: one contiguous slice from a NEG-padded
+        # copy of the row (out-of-window lanes land in the padding and/or
+        # are masked by `ok`); for |rel0| beyond the pad the clamp engages
+        # but `ok` is then all-false, so values never leak
         eabs = (off - 1) + jnp.arange(W + 1, dtype=jnp.int32)
         best_prev = jnp.full(W + 1, NEG, jnp.int32)
         best_rank = jnp.full(W + 1, -2, jnp.int32)
@@ -139,16 +152,18 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
             off_p = _off_row(prc, n_nodes, qlen, eff_band, W)
             rel = eabs - off_p
             ok = (pr >= 0) & (rel >= 0) & (rel < W) & (eabs >= 0)
-            relc = jnp.clip(rel, 0, W - 1)
-            srow = jax.lax.dynamic_index_in_dim(score, prc, axis=0,
-                                                keepdims=False)
-            row_p = jnp.where(ok, jnp.take(srow, relc), NEG)
-            d1s = jax.lax.dynamic_index_in_dim(d1, prc, axis=0,
-                                               keepdims=False)
-            d1_p = jnp.where(ok, jnp.take(d1s, relc), NEG)
-            d2s = jax.lax.dynamic_index_in_dim(d2, prc, axis=0,
-                                               keepdims=False)
-            d2_p = jnp.where(ok, jnp.take(d2s, relc), NEG)
+            start = jnp.clip((off - 1 - off_p) + (W + 1), 0, 2 * W + 1)
+
+            def shifted(mat):
+                mrow = jax.lax.dynamic_index_in_dim(mat, prc, axis=0,
+                                                    keepdims=False)
+                padded = jnp.concatenate([neg_pad, mrow, neg_pad])
+                win = jax.lax.dynamic_slice(padded, (start,), (W + 1,))
+                return jnp.where(ok, win, NEG)
+
+            row_p = shifted(score)
+            d1_p = shifted(d1)
+            d2_p = shifted(d2)
             better = row_p > best_prev
             best_prev = jnp.where(better, row_p, best_prev)
             best_rank = jnp.where(better, pr, best_rank)
@@ -371,6 +386,8 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     assert len(graphs) == len(queries)
     if not graphs:
         return []
+    from mandalorion_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()  # POA kernel shapes persist across runs
     orders = [g.topo_order() for g in graphs]
     n_cap = _pow2_at_least(max(len(o) for o in orders))
     l_cap = _pow2_at_least(max(len(q) for q in queries))
@@ -400,12 +417,17 @@ def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
                      W, params, paths) -> None:
     """Dispatch one chunk of (graph, query) problems; write each problem's
     alignment path into paths[original_index]."""
-    base = np.zeros((len(batch), n_cap), np.int32)
-    preds = np.full((len(batch), n_cap, p_cap), -1, np.int32)
-    ends = np.zeros((len(batch), n_cap), bool)
-    nn = np.zeros(len(batch), np.int32)
-    qq = np.zeros((len(batch), l_cap), np.int32)
-    ql = np.zeros(len(batch), np.int32)
+    # pad the batch dim to a power-of-two bucket (floor 8) so the vmapped
+    # DP compiles for a bounded shape set instead of retracing every
+    # round as graphs finish; padding rows (n_nodes=0, qlen=0) terminate
+    # their traceback immediately and are never read back
+    Bp = _pow2_at_least(len(batch), floor=8)
+    base = np.zeros((Bp, n_cap), np.int32)
+    preds = np.full((Bp, n_cap, p_cap), -1, np.int32)
+    ends = np.zeros((Bp, n_cap), bool)
+    nn = np.zeros(Bp, np.int32)
+    qq = np.zeros((Bp, l_cap), np.int32)
+    ql = np.zeros(Bp, np.int32)
     for bi, gi in enumerate(batch):
         b, p, e, _ = graph_arrays(graphs[gi], n_cap, p_cap, orders[gi])
         base[bi], preds[bi], ends[bi] = b, p, e
