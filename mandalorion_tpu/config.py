@@ -81,11 +81,18 @@ class PoaConfig:
     gap_open2: int = 26
     gap_extend2: int = 1
     adaptive_band_threshold: int = 8000  # -S when median read length >= 8000
-    band_width: int = POA_BAND_DEFAULT  # adaptive band half width
+    band_width: int = POA_BAND_DEFAULT  # band half width (static + adaptive)
     max_reads: int = 100           # consensus subsample cap (`SDC.py:884-885`)
     seed: int = 0                  # our subsampling is seeded (reference: unseeded)
     engine: str = "star"           # 'star' (backbone+vote, fast path) or
-                                   # 'graph' (full partial-order alignment)
+                                   # 'graph' (full partial-order
+                                   # alignment, the abPOA analogue)
+    max_graph_len: int = 32768     # longest read the banded graph DP
+                                   # accepts; beyond it the
+                                   # overlength_fallback policy applies
+    overlength_fallback: str = "error"  # 'error' (abort loudly) or 'star'
+                                   # (explicit opt-in to the vote engine
+                                   # for >max_graph_len isoforms)
 
 
 @dataclass(frozen=True)

@@ -116,7 +116,14 @@ def sam_to_psl_line(fields, t_size: int, mando: bool = False) -> Optional[str]:
     return line
 
 
-_POOL_JOB = None  # (chrom_sizes, mando) inherited by fork workers
+_POOL_JOB = None  # (chrom_sizes, mando) set by _init_pool in each worker
+
+
+def _init_pool(chrom_sizes, mando) -> None:
+    """Pool initializer: works under fork AND spawn (spawn workers start
+    from a fresh interpreter, so module globals must be shipped here)."""
+    global _POOL_JOB
+    _POOL_JOB = (chrom_sizes, mando)
 
 
 def _convert_batch(lines) -> str:
@@ -156,8 +163,6 @@ def sam_to_psl(sam_path: str, psl_path: str, mando: bool = False,
         workers = max(1, min(threads, _os.cpu_count() or 1))
         if workers > 1:
             import multiprocessing as mp
-            global _POOL_JOB
-            _POOL_JOB = (chrom_sizes, mando)
 
             def batches():
                 buf = []
@@ -169,8 +174,15 @@ def sam_to_psl(sam_path: str, psl_path: str, mando: bool = False,
                 if buf:
                     yield buf
 
-            ctx = mp.get_context("fork")
-            with ctx.Pool(workers) as pool:
+            # fork only while single-threaded with no live JAX backend (a
+            # fork after the XLA thread pools start can deadlock the
+            # child, and Python 3.12 warns on any multi-threaded fork);
+            # otherwise spawn — the job state is tiny, so spawn's
+            # re-import cost amortizes over the 100k-line batches
+            from mandalorion_tpu.runtime import fork_ok
+            ctx = mp.get_context("fork" if fork_ok() else "spawn")
+            with ctx.Pool(workers, initializer=_init_pool,
+                          initargs=(chrom_sizes, mando)) as pool:
                 # imap preserves submission order: deterministic merge
                 for chunk in pool.imap(_convert_batch, batches()):
                     out.write(chunk)

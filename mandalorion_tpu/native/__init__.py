@@ -31,11 +31,14 @@ def load_native() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("MANDO_TPU_NO_NATIVE"):
         return None
-    src = os.path.join(os.path.dirname(__file__), "minimizers.cpp")
+    here = os.path.dirname(__file__)
+    srcs = [os.path.join(here, "minimizers.cpp"),
+            os.path.join(here, "poa.cpp")]
     so = os.path.join(_build_dir(), "libmando_native.so")
     try:
         if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+                or os.path.getmtime(so) < max(os.path.getmtime(s)
+                                              for s in srcs)):
             # build to a pid-unique temp + atomic rename: forked pipeline
             # workers may race to compile the same library
             tmp = f"{so}.{os.getpid()}.tmp"
@@ -43,8 +46,8 @@ def load_native() -> Optional[ctypes.CDLL]:
             # must round exactly like numpy's (no FMA contraction)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-shared", "-fPIC", "-o", tmp, src],
-                check=True, capture_output=True, timeout=120)
+                 "-shared", "-fPIC", "-o", tmp] + srcs,
+                check=True, capture_output=True, timeout=240)
             os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.minimizers_c.restype = ctypes.c_int64
@@ -124,6 +127,15 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
         lib.index_build_abort.restype = None
         lib.index_build_abort.argtypes = [ctypes.c_void_p]
+        lib.poa_consensus_c.restype = ctypes.c_int64
+        lib.poa_consensus_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64] + [
+            ctypes.c_int32] * 8 + [ctypes.c_void_p]
+        lib.poa_align_c.restype = ctypes.c_int64
+        lib.poa_align_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64] + [ctypes.c_int32] * 8 + [ctypes.c_void_p]
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:
@@ -516,3 +528,64 @@ def native_parse_cs(cs: str, genome_start: int):
     introns = {int(intron_idx[i]): motifs.raw[i * 4:i * 4 + 4].decode()
                for i in range(ni)}
     return status[:n], gp[:n], advances[:n].astype(bool), introns
+
+
+def native_poa_consensus(seqs, params) -> Optional[np.ndarray]:
+    """Graph-POA consensus of oriented code arrays via the C++ banded
+    engine (bit-identical to poa.graph.poa_consensus — the host fast path
+    of the graph consensus engine). Returns the consensus codes, or None
+    when the native library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    lens = np.array([len(s) for s in seqs], np.int64)
+    flat = (np.concatenate([np.ascontiguousarray(s, np.uint8)
+                            for s in seqs])
+            if len(seqs) else np.zeros(0, np.uint8))
+    out = np.empty(int(lens.sum()) + 1, np.uint8)
+    n = lib.poa_consensus_c(
+        flat.ctypes.data, lens.ctypes.data, len(seqs),
+        params.match, params.mismatch, params.gap_open, params.gap_extend,
+        params.gap_open2, params.gap_extend2, params.band,
+        1 if params.adaptive else 0, out.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native POA traceback lost (bug)")
+    return out[:n].copy()
+
+
+def native_poa_align(graph, q, params):
+    """One banded alignment of query codes vs a PoaGraph via C++;
+    returns the (qi, node|None) path exactly like PoaGraph.align, or None
+    when the library is unavailable. Parity-test entry (the production
+    path is native_poa_consensus, which keeps the graph in C++)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    order = graph.topo_order()
+    rank = {v: r for r, v in enumerate(order)}
+    n = len(order)
+    base_r = np.fromiter((graph.base[v] for v in order), np.int32, n)
+    preds_off = np.zeros(n + 1, np.int64)
+    flat: list = []
+    for r, v in enumerate(order):
+        ps = graph.preds[v]
+        if ps:
+            flat.extend(rank[u] + 1 for u in ps)
+        else:
+            flat.append(0)
+        preds_off[r + 1] = len(flat)
+    preds_flat = np.array(flat, np.int32)
+    is_end = np.fromiter((not graph.succs[v] for v in order), np.uint8, n)
+    qa = np.ascontiguousarray(q, np.uint8)
+    steps = np.empty((n + len(qa) + 2, 2), np.int32)
+    k = lib.poa_align_c(
+        base_r.ctypes.data, n, preds_flat.ctypes.data,
+        preds_off.ctypes.data, is_end.ctypes.data,
+        qa.ctypes.data, len(qa),
+        params.match, params.mismatch, params.gap_open, params.gap_extend,
+        params.gap_open2, params.gap_extend2, params.band,
+        1 if params.adaptive else 0, steps.ctypes.data)
+    if k < 0:
+        raise RuntimeError("native POA traceback lost (bug)")
+    return [(int(qi), order[rk] if rk >= 0 else None)
+            for qi, rk in steps[:k]]

@@ -83,18 +83,12 @@ def _pool_size(requested: int, n_jobs: int) -> int:
 
 
 def _fork_safe() -> bool:
-    """Fork pools are only safe before JAX initializes a backend and its
-    thread pools (merely importing jax — which this image's sitecustomize
-    does in every process — is fine). With live backends, run serially
-    instead of risking a forked deadlock."""
-    import sys
-    if "jax" not in sys.modules:
-        return True
-    try:
-        from jax._src import xla_bridge
-        return not xla_bridge._backends
-    except Exception:
-        return False
+    """Fork pools only while the process is single-threaded with no live
+    JAX backend (see runtime.fork_ok); otherwise run serially — the
+    workers here inherit big read-only state (the genome index) by
+    copy-on-write, which spawn cannot replicate cheaply."""
+    from mandalorion_tpu.runtime import fork_ok
+    return fork_ok()
 
 
 # ------------------------------------------------------------- module A

@@ -19,7 +19,7 @@ import numpy as np
 from mandalorion_tpu.align.encode import encode, revcomp_codes
 from mandalorion_tpu.align.pairwise import OrientationAligner
 from mandalorion_tpu.config import PoaConfig
-from mandalorion_tpu.poa.graph import PoaParams, poa_consensus
+from mandalorion_tpu.poa.graph import PoaParams
 
 from mandalorion_tpu.align.encode import decode as _decode
 
@@ -76,36 +76,47 @@ def determine_consensus(
             return first_seq, names
         return cons_str, names
 
+    # graph engine: the same batched-kernel path module D uses (the host
+    # PoaGraph.align stays the bit-identical oracle for tests)
+    jobs = _prepare_one(reads, cfg, subsample)
+    return resolve_consensus_jobs(jobs)[0]
+
+
+def _prepare_one(reads, cfg: PoaConfig,
+                 subsample: Sequence[Tuple[str, str]]) -> List["ConsensusJob"]:
+    """prepare_consensus_jobs for one already-subsampled isoform."""
+    names = [name for name, _ in reads]
+    first_seq = subsample[0][1]
     oriented, lengths = _orient(subsample)
-
     if not oriented:
-        return first_seq, names
+        return [ConsensusJob(names, result=first_seq)]
     if len(oriented) <= 2:
-        return _decode(oriented[0]), names
-
-    from mandalorion_tpu.poa.graph import MAX_GRAPH_LEN
-    if max(len(c) for c in oriented) > MAX_GRAPH_LEN:
-        # graph DP memory is O(nodes x len); fall back to the star engine
-        # for very long isoforms instead of aborting the locus
-        from mandalorion_tpu.poa.star import star_consensus
-        cons_str = star_consensus([_decode(c) for c in oriented])
-        return (cons_str or _decode(oriented[0])), names
-
-    params = _poa_params(cfg, lengths)
-    cons = poa_consensus(oriented, params)
-    if len(cons) == 0:
-        return _decode(oriented[0]), names  # abPOA empty-output fallback
-    return _decode(cons), names
+        return [ConsensusJob(names, result=_decode(oriented[0]))]
+    longest = max(len(c) for c in oriented)
+    if longest > cfg.max_graph_len:
+        if cfg.overlength_fallback == "star":
+            # explicit opt-in: vote-engine consensus for monster isoforms
+            from mandalorion_tpu.poa.star import star_consensus
+            cons_str = star_consensus([_decode(c) for c in oriented])
+            return [ConsensusJob(names,
+                                 result=cons_str or _decode(oriented[0]))]
+        raise ValueError(
+            f"isoform read of {longest} nt exceeds "
+            f"PoaConfig.max_graph_len={cfg.max_graph_len}; raise the cap "
+            "or set PoaConfig.overlength_fallback='star'")
+    return [ConsensusJob(names, oriented=oriented,
+                         params=_poa_params(cfg, lengths),
+                         fallback=_decode(oriented[0]))]
 
 
 def _poa_params(cfg: PoaConfig, lengths: Sequence[int]) -> PoaParams:
-    band = cfg.band_width
-    if float(np.median(lengths)) >= cfg.adaptive_band_threshold:
-        band = max(band, 256)  # abPOA -S analogue: wider adaptive band
+    # abPOA -S analogue (SDC.py:915-919): median length >= threshold turns
+    # on the score-following adaptive band with half-width band_width
+    adaptive = float(np.median(lengths)) >= cfg.adaptive_band_threshold
     return PoaParams(match=cfg.match, mismatch=cfg.mismatch,
                      gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                      gap_open2=cfg.gap_open2, gap_extend2=cfg.gap_extend2,
-                     band=band)
+                     band=cfg.band_width, adaptive=adaptive)
 
 
 @dataclass
@@ -135,38 +146,55 @@ def prepare_consensus_jobs(
     over-length star fallback)."""
     cfg = cfg or PoaConfig()
     jobs: List[ConsensusJob] = []
-    from mandalorion_tpu.poa.graph import MAX_GRAPH_LEN
-    from mandalorion_tpu.poa.star import star_consensus
     for reads in read_sets:
-        names = [name for name, _ in reads]
         if cfg.engine == "star":
-            cons, _names = determine_consensus(reads, cfg, rng)
+            cons, names = determine_consensus(reads, cfg, rng)
             jobs.append(ConsensusJob(names, result=cons))
             continue
         subsample = _subsample(reads, cfg, rng)
-        first_seq = subsample[0][1]
-        oriented, lengths = _orient(subsample)
-        if not oriented:
-            jobs.append(ConsensusJob(names, result=first_seq))
-        elif len(oriented) <= 2:
-            jobs.append(ConsensusJob(names, result=_decode(oriented[0])))
-        elif max(len(c) for c in oriented) > MAX_GRAPH_LEN:
-            cons_str = star_consensus([_decode(c) for c in oriented])
-            jobs.append(ConsensusJob(
-                names, result=cons_str or _decode(oriented[0])))
-        else:
-            jobs.append(ConsensusJob(
-                names, oriented=oriented, params=_poa_params(cfg, lengths),
-                fallback=_decode(oriented[0])))
+        jobs.extend(_prepare_one(reads, cfg, subsample))
     return jobs
 
 
-def resolve_consensus_jobs(jobs: Sequence[ConsensusJob]
+def _graph_backend() -> str:
+    """Execution backend for pending graph-POA jobs:
+    'device' — the batched XLA kernel (poa/kernels.py), used on TPU and
+               whenever a pipeline mesh is installed (the per-locus
+               isoform axis shards over it);
+    'native' — the C++ banded engine (native/poa.cpp), the host fast
+               path (bit-identical; tests/test_poa.py).
+    Both produce the same consensi; the numpy PoaGraph stays the oracle.
+    """
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh
+    if pipeline_mesh() is not None:
+        return "device"
+    import jax
+    try:
+        if jax.default_backend() == "tpu":
+            return "device"
+    except Exception:
+        pass
+    from mandalorion_tpu.native import load_native
+    return "native" if load_native() is not None else "device"
+
+
+def resolve_consensus_jobs(jobs: Sequence[ConsensusJob],
+                           backend: Optional[str] = None
                            ) -> List[Tuple[str, List[str]]]:
-    """Device phase: run every pending graph-POA job, grouped by params
-    (the adaptive -S analogue can split the band), in batched dispatches
-    across whatever set of loci the jobs came from."""
+    """Compute phase: run every pending graph-POA job, grouped by params
+    (the adaptive -S analogue can split the band), through the selected
+    backend — batched device dispatches across whatever set of loci the
+    jobs came from, or the native C++ engine on the host."""
     import dataclasses
+    backend = backend or _graph_backend()
+    if backend == "native":
+        from mandalorion_tpu.native import native_poa_consensus
+        for job in jobs:
+            if job.result is None:
+                cons = native_poa_consensus(job.oriented, job.params)
+                job.result = (_decode(cons) if len(cons)
+                              else job.fallback)
+        return [(job.result, job.names) for job in jobs]
     from mandalorion_tpu.poa.kernels import poa_consensus_batch
     by_params: dict = {}
     for i, job in enumerate(jobs):

@@ -43,6 +43,13 @@ class PoaParams:
     # query band half-width around the node-rank diagonal; single default
     # shared with PoaConfig.band_width (config.POA_BAND_DEFAULT)
     band: int = POA_BAND_DEFAULT
+    # abPOA -S analogue (SDC.py:915-919 adds -S for >=8 kb inserts):
+    # score-following adaptive band — each row's band centers one past the
+    # first-max column of its best predecessor row instead of the static
+    # rank diagonal, so the half-width stays `band` regardless of how far
+    # the graph outgrows the query (the static mode must widen to
+    # |nodes - qlen| + 16 to cover global drift)
+    adaptive: bool = False
 
 
 class PoaGraph:
@@ -109,12 +116,16 @@ class PoaGraph:
         Tie-break conventions (pinned; the device kernel mirrors them):
         H state order diag >= D1 >= D2, insertions replace on strict >
         (I1 before I2); D open-from-H wins ties over extend; first max
-        over predecessors in declared order; end rank = first max.
+        over predecessors in declared order; end rank = first max. With
+        params.adaptive, the band center is best_col[best pred] + 1
+        (best_col = first-max column of a stored H row, 0 for an all-NEG
+        row) with half-width exactly params.band.
         """
         order = self.topo_order()
         rank = {v: r for r, v in enumerate(order)}
         n, L = len(order), len(q)
-        band = max(params.band, abs(n - L) + 16)
+        band = (params.band if params.adaptive
+                else max(params.band, abs(n - L) + 16))
         jidx = np.arange(L + 1, dtype=np.int64)
         o1, e1 = params.gap_open, params.gap_extend
         o2, e2 = params.gap_open2, params.gap_extend2
@@ -132,6 +143,9 @@ class PoaGraph:
         score[0, min(L, band) + 1:] = NEG   # row 0 is band-local too
         op[0, :] = 1
         orig1[0, :] = 0
+        # first-max column per stored H row (adaptive band centers); an
+        # all-NEG row pins to 0 (the kernel mirrors this exactly)
+        best_col = np.zeros(n + 1, np.int64)
 
         for r, v in enumerate(order, start=1):
             pred_ranks = [rank[u] + 1 for u in self.preds[v]]
@@ -143,7 +157,10 @@ class PoaGraph:
             # band-local DP (true banded: ALL states exist only inside the
             # per-row band, like abPOA's banded SIMD rows — this is what
             # lets the device kernel store only the band window)
-            center = r * L // max(n, 1)
+            if params.adaptive:
+                center = int(max(best_col[pr] for pr in pred_ranks)) + 1
+            else:
+                center = r * L // max(n, 1)
             j0 = max(0, center - band)
             j1 = min(L, center + band)
             masked = (jidx < j0) | (jidx > j1)
@@ -203,6 +220,8 @@ class PoaGraph:
             # band mask on the stored H row
             score[r] = np.where(masked, NEG, fin)
             op[r] = fino
+            m = score[r].max()
+            best_col[r] = 0 if m <= NEG else int(np.argmax(score[r]))
 
         # best end: first max over rows of nodes with no successors at L
         end_ranks = [rank[v] + 1 for v in order if not self.succs[v]]

@@ -85,16 +85,20 @@ def _off_row(t, n_nodes, qlen, eff_band, W: int):
 
 def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
                 match: int, mismatch: int, o1: int, e1: int,
-                o2: int, e2: int, band: int, W: int):
+                o2: int, e2: int, band: int, W: int,
+                adaptive: bool = False):
     """One (graph, query) convex-affine DP in banded storage: matrix row
-    r holds only the W-wide window starting at _off_row(r) (absolute
-    column j lives at stored column j - off). Returns the windowed state
-    matrices (score H, d1, d2, op, op0, node0, orig1, orig2), each
-    (N+1, W) int32. Vmapped over the batch axis by the caller."""
+    r holds only the W-wide window starting at offs[r] (absolute column j
+    lives at stored column j - offs[r]; static mode: _off_row's diagonal
+    formula, adaptive mode: the score-following -S band, bit-identical to
+    PoaGraph.align). Returns the windowed state matrices (score H, d1,
+    d2, op, op0, node0, orig1, orig2), each (N+1, W) int32, plus the
+    per-row window offsets. Vmapped over the batch axis by the caller."""
     n_cap = base_r.shape[0]
     cidx = jnp.arange(W, dtype=jnp.int32)
 
-    eff_band = jnp.maximum(band, jnp.abs(n_nodes - qlen) + 16)
+    eff_band = (jnp.int32(band) if adaptive
+                else jnp.maximum(band, jnp.abs(n_nodes - qlen) + 16))
 
     # row 0 (off = 0): convex insertion boundary, band-local
     g0 = -jnp.minimum(o1 + e1 * cidx, o2 + e2 * cidx)
@@ -108,6 +112,8 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     node0m = jnp.full((n_cap + 1, W), -2, jnp.int32)
     orig1m = jnp.zeros((n_cap + 1, W), jnp.int32)
     orig2m = jnp.zeros((n_cap + 1, W), jnp.int32)
+    offs0 = jnp.zeros(n_cap + 1, jnp.int32)
+    bestc0 = jnp.zeros(n_cap + 1, jnp.int32)  # first-max col per H row
 
     p_cap = preds_r.shape[1]
 
@@ -120,11 +126,23 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     neg_pad = jnp.full(W + 1, NEG, jnp.int32)
 
     def body(r, carry):
-        score, d1, d2, op, op0, node0, orig1, orig2 = carry
+        (score, d1, d2, op, op0, node0, orig1, orig2, offs,
+         bestc) = carry
         base_v = base_r[r - 1]
-        off = _off_row(r, n_nodes, qlen, eff_band, W)
+        if adaptive:
+            # -S band: one past the first-max column of the best pred row
+            c = jnp.int32(NEG)
+            for p in range(p_cap):
+                pr = preds_r[r - 1, p]
+                prc = jnp.maximum(pr, 0)
+                c = jnp.maximum(c, jnp.where(pr >= 0, bestc[prc], NEG))
+            center = c + 1
+        else:
+            center = r * qlen // jnp.maximum(n_nodes, 1)
+        off = jnp.clip(center - eff_band, 0,
+                       jnp.maximum(0, qlen + 1 - W))
+        offs = offs.at[r].set(off)
         jabs = off + cidx                    # absolute columns
-        center = r * qlen // jnp.maximum(n_nodes, 1)
         j0 = jnp.maximum(0, center - eff_band)
         j1 = jnp.minimum(qlen, center + eff_band)
         masked = (jabs < j0) | (jabs > j1)
@@ -149,7 +167,7 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
         for p in range(p_cap):
             pr = preds_r[r - 1, p]
             prc = jnp.maximum(pr, 0)
-            off_p = _off_row(prc, n_nodes, qlen, eff_band, W)
+            off_p = offs[prc]
             rel = eabs - off_p
             ok = (pr >= 0) & (rel >= 0) & (rel < W) & (eabs >= 0)
             start = jnp.clip((off - 1 - off_p) + (W + 1), 0, 2 * W + 1)
@@ -226,42 +244,49 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
                                              (r, 0))
         orig2 = jax.lax.dynamic_update_slice(orig2, org_out[1][None],
                                              (r, 0))
-        return score, d1, d2, op, op0, node0, orig1, orig2
+        # first-max column of the stored row (all-NEG rows pin to 0),
+        # matching PoaGraph.align's best_col rule for the adaptive band
+        row_best = jnp.max(fin)
+        bcol = jnp.where(row_best <= NEG, 0,
+                         off + jnp.argmax(fin).astype(jnp.int32))
+        bestc = bestc.at[r].set(bcol)
+        return (score, d1, d2, op, op0, node0, orig1, orig2, offs, bestc)
 
     # n_hi: the batch's actual max node count (traced scalar — rows past
     # any item's own n are computed but never read; rows past n_hi are
     # skipped entirely, which matters when padding rounds n_cap up)
-    return jax.lax.fori_loop(
+    out = jax.lax.fori_loop(
         1, n_hi + 1, body,
-        (score0, d1m, d2m, op_m, op0m, node0m, orig1m, orig2m))
+        (score0, d1m, d2m, op_m, op0m, node0m, orig1m, orig2m, offs0,
+         bestc0))
+    return out[:8] + (out[8],)  # state matrices + per-row offsets
 
 
 def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
                      match: int, mismatch: int, o1: int, e1: int,
-                     o2: int, e2: int, band: int, W: int):
+                     o2: int, e2: int, band: int, W: int,
+                     adaptive: bool = False):
     """DP + on-device traceback for one problem. The windowed state
     matrices (O(nodes x W)) never leave the device — only the path steps
     (O(nodes + query) ints) are returned:
     (steps[k] = (qi, rank), n_steps), written in reverse order.
     qi == -1: node deleted; rank == -1: query base inserted."""
-    score, d1, d2, op, op0, node0, orig1, orig2 = _align_rows(
+    score, d1, d2, op, op0, node0, orig1, orig2, offs = _align_rows(
         base_r, preds_r, n_nodes, q, qlen, n_hi,
-        match, mismatch, o1, e1, o2, e2, band, W)
+        match, mismatch, o1, e1, o2, e2, band, W, adaptive)
     n_cap = base_r.shape[0]
     l_cap = q.shape[0]
-    eff_band = jnp.maximum(band, jnp.abs(n_nodes - qlen) + 16)
 
     def cell(mat, t, j, fill=NEG):
         """mat value at matrix row t, ABSOLUTE column j (NEG-fill outside
         the stored window — exactly the band-local masked value)."""
-        rel = j - _off_row(t, n_nodes, qlen, eff_band, W)
+        rel = j - offs[t]
         ok = (rel >= 0) & (rel < W)
         return jnp.where(ok, mat[t, jnp.clip(rel, 0, W - 1)], fill)
 
     # end rank: first max of score[r, qlen] over real end ranks — argmax's
     # first-occurrence rule IS PoaGraph.align's ascending-order tie-break
-    rows_t = jnp.arange(n_cap + 1, dtype=jnp.int32)
-    rel = qlen - _off_row(rows_t, n_nodes, qlen, eff_band, W)
+    rel = qlen - offs
     col = jnp.take_along_axis(
         score, jnp.clip(rel, 0, W - 1)[:, None], axis=1)[:, 0]
     col = jnp.where((rel >= 0) & (rel < W), col, NEG)
@@ -361,19 +386,23 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
 
 _align_traceback_batch = jax.jit(
     jax.vmap(_align_traceback,
-             in_axes=(0, 0, 0, 0, 0, 0) + (None,) * 9),
+             in_axes=(0, 0, 0, 0, 0, 0) + (None,) * 10),
     static_argnames=("match", "mismatch", "o1", "e1", "o2", "e2", "band",
-                     "W"))
+                     "W", "adaptive"))
 
 
-def _item_width(n_nodes: int, qlen: int, band: int, l_cap: int) -> int:
+def _item_width(n_nodes: int, qlen: int, band: int, l_cap: int,
+                adaptive: bool = False) -> int:
     """Banded-storage window width for one item: wide enough that its
-    per-row band [j0, j1] (half-width eff_band, see _off_row) fits, always
-    rounded up to the 128-lane TPU tile (including the capped full-width
-    case — lanes beyond qlen are band-masked NEG, so over-width is safe)."""
-    eff = max(band, abs(n_nodes - qlen) + 16)
+    per-row band [j0, j1] fits (adaptive: half-width exactly `band`;
+    static: eff_band widens with |nodes - qlen| drift, see _align_rows),
+    rounded up to a power of two of the 128-lane tile (floor 256) —
+    coarse quantization keeps the compiled-shape set small (over-width is
+    safe: lanes beyond the band are NEG-masked)."""
+    eff = band if adaptive else max(band, abs(n_nodes - qlen) + 16)
     need = min(qlen + 1, 2 * eff + 2)
-    return -(-min(l_cap + 1, need) // 128) * 128
+    need = min(-(-(l_cap + 1) // 128) * 128, need)
+    return _pow2_at_least(need, floor=256)
 
 
 def align_graph_batch(graphs: Sequence[PoaGraph],
@@ -399,7 +428,8 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     # batch; W values are 128-multiples, bounding recompiles
     by_width: dict = {}
     for i, (order, q) in enumerate(zip(orders, queries)):
-        w = _item_width(len(order), len(q), params.band, l_cap)
+        w = _item_width(len(order), len(q), params.band, l_cap,
+                        params.adaptive)
         by_width.setdefault(w, []).append(i)
     paths: List[Optional[List[Tuple[int, Optional[int]]]]] = (
         [None] * len(graphs))
@@ -447,14 +477,14 @@ def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
         buf, ks = _align_traceback_batch(
             *args, jnp.int32(int(nn.max())),
             pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-            pp.gap_open2, pp.gap_extend2, pp.band, W)
+            pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
         buf = np.asarray(buf)[:b]
         ks = np.asarray(ks)[:b]
     else:
         buf, ks = _align_traceback_batch(
             base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
             pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-            pp.gap_open2, pp.gap_extend2, pp.band, W)
+            pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
         buf = np.asarray(buf)
         ks = np.asarray(ks)
     for bi, gi in enumerate(batch):

@@ -42,3 +42,24 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return None
     _ENABLED = True
     return cache_dir
+
+
+def fork_ok() -> bool:
+    """True when forking a worker pool is safe: no live JAX backend (its
+    XLA thread pools deadlock in forked children) and no other threads in
+    this process (Python 3.12 warns on any multi-threaded fork). Merely
+    having imported jax — which this image's sitecustomize does in every
+    process — is fine. Pool sites use fork when this holds (cheap
+    copy-on-write inheritance of big read-only state like the genome
+    index) and fall back to spawn or serial otherwise."""
+    import sys
+    import threading
+    if threading.active_count() > 1:
+        return False
+    if "jax" not in sys.modules:
+        return True
+    try:
+        from jax._src import xla_bridge
+        return not xla_bridge._backends
+    except Exception:
+        return False
