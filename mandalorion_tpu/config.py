@@ -84,9 +84,11 @@ class PoaConfig:
     band_width: int = POA_BAND_DEFAULT  # band half width (static + adaptive)
     max_reads: int = 100           # consensus subsample cap (`SDC.py:884-885`)
     seed: int = 0                  # our subsampling is seeded (reference: unseeded)
-    engine: str = "star"           # 'star' (backbone+vote, fast path) or
-                                   # 'graph' (full partial-order
-                                   # alignment, the abPOA analogue)
+    engine: str = "graph"          # 'graph' (partial-order alignment,
+                                   # the abPOA analogue and production
+                                   # default, SDC.py:915-919) or 'star'
+                                   # (backbone+vote fast path, different
+                                   # output by design)
     max_graph_len: int = 32768     # longest read the banded graph DP
                                    # accepts; beyond it the
                                    # overlength_fallback policy applies
@@ -172,5 +174,5 @@ def config_from_args(args) -> PipelineConfig:
             dp_backend=str(getattr(args, "dp_backend", "numpy")),
             chain_backend=str(getattr(args, "chain_backend", "native"))),
         poa=PoaConfig(
-            engine=str(getattr(args, "consensus_engine", "star"))),
+            engine=str(getattr(args, "consensus_engine", "graph"))),
     )

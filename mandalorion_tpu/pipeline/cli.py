@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["native", "device"],
                    help="chain DP backend: native host path or one "
                         "batched jit chain per read batch")
-    p.add_argument("--consensus_engine", default="star",
+    p.add_argument("--consensus_engine", default="graph",
                    choices=["star", "graph"],
                    help="isoform consensus engine: star (backbone+votes, "
                         "fast path) or graph (full partial-order "

@@ -158,22 +158,19 @@ def prepare_consensus_jobs(
 
 def _graph_backend() -> str:
     """Execution backend for pending graph-POA jobs:
-    'device' — the batched XLA kernel (poa/kernels.py), used on TPU and
-               whenever a pipeline mesh is installed (the per-locus
-               isoform axis shards over it);
-    'native' — the C++ banded engine (native/poa.cpp), the host fast
-               path (bit-identical; tests/test_poa.py).
+    'device' — the batched XLA kernel (poa/kernels.py), used whenever a
+               pipeline mesh is installed (the per-locus isoform axis
+               shards over it) or when no native library exists;
+    'native' — the C++ banded engine (native/poa.cpp), the production
+               host default (bit-identical; tests/test_poa.py). It
+               currently beats the device kernel's measured throughput
+               even on a real chip, and keeps the chip free for the
+               aligner DP — revisit once the Pallas POA kernel lands.
     Both produce the same consensi; the numpy PoaGraph stays the oracle.
     """
     from mandalorion_tpu.parallel.mesh import pipeline_mesh
     if pipeline_mesh() is not None:
         return "device"
-    import jax
-    try:
-        if jax.default_backend() == "tpu":
-            return "device"
-    except Exception:
-        pass
     from mandalorion_tpu.native import load_native
     return "native" if load_native() is not None else "device"
 
