@@ -19,13 +19,22 @@ import numpy as np
 @dataclass
 class Segment:
     """Maximal same-diagonal run: query [q_start, q_end) matches target
-    [t_start, t_end) with t - q constant (substitutions allowed)."""
+    [t_start, t_end) with t - q constant (substitutions allowed).
+
+    `cov` is the number of bases actually covered by the union of the
+    segment's k-mer anchors (0 = unknown, treated as the full span). The
+    chain DP scores cov, not span (minimap2 §2.1 sums anchor
+    contributions): a merge-gap-bridged segment over diverged sequence —
+    e.g. a processed-pseudogene decoy — must not score the bases its
+    anchors never matched (simulate.make_adversarial_dataset catches
+    exactly this)."""
 
     q_start: int
     q_end: int
     t_start: int
     t_end: int
     n_anchors: int = 1
+    cov: int = 0
 
     @property
     def diag(self) -> int:
@@ -34,6 +43,12 @@ class Segment:
     @property
     def length(self) -> int:
         return self.q_end - self.q_start
+
+    @property
+    def score_len(self) -> int:
+        """Anchor-covered length used by the chain score (span when the
+        anchor union is unknown)."""
+        return self.cov if self.cov > 0 else self.q_end - self.q_start
 
 
 def collapse_anchors(q_pos: np.ndarray, t_pos: np.ndarray, k: int,
@@ -47,15 +62,18 @@ def collapse_anchors(q_pos: np.ndarray, t_pos: np.ndarray, k: int,
     d, q, t = diag[order], q_pos[order], t_pos[order]
     new_seg = np.ones(len(d), bool)
     new_seg[1:] = (d[1:] != d[:-1]) | (t[1:] - t[:-1] > merge_gap + k)
-    seg_ids = np.cumsum(new_seg) - 1
     segments: List[Segment] = []
     starts = np.nonzero(new_seg)[0]
     ends = np.append(starts[1:], len(d))
+    # anchor-union coverage: k for the first anchor, min(k, dt) for each
+    # following anchor on the same diagonal
+    dt_cov = np.minimum(np.diff(t, prepend=t[:1]), k)
     for s, e in zip(starts, ends):
+        cov = int(k + dt_cov[s + 1:e].sum())
         segments.append(Segment(
             q_start=int(q[s]), q_end=int(q[e - 1]) + k,
             t_start=int(t[s]), t_end=int(t[e - 1]) + k,
-            n_anchors=int(e - s)))
+            n_anchors=int(e - s), cov=cov))
     return segments
 
 
@@ -104,6 +122,9 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
     ts = np.array([s.t_start for s in segments])
     te = np.array([s.t_end for s in segments])
     lens = (qe - qs).astype(np.float32)  # float32: matches chain_kernel
+    # score term = anchor-covered length (see Segment.cov); geometry
+    # (validity, overlaps) stays span-based
+    covs = np.array([s.score_len for s in segments]).astype(np.float32)
 
     # precompute the full (i, j) transition matrix in one shot; the
     # sequential DP loop then reduces to one masked argmax per row.
@@ -132,12 +153,12 @@ def chain_segments(segments: List[Segment], *, min_intron: int,
         np.float32(indel_open) + np.float32(indel_scale) * diff32,
     ).astype(np.float32)
 
-    score = (lens * match).astype(np.float32)
+    score = (covs * match).astype(np.float32)
     parent = np.full(n, -1, np.int64)
     neg_inf = np.float32(-np.inf)
     for i in range(1, n):
-        # same association as chain_kernel: ((score + len*m) - cost) - o*m
-        cand = (score[:i] + np.float32(lens[i] * match)) - cost[i, :i]             - overlap[i, :i] * np.float32(match)
+        # same association as chain_kernel: ((score + cov*m) - cost) - o*m
+        cand = (score[:i] + np.float32(covs[i] * match)) - cost[i, :i]             - overlap[i, :i] * np.float32(match)
         cand = np.where(valid[i, :i], cand, neg_inf)
         j = int(np.argmax(cand))
         if cand[j] > score[i]:

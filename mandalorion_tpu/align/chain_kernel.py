@@ -30,13 +30,15 @@ MAX_SEG = 512  # matches chain_segments' cap
 def _chain_fn(min_intron: int, max_intron: int, match: int,
               intron_penalty: float, indel_open: float, indel_scale: float,
               max_seg: int):
-    def one(qs, qe, ts, te, n_seg):
+    def one(qs, qe, ts, te, cov, n_seg):
         """Positions are int32 (per-read offsets; coordinates normalized
-        host-side so spans fit int32 exactly); scores are float32."""
+        host-side so spans fit int32 exactly); scores are float32. The
+        score term uses cov (anchor-covered length, Segment.score_len);
+        geometry stays span-based — mirrors chain.chain_segments."""
         lens_i = qe - qs
-        lens = lens_i.astype(jnp.float32)
+        covf = cov.astype(jnp.float32)
         valid_seg = jnp.arange(max_seg) < n_seg
-        score0 = jnp.where(valid_seg, lens * match, NEG)
+        score0 = jnp.where(valid_seg, covf * match, NEG)
 
         def step(carry, i):
             score, parent = carry
@@ -60,7 +62,7 @@ def _chain_fn(min_intron: int, max_intron: int, match: int,
                 is_intron,
                 intron_penalty + 0.01 * intron_e.astype(jnp.float32),
                 indel_open + indel_scale * diff)
-            cand = score + lens[i] * match - cost - overlap * match
+            cand = score + covf[i] * match - cost - overlap * match
             cand = jnp.where(valid, cand, -jnp.inf)
             j = jnp.argmax(cand)
             better = (cand[j] > score[i]) & valid_seg[i]
@@ -106,6 +108,7 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
     qe = np.zeros((Bp, MAX_SEG), np.int32)
     ts = np.zeros((Bp, MAX_SEG), np.int32)
     te = np.zeros((Bp, MAX_SEG), np.int32)
+    cov = np.zeros((Bp, MAX_SEG), np.int32)
     n_seg = np.zeros(Bp, np.int32)
     for b, segs in enumerate(prepped):
         n_seg[b] = len(segs)
@@ -114,6 +117,7 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
             qs[b, i], qe[b, i] = s.q_start, s.q_end
             ts[b, i] = s.t_start - t_base
             te[b, i] = s.t_end - t_base
+            cov[b, i] = s.score_len
 
     fn = _chain_fn(min_intron, max_intron, match, intron_penalty,
                    indel_open, indel_scale, MAX_SEG)
@@ -125,7 +129,7 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
         # with zero cross-shard traffic). Padding rows have n_seg=0 and
         # are sliced off below — per-candidate results are identical to
         # the single-device dispatch.
-        args, _b = shard_batch(mesh, [qs, qe, ts, te, n_seg])
+        args, _b = shard_batch(mesh, [qs, qe, ts, te, cov, n_seg])
         score, parent, best = fn(*args)
         score = np.asarray(score)[:B]
         parent = np.asarray(parent)[:B]
@@ -133,7 +137,7 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
     else:
         score, parent, best = fn(jnp.asarray(qs), jnp.asarray(qe),
                                  jnp.asarray(ts), jnp.asarray(te),
-                                 jnp.asarray(n_seg))
+                                 jnp.asarray(cov), jnp.asarray(n_seg))
         score = np.asarray(score)
         parent = np.asarray(parent)
         best = np.asarray(best)

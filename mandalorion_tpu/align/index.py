@@ -119,7 +119,7 @@ class GenomeIndex:
             self.sorted_positions, self.chrom_offsets)
         if res is None:
             return None
-        chrom, qs, qe, ts, te, na = res
+        chrom, qs, qe, ts, te, na, cov = res
         out = []
         i = 0
         n = len(chrom)
@@ -128,7 +128,7 @@ class GenomeIndex:
             segs = []
             while i < n and chrom[i] == c:
                 segs.append(Segment(int(qs[i]), int(qe[i]), int(ts[i]),
-                                    int(te[i]), int(na[i])))
+                                    int(te[i]), int(na[i]), int(cov[i])))
                 i += 1
             out.append((int(c), segs))
         return out

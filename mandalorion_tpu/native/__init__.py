@@ -68,7 +68,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int64] + [ctypes.c_void_p] * 6
+            ctypes.c_int64] + [ctypes.c_void_p] * 7
         lib.solve_dp_batch_c.restype = ctypes.c_int64
         lib.solve_dp_batch_c.argtypes = [ctypes.c_void_p] * 5 + [
             ctypes.c_int64] + [ctypes.c_int32] * 6 + [
@@ -197,7 +197,7 @@ def native_build_index(codes: np.ndarray, chrom_starts: np.ndarray,
 
 def _make_seed_bufs(cap: int):
     return (np.empty(cap, np.int32),) + tuple(
-        np.empty(cap, np.int64) for _ in range(5))
+        np.empty(cap, np.int64) for _ in range(6))
 
 
 _SEED_BUFS = _make_seed_bufs(4096)
@@ -210,7 +210,7 @@ def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
                          chrom_offsets: np.ndarray):
     """Fused minimizers -> lookup -> anchor collapse for one read
     orientation. Returns (chrom_ids, q_starts, q_ends, t_starts, t_ends,
-    n_anchors) arrays sorted by (chrom, diag, t), or None when the native
+    n_anchors, covs) arrays sorted by (chrom, diag, t), or None when the native
     library is unavailable. The returned arrays are views into reused
     buffers — consume (or copy) them before the next call."""
     lib = load_native()
@@ -220,7 +220,7 @@ def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
     pos_is_u32 = 1 if sorted_positions.dtype == np.uint32 else 0
     global _SEED_BUFS
     while True:
-        chrom, qs, qe, ts, te, na = _SEED_BUFS
+        chrom, qs, qe, ts, te, na, cov = _SEED_BUFS
         cap = len(chrom)
         n = lib.seed_segments_c(
             codes.ctypes.data, len(codes), k, w, max_occ, merge_gap,
@@ -228,10 +228,12 @@ def native_seed_segments(codes: np.ndarray, k: int, w: int, max_occ: int,
             sorted_positions.ctypes.data, pos_is_u32,
             chrom_offsets.ctypes.data, len(chrom_offsets), cap,
             chrom.ctypes.data, qs.ctypes.data, qe.ctypes.data,
-            ts.ctypes.data, te.ctypes.data, na.ctypes.data)
+            ts.ctypes.data, te.ctypes.data, na.ctypes.data,
+            cov.ctypes.data)
         if n >= 0:
             # views into reused buffers: valid only until the next call
-            return (chrom[:n], qs[:n], qe[:n], ts[:n], te[:n], na[:n])
+            return (chrom[:n], qs[:n], qe[:n], ts[:n], te[:n], na[:n],
+                    cov[:n])
         _SEED_BUFS = _make_seed_bufs(-n)
 
 

@@ -130,7 +130,7 @@ extern "C" {
 //
 // Returns the segment count written, or -needed if cap is too small
 // (caller re-invokes with a larger cap).
-struct Seg { int32_t chrom; int64_t qs, qe, ts, te, na; };
+struct Seg { int32_t chrom; int64_t qs, qe, ts, te, na, cov; };
 
 // minimizers -> bucketed lookup -> anchor expansion -> diagonal collapse.
 // Shared by seed_segments_c and seed_chain_c; output sorted by
@@ -243,9 +243,16 @@ static void build_segments(
 
     int64_t seg_start = 0;
     auto flush = [&](int64_t s, int64_t e) {
+        // anchor-union coverage: k for the first anchor, min(k, dt) for
+        // each following same-diagonal anchor (Segment.cov in chain.py)
+        int64_t cov = k;
+        for (int64_t i = s + 1; i < e; i++) {
+            int64_t dt = anchors[i].t - anchors[i - 1].t;
+            cov += dt < k ? dt : k;
+        }
         out.push_back({anchors[s].chrom, anchors[s].q,
                        anchors[e - 1].q + k, anchors[s].t,
-                       anchors[e - 1].t + k, e - s});
+                       anchors[e - 1].t + k, e - s, cov});
     };
     for (size_t i = 1; i < anchors.size(); i++) {
         const Anchor &p = anchors[i - 1], &c = anchors[i];
@@ -266,7 +273,8 @@ int64_t seed_segments_c(
     const void* sorted_positions, int32_t pos_is_u32,
     const int64_t* chrom_offsets, int64_t n_chroms,
     int64_t cap, int32_t* out_chrom, int64_t* out_qs, int64_t* out_qe,
-    int64_t* out_ts, int64_t* out_te, int64_t* out_nanchor) {
+    int64_t* out_ts, int64_t* out_te, int64_t* out_nanchor,
+    int64_t* out_cov) {
     std::vector<Seg> segs;
     build_segments(codes, n, k, w, max_occ, merge_gap, sorted_hashes,
                    bucket_lo, bucket_bits, sorted_positions, pos_is_u32,
@@ -280,6 +288,7 @@ int64_t seed_segments_c(
         out_ts[i] = segs[i].ts;
         out_te[i] = segs[i].te;
         out_nanchor[i] = segs[i].na;
+        out_cov[i] = segs[i].cov;
     }
     return count;
 }
@@ -342,14 +351,17 @@ static int64_t chain_one(
     int64_t n = (int64_t)segs.size();
     std::vector<float> score(n);
     std::vector<int64_t> parent(n, -1);
-    std::vector<float> lens(n);
+    std::vector<float> covs(n);
     for (int64_t i = 0; i < n; i++) {
-        lens[i] = (float)(segs[i].qe - segs[i].qs);
-        score[i] = lens[i] * (float)match;
+        // score term = anchor-covered length (cov), span when unknown;
+        // geometry below stays span-based — mirrors chain.chain_segments
+        covs[i] = (float)(segs[i].cov > 0 ? segs[i].cov
+                                          : segs[i].qe - segs[i].qs);
+        score[i] = covs[i] * (float)match;
     }
     const float NEGINF = -std::numeric_limits<float>::infinity();
     for (int64_t i = 1; i < n; i++) {
-        float lm = (float)(lens[i] * (float)match);
+        float lm = (float)(covs[i] * (float)match);
         float best_cand = NEGINF;
         int64_t best_j = -1;
         for (int64_t j = 0; j < i; j++) {
