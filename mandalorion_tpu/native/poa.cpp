@@ -198,67 +198,102 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
         int64_t j0 = std::max<int64_t>(0, center - eff);
         int64_t j1 = std::min<int64_t>(L, center + eff);
 
+        // in-band stored-column range [cb0, cb1] (range fills replace
+        // per-lane band masks; outside it every value is NEG by the
+        // band-local semantics)
+        int32_t cb0 = (int32_t)std::min<int64_t>(
+            std::max<int64_t>(0, j0 - off), W);
+        int32_t cb1 = (int32_t)std::min<int64_t>(W - 1, j1 - off);
+        if (cb1 < cb0 - 1) cb1 = cb0 - 1;  // empty band: pure fills
+
         // predecessor combine over the extended range [off-1, off+W-1]
-        // (index e: absolute column off-1+e; e-th slot feeds the diagonal
-        // of stored column e-1 and the vertical of stored column e... the
-        // +1-wide read exactly mirrors the kernel's eabs window)
+        // (index e: absolute column off-1+e; slot e feeds the diagonal of
+        // stored column e and the vertical of stored column e-1 — the
+        // +1-wide read exactly mirrors the kernel's eabs window). Split
+        // into branchless vectorizable passes per predecessor.
         std::fill(best_prev.begin(), best_prev.end(), NEG);
         std::fill(best_rank.begin(), best_rank.end(), -2);
         std::fill(d1_row.begin(), d1_row.end(), NEG);
         std::fill(d2_row.begin(), d2_row.end(), NEG);
+        const int32_t oe1 = pp.o1 + pp.e1, oe2 = pp.o2 + pp.e2;
+        const int32_t ge1 = pp.e1, ge2 = pp.e2;
         for (int32_t pr : pr_buf) {
-            int64_t off_p = st.offs[pr];
-            const int32_t* srow = st.score.data() + (int64_t)pr * W;
-            const int32_t* d1p = st.d1.data() + (int64_t)pr * W;
-            const int32_t* d2p = st.d2.data() + (int64_t)pr * W;
+            int32_t off_p = st.offs[pr];
+            const int32_t* __restrict srow =
+                st.score.data() + (int64_t)pr * W;
+            const int32_t* __restrict d1p = st.d1.data() + (int64_t)pr * W;
+            const int32_t* __restrict d2p = st.d2.data() + (int64_t)pr * W;
             // clip e to the overlap of [off-1, off+W-1] with the pred's
             // stored window [off_p, off_p+W-1] and column range >= 0
-            int64_t e_lo = std::max<int64_t>(0, off_p - (off - 1));
-            if (off - 1 + e_lo < 0) e_lo = -(off - 1);  // eabs >= 0
-            int64_t e_hi = std::min<int64_t>(W, off_p + W - (off - 1) - 1);
-            for (int64_t e = e_lo; e <= e_hi; e++) {
-                int64_t rel = (off - 1 + e) - off_p;
+            int32_t shift = (int32_t)(off - 1) - off_p;  // rel = e + shift
+            int32_t e_lo = std::max(0, -shift);
+            if ((int32_t)off - 1 + e_lo < 0) e_lo = (int32_t)(1 - off);
+            int32_t e_hi = std::min((int32_t)W, W - 1 - shift);
+            int32_t* __restrict bp = best_prev.data();
+            int32_t* __restrict br = best_rank.data();
+            for (int32_t e = e_lo; e <= e_hi; e++) {
+                int32_t sv = srow[e + shift];
+                bool m = sv > bp[e];
+                bp[e] = m ? sv : bp[e];
+                br[e] = m ? pr : br[e];
+            }
+            int32_t c_lo = std::max(e_lo, 1) - 1;
+            int32_t* __restrict d1r = d1_row.data();
+            int32_t* __restrict d2r = d2_row.data();
+            for (int32_t c = c_lo; c <= e_hi - 1; c++) {
+                int32_t rel = c + 1 + shift;
                 int32_t sv = srow[rel];
-                if (sv > best_prev[e]) {
-                    best_prev[e] = sv;
-                    best_rank[e] = pr;
-                }
-                if (e >= 1) {
-                    int32_t c1 = std::max(sv - (pp.o1 + pp.e1),
-                                          d1p[rel] - pp.e1);
-                    int32_t c2 = std::max(sv - (pp.o2 + pp.e2),
-                                          d2p[rel] - pp.e2);
-                    if (c1 > d1_row[e - 1]) d1_row[e - 1] = c1;
-                    if (c2 > d2_row[e - 1]) d2_row[e - 1] = c2;
-                }
+                int32_t c1 = std::max(sv - oe1, d1p[rel] - ge1);
+                int32_t c2 = std::max(sv - oe2, d2p[rel] - ge2);
+                d1r[c] = c1 > d1r[c] ? c1 : d1r[c];
+                d2r[c] = c2 > d2r[c] ? c2 : d2r[c];
             }
         }
-        // band mask on D rows
-        for (int64_t c = 0; c < W; c++) {
-            int64_t jabs = off + c;
-            if (jabs < j0 || jabs > j1) { d1_row[c] = NEG; d2_row[c] = NEG; }
+        // band mask on D rows: range fills
+        std::fill(d1_row.begin(), d1_row.begin() + cb0, NEG);
+        std::fill(d2_row.begin(), d2_row.begin() + cb0, NEG);
+        if (cb1 + 1 < W) {
+            std::fill(d1_row.begin() + cb1 + 1, d1_row.end(), NEG);
+            std::fill(d2_row.begin() + cb1 + 1, d2_row.end(), NEG);
         }
 
-        // H pre-insertion: diag >= D1 >= D2 on ties
-        for (int64_t c = 0; c < W; c++) {
-            int64_t jabs = off + c;
-            int32_t hv, nv;
-            if (jabs == 0 || jabs > L) {
-                hv = NEG; nv = -2;
-            } else {
-                int32_t sub = (q[jabs - 1] == base_v)
-                    ? pp.match : -pp.mismatch;
-                hv = best_prev[c] + sub;
-                nv = best_rank[c];
+        // H pre-insertion: diag >= D1 >= D2 on ties. The diagonal exists
+        // for absolute columns in [1, L]: stored range [cd0, cd1];
+        // outside it hv starts NEG / nv -2 (matches the full-row oracle).
+        {
+            int32_t cd0 = (off == 0) ? 1 : 0;
+            int32_t cd1 = (int32_t)std::min<int64_t>(W - 1, L - off);
+            int32_t* __restrict rw = row.data();
+            int32_t* __restrict rn = rown.data();
+            uint8_t* __restrict ro = rowo.data();
+            const int32_t* __restrict bp = best_prev.data();
+            const int32_t* __restrict br = best_rank.data();
+            const int32_t* __restrict d1r = d1_row.data();
+            const int32_t* __restrict d2r = d2_row.data();
+            const uint8_t* __restrict qd = q + off - 1;  // q[jabs-1]
+            for (int32_t c = 0; c < cd0; c++) { rw[c] = NEG; rn[c] = -2; }
+            for (int32_t c = cd1 + 1; c < W; c++) { rw[c] = NEG; rn[c] = -2; }
+            for (int32_t c = cd0; c <= cd1; c++) {
+                int32_t sub = (qd[c] == base_v) ? pp.match : -pp.mismatch;
+                rw[c] = bp[c] + sub;
+                rn[c] = br[c];
             }
-            uint8_t ov = 0;
-            if (d1_row[c] > hv) { hv = d1_row[c]; ov = 2; }
-            if (d2_row[c] > hv) { hv = d2_row[c]; ov = 4; }
+            for (int32_t c = 0; c < W; c++) {
+                int32_t hv = rw[c];
+                uint8_t ov = 0;
+                bool m1 = d1r[c] > hv;
+                hv = m1 ? d1r[c] : hv;
+                ov = m1 ? (uint8_t)2 : ov;
+                bool m2 = d2r[c] > hv;
+                hv = m2 ? d2r[c] : hv;
+                ov = m2 ? (uint8_t)4 : ov;
+                rw[c] = hv;
+                ro[c] = ov;
+            }
             // insertions may only open from in-band cells (band-local)
-            if (jabs < j0 || jabs > j1) hv = NEG;
-            row[c] = hv;
-            rowo[c] = ov;
-            rown[c] = nv;
+            std::fill(row.begin(), row.begin() + cb0, NEG);
+            if (cb1 + 1 < W)
+                std::fill(row.begin() + cb1 + 1, row.end(), NEG);
         }
 
         // insertions: per component, a prefix-max scan with the masked
@@ -295,30 +330,32 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
         }
 
         // band mask + store; best_col = first-max column (all-NEG -> 0)
-        int32_t* srow = st.score.data() + r * W;
-        int32_t* d1w = st.d1.data() + r * W;
-        int32_t* d2w = st.d2.data() + r * W;
-        uint8_t* opw = st.op.data() + r * W;
-        uint8_t* op0w = st.op0.data() + r * W;
-        int32_t* n0w = st.node0.data() + r * W;
-        int32_t* o1w = st.orig1.data() + r * W;
-        int32_t* o2w = st.orig2.data() + r * W;
+        int32_t* __restrict srow = st.score.data() + r * W;
         int32_t best = NEG;
-        int64_t bc = 0;
-        for (int64_t c = 0; c < W; c++) {
-            int64_t jabs = off + c;
-            int32_t hv = (jabs < j0 || jabs > j1) ? NEG : fin[c];
+        int32_t bc = 0;
+        for (int32_t c = 0; c < cb0; c++) srow[c] = NEG;
+        for (int32_t c = cb0; c <= cb1; c++) {
+            int32_t hv = fin[c];
             srow[c] = hv;
-            d1w[c] = d1_row[c];
-            d2w[c] = d2_row[c];
-            opw[c] = fino[c];
-            op0w[c] = rowo[c];
-            n0w[c] = rown[c];
-            o1w[c] = orgbuf[c];
-            o2w[c] = orgbuf[W + c];
-            if (hv > best) { best = hv; bc = jabs; }
+            // strict >: first max wins (ascending c)
+            bool m = hv > best;
+            best = m ? hv : best;
+            bc = m ? c : bc;
         }
-        st.bestc[r] = best <= NEG ? 0 : (int32_t)bc;
+        for (int32_t c = cb1 + 1; c < W; c++) srow[c] = NEG;
+        st.bestc[r] = best <= NEG ? 0 : (int32_t)(off + bc);
+        std::memcpy(st.d1.data() + r * W, d1_row.data(),
+                    W * sizeof(int32_t));
+        std::memcpy(st.d2.data() + r * W, d2_row.data(),
+                    W * sizeof(int32_t));
+        std::memcpy(st.op.data() + r * W, fino.data(), W);
+        std::memcpy(st.op0.data() + r * W, rowo.data(), W);
+        std::memcpy(st.node0.data() + r * W, rown.data(),
+                    W * sizeof(int32_t));
+        std::memcpy(st.orig1.data() + r * W, orgbuf.data(),
+                    W * sizeof(int32_t));
+        std::memcpy(st.orig2.data() + r * W, orgbuf.data() + W,
+                    W * sizeof(int32_t));
     }
 
     // best end: first max over end ranks (ascending) at column L

@@ -110,13 +110,20 @@ def _prepare_one(reads, cfg: PoaConfig,
 
 
 def _poa_params(cfg: PoaConfig, lengths: Sequence[int]) -> PoaParams:
-    # abPOA -S analogue (SDC.py:915-919): median length >= threshold turns
-    # on the score-following adaptive band with half-width band_width
-    adaptive = float(np.median(lengths)) >= cfg.adaptive_band_threshold
+    # The score-following adaptive band is the production banding model at
+    # EVERY length (abPOA's banded SIMD rows for short inserts and its -S
+    # adaptive band for >=8 kb, SDC.py:915-919, both map onto it): the
+    # band half-width stays cfg.band_width regardless of how far the
+    # graph outgrows the query. The static diagonal band (adaptive=False)
+    # must widen to |nodes - qlen| + 16 for correctness, which degrades
+    # to full-width rows as reads accumulate — it remains available on
+    # PoaParams for parity studies and produces identical consensi when
+    # its band covers the optimal path (tests/test_poa.py).
+    del lengths  # banding no longer switches on read length
     return PoaParams(match=cfg.match, mismatch=cfg.mismatch,
                      gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                      gap_open2=cfg.gap_open2, gap_extend2=cfg.gap_extend2,
-                     band=cfg.band_width, adaptive=adaptive)
+                     band=cfg.band_width, adaptive=True)
 
 
 @dataclass
@@ -185,12 +192,24 @@ def resolve_consensus_jobs(jobs: Sequence[ConsensusJob],
     import dataclasses
     backend = backend or _graph_backend()
     if backend == "native":
+        import os
+        from concurrent.futures import ThreadPoolExecutor
         from mandalorion_tpu.native import native_poa_consensus
-        for job in jobs:
-            if job.result is None:
-                cons = native_poa_consensus(job.oriented, job.params)
-                job.result = (_decode(cons) if len(cons)
-                              else job.fallback)
+        pending = [j for j in jobs if j.result is None]
+
+        def run(job):
+            cons = native_poa_consensus(job.oriented, job.params)
+            job.result = _decode(cons) if len(cons) else job.fallback
+
+        if len(pending) > 1 and (os.cpu_count() or 1) > 1:
+            # the C engine releases the GIL for the whole consensus call,
+            # so isoforms parallelize on plain threads (no fork hazard)
+            with ThreadPoolExecutor(min(len(pending),
+                                        os.cpu_count() or 1)) as pool:
+                list(pool.map(run, pending))
+        else:
+            for job in pending:
+                run(job)
         return [(job.result, job.names) for job in jobs]
     from mandalorion_tpu.poa.kernels import poa_consensus_batch
     by_params: dict = {}
