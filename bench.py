@@ -17,7 +17,8 @@ The same line also carries:
   on a machine.
 - `poa`: graph-engine POA consensus throughput in bases/s (warm), the
   second named driver metric (BASELINE.json), on a 16-isoform x 20-read
-  x 2 kb synthetic workload through poa_consensus_batch.
+  x 2 kb synthetic workload through the production consensus path
+  (resolve_consensus_jobs -> native C++ banded engine, threaded).
 
 vs_baseline compares against the reference pipeline's MEASURED throughput
 on this exact workload (tools/measure_reference_baseline.py): the reference
@@ -57,11 +58,14 @@ def _run_times(tmp, out_name, cfg, n_reads, attempts):
 
 
 def _poa_bases_per_s():
-    """Graph-engine POA consensus bases/s (warm) through the batched
-    device kernel — the BASELINE.json 'POA consensus bases/sec' metric."""
+    """Graph-engine POA consensus bases/s — the BASELINE.json 'POA
+    consensus bases/sec' metric, measured on the PRODUCTION consensus
+    path (resolve_consensus_jobs: C++ banded engine, one thread per
+    isoform)."""
     import numpy as np
     from mandalorion_tpu.poa.graph import PoaParams
-    from mandalorion_tpu.poa.kernels import poa_consensus_batch
+    from mandalorion_tpu.poa.consensus import (ConsensusJob,
+                                               resolve_consensus_jobs)
 
     rng = np.random.default_rng(0)
 
@@ -84,10 +88,15 @@ def _poa_bases_per_s():
     for _ in range(16):
         base = rng.integers(0, 4, 2000).astype(np.uint8)
         sets.append([noisy(base) for _ in range(20)])
-    params = PoaParams()
-    poa_consensus_batch(sets, params)  # warmup/compile
+    params = PoaParams(band=30, adaptive=True)  # production auto band
+
+    def jobs():
+        return [ConsensusJob([], oriented=ss, params=params, fallback="")
+                for ss in sets]
+
+    resolve_consensus_jobs(jobs())  # warmup (native build, thread pool)
     t0 = time.time()
-    poa_consensus_batch(sets, params)
+    resolve_consensus_jobs(jobs())
     dt = time.time() - t0
     bases = sum(len(s) for ss in sets for s in ss)
     return bases / dt
@@ -123,7 +132,7 @@ def main():
         try:
             with contextlib.redirect_stdout(sys.stderr):
                 poa = {"bases_per_s": round(_poa_bases_per_s(), 1),
-                       "workload": "16 isoforms x 20 reads x 2kb, warm"}
+                       "workload": "16 isoforms x 20 reads x 2kb, warm, native engine threaded"}
         except Exception as e:
             poa = {"error": str(e)[:200]}
 

@@ -61,6 +61,20 @@ class SpliceAligner:
             # device compute selected: persist kernel compiles across runs
             from mandalorion_tpu.runtime import enable_compilation_cache
             enable_compilation_cache()
+        # hash-axis-sharded genome index (SURVEY §2.3: the alternative to
+        # per-host replication for indexes beyond one host's memory):
+        # seed lookups route through parallel.dist.sharded_index_lookup,
+        # each device owning one hash-range shard, byte-identical to the
+        # replicated path (tests/test_parallel.py)
+        self._sharded = None
+        if getattr(self.cfg, "index_backend", "replicated") == "sharded":
+            from mandalorion_tpu.parallel.mesh import pipeline_mesh
+            mesh = pipeline_mesh()
+            if mesh is not None:
+                from mandalorion_tpu.parallel.dist import shard_index_arrays
+                n_sh = int(mesh.devices.size)
+                self._sharded = (mesh,
+                                 *shard_index_arrays(self.index, n_sh))
         if backend == "rowscan":
             from mandalorion_tpu.align.kernels import solve_dp_rowscan
             self.dp_backend = solve_dp_rowscan
@@ -75,11 +89,61 @@ class SpliceAligner:
 
     # ------------------------------------------------------------ seeding
 
+    def _sharded_lookup(self, hashes: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """GenomeIndex.lookup through the mesh-sharded index: per-device
+        searchsorted on its own hash-range shard + all_gather, then the
+        same repeat-cap and per-read anchor-budget refinement on the
+        merged counts — byte-identical (query order, hit order) to the
+        replicated lookup."""
+        from mandalorion_tpu.align.index import ANCHOR_BUDGET
+        from mandalorion_tpu.parallel.dist import sharded_index_lookup
+        mesh, sh, sp, sl = self._sharded
+        pos, valid, cnt = sharded_index_lookup(mesh, sh, sp, sl,
+                                               hashes, self.max_occ)
+        pos = np.asarray(pos)
+        valid = np.asarray(valid)
+        counts = np.asarray(cnt).sum(axis=0)  # one shard owns each hash
+        keep = (counts > 0) & (counts <= self.max_occ)
+        kept_counts = counts[keep]
+        if int(kept_counts.sum()) > ANCHOR_BUDGET:
+            c = np.sort(kept_counts)
+            k = int(np.searchsorted(np.cumsum(c), ANCHOR_BUDGET, "right"))
+            cut = max(int(c[k - 1]) if k > 0 else 1, 1)
+            keep &= counts <= cut
+        # flatten kept hits: query-major, owner shard's sorted order
+        valid = valid & keep[None, :, None]
+        shard_i, qi, ki = np.nonzero(valid)
+        order = np.lexsort((ki, shard_i, qi))
+        return qi[order].astype(np.int64), \
+            pos[shard_i[order], qi[order], ki[order]].astype(np.int64)
+
     def _chain_for(self, codes: np.ndarray
                    ) -> Tuple[Optional[List[Segment]], float, int]:
         """Best chain for one read orientation: (chain, score, chrom_idx)."""
         cfg = self.cfg
         idx = self.index
+        if self._sharded is not None:
+            from mandalorion_tpu.align.encode import minimizers as _mins
+            pos, hashes = _mins(codes, cfg.kmer, cfg.window)
+            if len(pos) == 0:
+                return None, 0.0, -1
+            qidx, gpos = self._sharded_lookup(hashes)
+            if len(qidx) == 0:
+                return None, 0.0, -1
+            qpos = pos[qidx]
+            ci, _local = idx.position_to_chrom(gpos)
+            seeded = [(int(c), collapse_anchors(qpos[ci == c],
+                                                gpos[ci == c], cfg.kmer))
+                      for c in np.unique(ci)]
+            best_chain, best_score, best_ci = None, 0.0, -1
+            for c, segs in seeded:
+                chain, score = chain_segments(
+                    segs, min_intron=cfg.min_intron,
+                    max_intron=cfg.max_intron)
+                if chain and score > best_score:
+                    best_chain, best_score, best_ci = chain, score, int(c)
+            return best_chain, best_score, best_ci
         if idx.bucket_lo is not None:
             from mandalorion_tpu.native import native_seed_chain
             res = native_seed_chain(
@@ -122,7 +186,7 @@ class SpliceAligner:
         fused native both-orientation call when available."""
         cfg = self.cfg
         idx = self.index
-        if idx.bucket_lo is not None:
+        if idx.bucket_lo is not None and self._sharded is None:
             from mandalorion_tpu.native import native_seed_chain2
             res = native_seed_chain2(
                 codes, cfg.kmer, cfg.window, self.max_occ, 100,
@@ -407,7 +471,8 @@ class SpliceAligner:
             picks = self._chain_batch_device(reads)
         else:
             backend = getattr(self.cfg, "dp_backend", "numpy")
-            if backend == "numpy" and self.index.bucket_lo is not None:
+            if backend == "numpy" and self.index.bucket_lo is not None \
+                    and self._sharded is None:
                 out = self._map_batch_native(reads)
                 if out is not None:
                     return out
@@ -447,12 +512,16 @@ class SpliceAligner:
         for ri, (_name, seq) in enumerate(reads):
             codes = encode(seq)
             for strand, qc in (("+", codes), ("-", revcomp_codes(codes))):
-                seeded = self.index.seed_segments(qc, self.max_occ)
-                if seeded is None:  # no native library: numpy seeding
+                seeded = (None if self._sharded is not None
+                          else self.index.seed_segments(qc, self.max_occ))
+                if seeded is None:  # sharded index or no native library
                     pos, hashes = minimizers(qc, cfg.kmer, cfg.window)
                     if len(pos) == 0:
                         continue
-                    qidx, gpos = self.index.lookup(hashes, self.max_occ)
+                    if self._sharded is not None:
+                        qidx, gpos = self._sharded_lookup(hashes)
+                    else:
+                        qidx, gpos = self.index.lookup(hashes, self.max_occ)
                     if len(qidx) == 0:
                         continue
                     qpos = pos[qidx]

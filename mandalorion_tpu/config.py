@@ -65,6 +65,10 @@ class AlignConfig:
     index_cache: str = ""          # persist/reuse the genome index (.npz),
                                    # minimap2 .mmi analogue; validated
                                    # against genome + k/w on load
+    index_backend: str = "replicated"  # 'replicated' (per-host index) |
+                                   # 'sharded' (hash-range shards over the
+                                   # installed device mesh; byte-identical
+                                   # seeding, parallel.dist lookup)
 
 
 @dataclass(frozen=True)
@@ -81,7 +85,9 @@ class PoaConfig:
     gap_open2: int = 26
     gap_extend2: int = 1
     adaptive_band_threshold: int = 8000  # -S when median read length >= 8000
-    band_width: int = POA_BAND_DEFAULT  # band half width (static + adaptive)
+    band_width: int = 0            # adaptive band half-width; 0 = auto,
+                                   # abPOA's default band formula
+                                   # -b 10 -f 0.01 (10 + len/100, floor 16)
     max_reads: int = 100           # consensus subsample cap (`SDC.py:884-885`)
     seed: int = 0                  # our subsampling is seeded (reference: unseeded)
     engine: str = "graph"          # 'graph' (partial-order alignment,
@@ -95,6 +101,10 @@ class PoaConfig:
     overlength_fallback: str = "error"  # 'error' (abort loudly) or 'star'
                                    # (explicit opt-in to the vote engine
                                    # for >max_graph_len isoforms)
+    backend: str = "auto"          # graph-DP execution backend: 'auto'
+                                   # (device when a mesh is installed,
+                                   # else native C++), 'native', 'device'
+
 
 
 @dataclass(frozen=True)
@@ -171,6 +181,8 @@ def config_from_args(args) -> PipelineConfig:
         pacbio=bool(getattr(args, "pacbio", False)),
         align=AlignConfig(
             index_cache=str(getattr(args, "index_cache", "") or ""),
+            index_backend=str(getattr(args, "index_backend",
+                                      "replicated")),
             dp_backend=str(getattr(args, "dp_backend", "numpy")),
             chain_backend=str(getattr(args, "chain_backend", "native"))),
         poa=PoaConfig(

@@ -129,13 +129,16 @@ def sharded_index_lookup(mesh: Mesh, shard_hashes, shard_positions,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis), P(None)),
-        out_specs=(P(None, None, None), P(None, None, None)),
+        out_specs=(P(None, None, None), P(None, None, None),
+                   P(None, None)),
         **{_CHECK_KW: False})  # all_gather replication is real
     def run(h2, p2, ln2, q):
         h, p, ln = h2[0], p2[0], ln2[0]
         lo = jnp.searchsorted(h, q, side="left")
         hi = jnp.searchsorted(h, q, side="right")
         cnt = hi - lo
+        # exclude hits into this shard's sentinel padding
+        cnt = jnp.minimum(cnt, jnp.maximum(ln - lo, 0))
         k = jnp.arange(max_occ)
         idx = lo[:, None] + k[None, :]
         valid = ((k[None, :] < cnt[:, None])
@@ -144,7 +147,8 @@ def sharded_index_lookup(mesh: Mesh, shard_hashes, shard_positions,
         pos = jnp.take(p, jnp.clip(idx, 0, h.shape[0] - 1))
         pos = jnp.where(valid, pos, -1)
         return (jax.lax.all_gather(pos, axis),
-                jax.lax.all_gather(valid, axis))
+                jax.lax.all_gather(valid, axis),
+                jax.lax.all_gather(cnt, axis))
 
     with jax.enable_x64(True):
         return run(shard_hashes, shard_positions, shard_lens, queries)

@@ -73,6 +73,15 @@ def make_mesh(n_devices: Optional[int] = None,
     <= sqrt(n); falls back to 1D when n is prime-ish or axes == 1."""
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} JAX "
+            f"device(s) are visible ({[str(d) for d in devices]}); for a "
+            "virtual CPU mesh set XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N and force the cpu "
+            "platform before JAX initializes (this image pins the "
+            "platform in sitecustomize — use "
+            "jax.config.update('jax_platforms', 'cpu'))")
     devices = devices[:n]
     if len(axis_names) == 1 or n == 1:
         return Mesh(np.array(devices), axis_names[:1])

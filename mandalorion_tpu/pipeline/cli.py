@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="isoform consensus engine: star (backbone+votes, "
                         "fast path) or graph (full partial-order "
                         "alignment; batched on device per locus)")
+    p.add_argument("--index_backend", default="replicated",
+                   choices=["replicated", "sharded"],
+                   help="genome index placement: replicated per host, or "
+                        "sharded by hash range over the device mesh "
+                        "(requires --devices > 1 or an installed mesh)")
+    p.add_argument("--devices", default=0, type=int,
+                   help="install an N-device mesh around the run: every "
+                        "batched device dispatch (chain DP, gap-fill DP, "
+                        "POA, quant merge) shards over it; 0 = no mesh "
+                        "(single device). Results are byte-identical at "
+                        "any N")
     p.add_argument("--index_cache", default="", type=str,
                    help="persist/reuse the genome minimizer index at this"
                         " .npz path (minimap2 .mmi analogue); rebuilt"
@@ -99,8 +110,14 @@ def main(argv=None) -> int:
             os.remove(stale)
         if "A" in cfg.modules:
             cfg = cfg.replace(modules=cfg.modules.replace("A", ""))
-    run_pipeline(args.path, args.genome_sequence, args.genome_annotation,
-                 args.Consensus_reads, cfg)
+    if int(getattr(args, "devices", 0) or 0) > 1:
+        from mandalorion_tpu.parallel.mesh import make_mesh, use_mesh
+        with use_mesh(make_mesh(int(args.devices))):
+            run_pipeline(args.path, args.genome_sequence,
+                         args.genome_annotation, args.Consensus_reads, cfg)
+    else:
+        run_pipeline(args.path, args.genome_sequence,
+                     args.genome_annotation, args.Consensus_reads, cfg)
     return 0
 
 

@@ -329,7 +329,9 @@ def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
         # grouping only changes padding)
         from mandalorion_tpu.poa.consensus import resolve_consensus_jobs
         flat = [job for locus_jobs in all_results for job in locus_jobs]
-        resolved = iter(resolve_consensus_jobs(flat))
+        backend = (None if cfg.poa.backend == "auto"
+                   else cfg.poa.backend)
+        resolved = iter(resolve_consensus_jobs(flat, backend=backend))
         all_results = [[next(resolved) for _ in locus_jobs]
                        for locus_jobs in all_results]
 

@@ -119,11 +119,14 @@ def _poa_params(cfg: PoaConfig, lengths: Sequence[int]) -> PoaParams:
     # to full-width rows as reads accumulate — it remains available on
     # PoaParams for parity studies and produces identical consensi when
     # its band covers the optimal path (tests/test_poa.py).
-    del lengths  # banding no longer switches on read length
+    # half-width: abPOA's default band formula -b 10 -f 0.01 on the
+    # median read length (band = 10 + 0.01 * len, floor 16), or the
+    # explicit cfg.band_width override
+    band = cfg.band_width or max(16, 10 + int(np.median(lengths)) // 100)
     return PoaParams(match=cfg.match, mismatch=cfg.mismatch,
                      gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                      gap_open2=cfg.gap_open2, gap_extend2=cfg.gap_extend2,
-                     band=cfg.band_width, adaptive=True)
+                     band=band, adaptive=True)
 
 
 @dataclass
@@ -164,20 +167,17 @@ def prepare_consensus_jobs(
 
 
 def _graph_backend() -> str:
-    """Execution backend for pending graph-POA jobs:
-    'device' — the batched XLA kernel (poa/kernels.py), used whenever a
-               pipeline mesh is installed (the per-locus isoform axis
-               shards over it) or when no native library exists;
+    """Default execution backend for pending graph-POA jobs:
     'native' — the C++ banded engine (native/poa.cpp), the production
-               host default (bit-identical; tests/test_poa.py). It
-               currently beats the device kernel's measured throughput
-               even on a real chip, and keeps the chip free for the
-               aligner DP — revisit once the Pallas POA kernel lands.
+               default (bit-identical; tests/test_poa.py). It currently
+               beats the batched XLA kernel's measured throughput even on
+               a real chip and keeps the chip free for the aligner DP;
+    'device' — the batched XLA kernel (poa/kernels.py) when no native
+               library exists, or on explicit request
+               (PoaConfig.backend='device' — the multichip dryrun pins it
+               so the per-locus isoform axis demonstrably shards).
     Both produce the same consensi; the numpy PoaGraph stays the oracle.
     """
-    from mandalorion_tpu.parallel.mesh import pipeline_mesh
-    if pipeline_mesh() is not None:
-        return "device"
     from mandalorion_tpu.native import load_native
     return "native" if load_native() is not None else "device"
 

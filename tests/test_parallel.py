@@ -82,7 +82,8 @@ def test_sharded_index_lookup_matches_local(n):
     mesh = make_mesh(n)
     axis_len = mesh.devices.shape[0]
     sh, sp, sl = shard_index_arrays(idx, axis_len)
-    pos, valid = sharded_index_lookup(mesh, sh, sp, sl, hashes, max_occ)
+    pos, valid, _cnt = sharded_index_lookup(mesh, sh, sp, sl, hashes,
+                                            max_occ)
     pos = np.asarray(pos)
     valid = np.asarray(valid)
     got_q, got_p = [], []
@@ -140,3 +141,45 @@ def test_pipeline_sharded_byte_identical(n, tmp_path):
     got = _run_small_pipeline(tmp, f"out{n}", cfg, mesh=make_mesh(n))
     for name in ref:
         assert got[name] == ref[name], name
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_pipeline_sharded_index_byte_identical(n, tmp_path):
+    """End-to-end sharded GENOME INDEX (AlignConfig.index_backend=
+    'sharded'): seed lookups run against hash-range shards over the mesh
+    (parallel.dist.sharded_index_lookup) through the full production
+    aligner, and every artifact is byte-identical to the replicated-index
+    run (VERDICT r2 #5)."""
+    from mandalorion_tpu.config import AlignConfig, PipelineConfig
+    from mandalorion_tpu.utils.simulate import make_dataset
+
+    tmp = str(tmp_path)
+    make_dataset(tmp, n_genes=2, n_reads_per_gene=10, genome_len=40_000)
+    base = PipelineConfig(threads=1)
+    ref = _run_small_pipeline(tmp, "rep", base, mesh=None)
+    assert len(ref["Isoforms.filtered.fasta"]) > 0
+    cfg = PipelineConfig(
+        threads=1, align=AlignConfig(index_backend="sharded"))
+    got = _run_small_pipeline(tmp, f"sh{n}", cfg, mesh=make_mesh(n))
+    for name in ref:
+        assert got[name] == ref[name], name
+
+
+def test_cli_devices_flag_byte_identical(tmp_path):
+    """`mando-tpu --devices N` installs the mesh around the run (VERDICT
+    r2 #6): output matches the meshless CLI run byte for byte."""
+    from mandalorion_tpu.pipeline.cli import main as cli_main
+    from mandalorion_tpu.utils.simulate import make_dataset
+
+    tmp = str(tmp_path)
+    make_dataset(tmp, n_genes=2, n_reads_per_gene=10, genome_len=40_000)
+    common = ["-G", f"{tmp}/genome.fasta", "-g", f"{tmp}/ann.gtf",
+              "-f", f"{tmp}/reads.fasta", "-t", "1"]
+    assert cli_main(["-p", f"{tmp}/o1"] + common) == 0
+    assert cli_main(["-p", f"{tmp}/o4", "--devices", "4",
+                     "--index_backend", "sharded"] + common) == 0
+    for name in ("Isoforms.filtered.fasta", "Isoforms.filtered.clean.psl",
+                 "Isoforms.filtered.clean.quant"):
+        with open(f"{tmp}/o1/{name}", "rb") as a, \
+                open(f"{tmp}/o4/{name}", "rb") as b:
+            assert a.read() == b.read(), name
