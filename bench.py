@@ -32,12 +32,36 @@ conservative: the real reference (paying for minimap2 + abPOA) is slower.
 import contextlib
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
 
 # measured via tools/measure_reference_baseline.py (see module docstring)
 REFERENCE_READS_PER_SEC = 106.92
+
+
+class _Watchdog:
+    """Hard wall-clock bound around a tunnel-dependent section: the axon
+    device tunnel intermittently stalls for hundreds of seconds on the
+    first device->host fetch (see NOTES.md r3); a stalled device probe
+    must cost a bounded slice of the bench, never the headline."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    def __enter__(self):
+        def fire(signum, frame):
+            raise TimeoutError(f"section exceeded {self.seconds}s "
+                               "(device tunnel stall)")
+        self._old = signal.signal(signal.SIGALRM, fire)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
 
 
 def _run_times(tmp, out_name, cfg, n_reads, attempts):
@@ -121,19 +145,22 @@ def main():
             threads=threads,
             align=AlignConfig(chain_backend="device", dp_backend="pallas"))
         try:
-            rps = _run_times(dev_dir, "dev", dev_cfg, dev_reads, attempts=2)
+            with _Watchdog(1800):
+                rps = _run_times(dev_dir, "dev", dev_cfg, dev_reads,
+                                 attempts=2)
             device_path = {"reads_per_s": round(max(rps), 2),
                            "reads_per_s_cold": round(rps[0], 2),
                            "reads": dev_reads,
                            "backends": "chain=device dp=pallas"}
-        except Exception as e:  # never lose the headline to a tunnel flake
+        except BaseException as e:  # never lose the headline to a flake
             device_path = {"error": str(e)[:200]}
 
         try:
-            with contextlib.redirect_stdout(sys.stderr):
+            with _Watchdog(900), contextlib.redirect_stdout(sys.stderr):
                 poa = {"bases_per_s": round(_poa_bases_per_s(), 1),
-                       "workload": "16 isoforms x 20 reads x 2kb, warm, native engine threaded"}
-        except Exception as e:
+                       "workload": "16 isoforms x 20 reads x 2kb, warm, "
+                                   "native engine threaded"}
+        except BaseException as e:
             poa = {"error": str(e)[:200]}
 
     print(json.dumps({

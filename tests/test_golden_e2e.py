@@ -92,7 +92,8 @@ cat {reads_sam}
          "-G", str(tmp / "genome.fasta"),
          "-f", str(tmp / "reads.fasta"),
          "-t", "2", "--mm2_path", str(mm2)],
-        env=env, capture_output=True, text=True, timeout=600)
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=str(ref))  # the reference writes ./abpoa.messages to its cwd
     assert proc.returncode == 0, proc.stderr[-2000:]
     return tmp, ours, ref
 
@@ -203,7 +204,8 @@ cat {ours}/tmp/mm2Alignments.sam
          "-G", str(tmp_path / "genome.fasta"),
          "-f", str(tmp_path / "reads.fasta"),
          "-t", "1", "-W", "basic", "--mm2_path", str(bin_dir / "minimap2")],
-        env=env, capture_output=True, text=True, timeout=600)
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=str(ref))  # the reference writes ./abpoa.messages to its cwd
     assert proc.returncode == 0, proc.stderr[-2000:]
     ref_bed = (ref / "tmp" / "polyAWhiteList.bed").read_text()
     assert my_bed == ref_bed
