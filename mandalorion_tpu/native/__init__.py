@@ -46,6 +46,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             # must round exactly like numpy's (no FMA contraction)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-fopenmp-simd",
                  "-shared", "-fPIC", "-o", tmp] + srcs,
                 check=True, capture_output=True, timeout=240)
             os.replace(tmp, so)

@@ -231,6 +231,7 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             int32_t e_hi = std::min((int32_t)W, W - 1 - shift);
             int32_t* __restrict bp = best_prev.data();
             int32_t* __restrict br = best_rank.data();
+#pragma omp simd
             for (int32_t e = e_lo; e <= e_hi; e++) {
                 int32_t sv = srow[e + shift];
                 bool m = sv > bp[e];
@@ -240,6 +241,7 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             int32_t c_lo = std::max(e_lo, 1) - 1;
             int32_t* __restrict d1r = d1_row.data();
             int32_t* __restrict d2r = d2_row.data();
+#pragma omp simd
             for (int32_t c = c_lo; c <= e_hi - 1; c++) {
                 int32_t rel = c + 1 + shift;
                 int32_t sv = srow[rel];
@@ -273,11 +275,13 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             const uint8_t* __restrict qd = q + off - 1;  // q[jabs-1]
             for (int32_t c = 0; c < cd0; c++) { rw[c] = NEG; rn[c] = -2; }
             for (int32_t c = cd1 + 1; c < W; c++) { rw[c] = NEG; rn[c] = -2; }
+#pragma omp simd
             for (int32_t c = cd0; c <= cd1; c++) {
                 int32_t sub = (qd[c] == base_v) ? pp.match : -pp.mismatch;
                 rw[c] = bp[c] + sub;
                 rn[c] = br[c];
             }
+#pragma omp simd
             for (int32_t c = 0; c < W; c++) {
                 int32_t hv = rw[c];
                 uint8_t ov = 0;
