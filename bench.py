@@ -64,6 +64,24 @@ class _Watchdog:
         return False
 
 
+def _device_ready(retries: int = 3, wait_s: int = 20) -> bool:
+    """Probe device-backend init in a SUBPROCESS before touching it here:
+    the tunnel's backend factory intermittently fails at init ('Unable to
+    initialize backend ...'), and once a factory init fails in-process jax
+    discards it for good — so probe out-of-process, retry the transient
+    flake, and only then let this process initialize the backend."""
+    import subprocess
+    for attempt in range(retries):
+        ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=300).returncode == 0
+        if ok:
+            return True
+        if attempt + 1 < retries:
+            time.sleep(wait_s)
+    return False
+
+
 def _run_times(tmp, out_name, cfg, n_reads, attempts):
     from mandalorion_tpu.pipeline.stages import run_pipeline
     times = []
@@ -146,6 +164,9 @@ def main():
             align=AlignConfig(chain_backend="device", dp_backend="pallas"))
         try:
             with _Watchdog(1800):
+                if not _device_ready():
+                    raise TimeoutError("device backend init failing "
+                                       "(tunnel down after retries)")
                 rps = _run_times(dev_dir, "dev", dev_cfg, dev_reads,
                                  attempts=2)
             device_path = {"reads_per_s": round(max(rps), 2),
