@@ -87,6 +87,27 @@ class SpliceAligner:
             from mandalorion_tpu.align.extend import solve_dp_native
             self.dp_backend = solve_dp_native
 
+    def host_twin(self) -> "SpliceAligner":
+        """An aligner sharing this instance's index but pinned to the
+        host compute backends. For tiny batches (module F realigns a
+        handful of isoform consensi) a device round trip per dispatch
+        dominates the work itself; the backend-parity invariant (all
+        chain/DP backends bit-identical, tests/test_kernels.py) makes
+        routing them to the host output-identical. No index rebuild."""
+        if getattr(self.cfg, "chain_backend", "native") != "device" and \
+                getattr(self.cfg, "dp_backend", "numpy") == "numpy":
+            return self
+        import dataclasses
+        twin = object.__new__(SpliceAligner)
+        twin.cfg = dataclasses.replace(self.cfg, chain_backend="native",
+                                       dp_backend="numpy")
+        twin.index = self.index
+        twin.max_occ = self.max_occ
+        twin._sharded = None
+        from mandalorion_tpu.align.extend import solve_dp_native
+        twin.dp_backend = solve_dp_native
+        return twin
+
     # ------------------------------------------------------------ seeding
 
     def _sharded_lookup(self, hashes: np.ndarray

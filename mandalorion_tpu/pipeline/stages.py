@@ -374,6 +374,10 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
     isoforms = fastx_to_dict(consensi)
     if aligner is None:
         aligner = SpliceAligner(genome, cfg.align)
+    # a run's isoform set is a handful of sequences — device dispatch
+    # latency would dominate, so this stage always uses the host
+    # backends (bit-identical by the backend-parity invariant)
+    aligner = aligner.host_twin()
     print("\taligning isoform consensus sequences")
     with open(paths.t("Isoforms.aligned.out.psl"), "w") as out:
         items = list(isoforms.items())

@@ -181,6 +181,34 @@ def test_dp_backend_rowscan_identical(setup):
     assert out_np == out_js
 
 
+def test_host_twin_identical_and_shares_index(setup):
+    """host_twin pins a device-configured aligner to the host backends
+    without rebuilding the index, and its alignments are bit-identical —
+    the invariant behind module F's tiny-batch host routing
+    (pipeline/stages.py)."""
+    from mandalorion_tpu.io.psl import format_psl
+    genome, _ = setup
+    rng = np.random.default_rng(17)
+    seq = synthdata.transcript_seq(genome, EXONS)
+    reads = []
+    for i in range(5):
+        r, _ = synthdata.mutate_read(seq, rng, 0.02)
+        reads.append((f"t{i}", r))
+    a_dev = SpliceAligner({"chr1": genome},
+                          AlignConfig(chain_backend="device",
+                                      dp_backend="rowscan"))
+    twin = a_dev.host_twin()
+    assert twin.index is a_dev.index and twin.max_occ == a_dev.max_occ
+    assert twin.cfg.chain_backend == "native"
+    assert twin.cfg.dp_backend == "numpy"
+    out_dev = [format_psl(r) for r in a_dev.map_batch(reads)]
+    out_twin = [format_psl(r) for r in twin.map_batch(reads)]
+    assert out_dev == out_twin and out_dev
+    # already-host aligners come back unchanged
+    a_host = SpliceAligner({"chr1": genome}, AlignConfig())
+    assert a_host.host_twin() is a_host
+
+
 def test_index_chunk_boundaries_lossless():
     """Chunked index building must produce the same minimizer set as a
     single-chunk build (windows spanning chunk boundaries included)."""
