@@ -526,6 +526,24 @@ def _solve_batched(problems: Sequence[DpProblem], cfg: AlignConfig,
             buckets.setdefault(key, []).append(i)
         else:
             results[i] = _solve_one(p, cfg)
+    # dispatch-count-aware class promotion: a batch whose problems
+    # scatter across several (width, rows) classes pays one device round
+    # trip per class — through a tunneled chip that latency dominates the
+    # padded compute by orders of magnitude. Padding is output-neutral
+    # (kernels mask by qlen/tlen), so when folding every class into the
+    # largest one yields FEWER dispatches, promote. Large uniform batches
+    # keep their tight classes (promotion would not reduce dispatches).
+    if len(buckets) > 1:
+        w_max = max(k[0] for k in buckets)
+        q_max = max(k[1] for k in buckets)
+        n_promo = _dispatch_tiles(w_max, q_max) * TILE
+        baseline = sum(
+            -(-len(v) // (_dispatch_tiles(w, q) * TILE))
+            for (w, q), v in buckets.items())
+        total = sum(len(v) for v in buckets.values())
+        if -(-total // n_promo) < baseline:
+            merged = [i for k in sorted(buckets) for i in buckets[k]]
+            buckets = {(w_max, q_max): merged}
     for width, max_q in sorted(buckets):
         fit_idx = buckets[(width, max_q)]
         N = _dispatch_tiles(width, max_q) * TILE
