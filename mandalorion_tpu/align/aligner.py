@@ -95,12 +95,14 @@ class SpliceAligner:
         chain/DP backends bit-identical, tests/test_kernels.py) makes
         routing them to the host output-identical. No index rebuild."""
         if getattr(self.cfg, "chain_backend", "native") != "device" and \
-                getattr(self.cfg, "dp_backend", "numpy") == "numpy":
+                getattr(self.cfg, "dp_backend", "numpy") == "numpy" and \
+                self._sharded is None:
             return self
         import dataclasses
         twin = object.__new__(SpliceAligner)
         twin.cfg = dataclasses.replace(self.cfg, chain_backend="native",
-                                       dp_backend="numpy")
+                                       dp_backend="numpy",
+                                       index_backend="replicated")
         twin.index = self.index
         twin.max_occ = self.max_occ
         twin._sharded = None

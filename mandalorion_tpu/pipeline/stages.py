@@ -376,7 +376,10 @@ def module_f(paths: Paths, cfg: PipelineConfig, genome_path: str,
         aligner = SpliceAligner(genome, cfg.align)
     # a run's isoform set is a handful of sequences — device dispatch
     # latency would dominate, so this stage always uses the host
-    # backends (bit-identical by the backend-parity invariant)
+    # backends. The DP backends are bit-identical; the two chain
+    # backends agree up to transcendental-ulp log2 differences
+    # (CLAUDE.md), so the host result here is the canonical
+    # reference-parity output.
     aligner = aligner.host_twin()
     print("\taligning isoform consensus sequences")
     with open(paths.t("Isoforms.aligned.out.psl"), "w") as out:

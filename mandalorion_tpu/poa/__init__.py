@@ -11,4 +11,9 @@ sequence-to-graph Pallas kernel is round-2 roadmap (NOTES.md).
 """
 
 from mandalorion_tpu.poa.consensus import determine_consensus  # noqa: F401
-from mandalorion_tpu.poa.graph import PoaGraph, poa_consensus  # noqa: F401
+from mandalorion_tpu.poa.graph import PoaGraph  # noqa: F401
+
+# poa_consensus (the pure-Python graph oracle) is deliberately NOT
+# re-exported: the production consensus entry point with the length
+# policy (PoaConfig.max_graph_len / overlength_fallback) is
+# determine_consensus; tests import the oracle from poa.graph directly.

@@ -324,21 +324,15 @@ class PoaGraph:
         return np.array([self.base[v] for v in out], np.uint8)
 
 
-# DP state is O(nodes x query) with ~38 B/cell across the convex-affine
-# score/pointer matrices (~2.5 GB worst case at this cap); longer isoforms
-# fall back to the star engine (poa/consensus.py)
-MAX_GRAPH_LEN = 8192
-
-
 def poa_consensus(seq_codes_list: List[np.ndarray],
                   params: Optional[PoaParams] = None) -> np.ndarray:
-    """Consensus of oriented sequences (codes)."""
+    """Consensus of oriented sequences (codes) — the pure-Python oracle.
+
+    Length policy (cap + fallback) lives in ONE place: the production
+    entry point (`poa/consensus.py`, `PoaConfig.max_graph_len` /
+    `overlength_fallback`). This oracle imposes no cap of its own.
+    """
     params = params or PoaParams()
-    longest = max(len(s) for s in seq_codes_list)
-    if longest > MAX_GRAPH_LEN:
-        raise ValueError(
-            f"graph POA engine capped at {MAX_GRAPH_LEN} nt (got {longest});"
-            " use the star engine (PoaConfig.engine='star') for long reads")
     graph = PoaGraph(seq_codes_list[0])
     for q in seq_codes_list[1:]:
         graph.add_read(q, params)

@@ -7,8 +7,8 @@ import pytest
 import synthdata
 from mandalorion_tpu.align.encode import encode
 from mandalorion_tpu.io.fastx import revcomp
-from mandalorion_tpu.poa import PoaGraph, determine_consensus, poa_consensus
-from mandalorion_tpu.poa.graph import PoaParams
+from mandalorion_tpu.poa import PoaGraph, determine_consensus
+from mandalorion_tpu.poa.graph import PoaParams, poa_consensus
 
 
 def _decode(codes):
