@@ -74,9 +74,27 @@ def _chain_fn(min_intron: int, max_intron: int, match: int,
         (score, parent), _ = jax.lax.scan(
             step, (score0, parent0), jnp.arange(1, max_seg))
         best = jnp.argmax(score)
-        return score, parent, best
+        # fetch-lean SINGLE output row: int16 parent table (MAX_SEG=512
+        # fits) + best index + the winning score's raw bits — through a
+        # tunneled chip every separate output array costs its own ~40 ms
+        # fetch round trip, so everything packs into one array
+        score_bits = jax.lax.bitcast_convert_type(
+            score[best], jnp.int16)  # (2,)
+        return jnp.concatenate([
+            parent.astype(jnp.int16), best.astype(jnp.int16)[None],
+            score_bits])
 
     return jax.jit(jax.vmap(one))
+
+
+def _unpack_chain(rows: np.ndarray, max_seg: int):
+    """Split the packed (B, max_seg+3) int16 rows back into
+    (parent, best, best_score)."""
+    parent = rows[:, :max_seg]
+    best = rows[:, max_seg].astype(np.int64)
+    best_score = np.ascontiguousarray(
+        rows[:, max_seg + 1:max_seg + 3]).view(np.float32)[:, 0]
+    return parent, best, best_score
 
 
 def chain_batch_jax(per_read_segments: List[List[Segment]], *,
@@ -130,17 +148,14 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
         # are sliced off below — per-candidate results are identical to
         # the single-device dispatch.
         args, _b = shard_batch(mesh, [qs, qe, ts, te, cov, n_seg])
-        score, parent, best = fn(*args)
-        score = np.asarray(score)[:B]
-        parent = np.asarray(parent)[:B]
-        best = np.asarray(best)[:B]
+        rows = jax.device_get(fn(*args))
+        parent, best, best_score = _unpack_chain(rows[:B], MAX_SEG)
     else:
-        score, parent, best = fn(jnp.asarray(qs), jnp.asarray(qe),
-                                 jnp.asarray(ts), jnp.asarray(te),
-                                 jnp.asarray(cov), jnp.asarray(n_seg))
-        score = np.asarray(score)
-        parent = np.asarray(parent)
-        best = np.asarray(best)
+        rows = jax.device_get(
+            fn(jnp.asarray(qs), jnp.asarray(qe),
+               jnp.asarray(ts), jnp.asarray(te),
+               jnp.asarray(cov), jnp.asarray(n_seg)))
+        parent, best, best_score = _unpack_chain(rows, MAX_SEG)
 
     out: List[Tuple[List[Segment], float]] = []
     for b, segs in enumerate(prepped):
@@ -163,5 +178,5 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
                 continue
             chain.append(Segment(q0, s.q_end, t0, s.t_end))
             prev_q, prev_t = s.q_end, s.t_end
-        out.append((chain, float(score[b, best[b]])))
+        out.append((chain, float(best_score[b])))
     return out

@@ -163,7 +163,7 @@ def solve_dp_rowscan(problems: Sequence[DpProblem], cfg: AlignConfig
 
 
 def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
-                      interpret):
+                      interpret, is_global=None):
     fn = _rowscan_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
                      max_q, cfg.end_bonus, getattr(cfg, "zdrop", 0), width)
     from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
@@ -311,6 +311,46 @@ def _pallas_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles, max_q,
 
 
 @functools.lru_cache(maxsize=64)
+def _pallas_fused_fn(match, mismatch, go, ge, end_bonus, zdrop, n_tiles,
+                     max_q, width, interpret):
+    """DP kernel + on-device traceback in ONE jitted dispatch: the start
+    cell (global corner vs best cell from meta) is selected on device, so
+    the host never round-trips for meta before walking pointers — through
+    a tunneled chip each elided fetch saves a ~30 ms round trip plus the
+    O(q*t) pointer matrix never crossing at all."""
+    raw = _pallas_raw(match, mismatch, go, ge, end_bonus, zdrop,
+                      n_tiles, max_q, width, interpret)
+    walk = _traceback_walk(max_q + width + 2)
+
+    def fused(q, t, qlen, tlen, is_global):
+        ptr, meta = raw(q, t, qlen, tlen)
+        qi = jnp.where(is_global, qlen[:, 0], meta[:, 0])
+        tj = jnp.where(is_global, tlen[:, 0], meta[:, 1])
+        dead = (~is_global) & (meta[:, 2] <= 0)
+        qi = jnp.where(dead, 0, qi)
+        tj = jnp.where(dead, 0, tj)
+        buf, ks = walk(ptr, qi, tj)
+        # one packed int8 output = one fetch round trip: meta (4xint32 ->
+        # 16 bytes) + ks (int32 -> 4 bytes) + step buffer. The kernel's
+        # meta rows are (N, width) with lanes 0-3 meaningful.
+        meta8 = jax.lax.bitcast_convert_type(meta[:, :4], jnp.int8).reshape(
+            meta.shape[0], 16)
+        ks8 = jax.lax.bitcast_convert_type(ks[:, None], jnp.int8).reshape(
+            meta.shape[0], 4)
+        return jnp.concatenate([meta8, ks8, buf], axis=1)
+
+    return jax.jit(fused)
+
+
+def _unpack_fused(rows: np.ndarray):
+    """Split packed fused-DP rows into (meta, ks, buf)."""
+    n = rows.shape[0]
+    meta = np.ascontiguousarray(rows[:, :16]).view(np.int32).reshape(n, 4)
+    ks = np.ascontiguousarray(rows[:, 16:20]).view(np.int32)[:, 0]
+    return meta, ks, rows[:, 20:]
+
+
+@functools.lru_cache(maxsize=64)
 def _pallas_fn_sharded(match, mismatch, go, ge, end_bonus, zdrop,
                        tiles_per_shard, max_q, width, interpret, mesh):
     """Multi-chip Pallas dispatch: each device runs the kernel grid on its
@@ -338,7 +378,7 @@ def _pallas_fn_sharded(match, mismatch, go, ge, end_bonus, zdrop,
 
 
 def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
-                     interpret):
+                     interpret, is_global=None):
     from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
     mesh = pipeline_mesh()
     if mesh is not None:
@@ -354,16 +394,18 @@ def _dispatch_pallas(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
         return (np.asarray(ptr).transpose(1, 0, 2)[:b],
                 np.asarray(meta)[:b])
     n_tiles = q_arr.shape[0] // TILE
-    fn = _pallas_fn(cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
-                    cfg.end_bonus, getattr(cfg, "zdrop", 0), n_tiles,
-                    max_q, width, interpret)
-    ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
-                   jnp.asarray(qlen), jnp.asarray(tlen))
-    # keep ptr device-resident (rows, N, W): the traceback walks it on
-    # device (_traceback_device_fn) and only O(q+t) step codes come back —
-    # pulling the O(q*t) pointer matrices through the tunnel dominated
-    # wall time at the wide envelope
-    return ptr, np.asarray(meta)
+    fn = _pallas_fused_fn(cfg.match, cfg.mismatch, cfg.gap_open,
+                          cfg.gap_extend, cfg.end_bonus,
+                          getattr(cfg, "zdrop", 0), n_tiles, max_q, width,
+                          interpret)
+    rows = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
+              jnp.asarray(qlen), jnp.asarray(tlen),
+              jnp.asarray(is_global))
+    # one dispatch, one fetch: DP fill + start-cell pick + traceback all
+    # run on device and come back as a single packed array — only meta
+    # and O(q+t) step codes cross the tunnel, never the O(q*t) pointer
+    # matrix, and the host never blocks on meta between fill and walk
+    return "fused", _unpack_fused(jax.device_get(rows))
 
 
 def solve_dp_pallas(problems: Sequence[DpProblem], cfg: AlignConfig,
@@ -374,8 +416,7 @@ def solve_dp_pallas(problems: Sequence[DpProblem], cfg: AlignConfig,
 
 # ------------------------------------------------------------ shared glue
 
-@functools.lru_cache(maxsize=16)
-def _traceback_device_fn(max_steps):
+def _traceback_walk(max_steps):
     """Vmapped on-device pointer walk (the host _traceback's state machine
     verbatim): returns per-problem op-step codes (1 M, 2 I, 3 D, reverse
     order) and counts, so only O(q+t) bytes cross the tunnel instead of
@@ -421,7 +462,14 @@ def _traceback_device_fn(max_steps):
              buf0))
         return buf, k
 
-    return jax.jit(jax.vmap(one, in_axes=(1, 0, 0)))
+    return jax.vmap(one, in_axes=(1, 0, 0))
+
+
+@functools.lru_cache(maxsize=16)
+def _traceback_device_fn(max_steps):
+    """Standalone jitted walk (used when the pointer matrix is already a
+    device array from a prior dispatch)."""
+    return jax.jit(_traceback_walk(max_steps))
 
 
 def _merge_steps(steps: np.ndarray) -> List[Tuple[str, int, int]]:
@@ -563,15 +611,34 @@ def _solve_chunk(chunk_idx: List[int], N: int,
     t_arr = np.full((N, width), 9, np.int32)   # 9 matches nothing
     qlen = np.zeros((N, 1), np.int32)
     tlen = np.zeros((N, 1), np.int32)
+    is_global = np.zeros(N, bool)
     for slot, i in enumerate(chunk_idx):
         p = problems[i]
         q_arr[slot, :len(p.q)] = p.q
         t_arr[slot, 1:1 + len(p.t)] = p.t
         qlen[slot, 0] = len(p.q)
         tlen[slot, 0] = len(p.t)
+        is_global[slot] = p.mode == "global"
 
-    ptr, meta = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
-                         interpret)
+    res = dispatch(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
+                   interpret, is_global)
+    if isinstance(res, tuple) and len(res) == 2 and \
+            isinstance(res[0], str) and res[0] == "fused":
+        # single-dispatch path: meta + traceback steps came back together
+        meta, ks, buf = res[1]
+        for slot, i in enumerate(chunk_idx):
+            p = problems[i]
+            if p.mode == "global":
+                qi, tj = len(p.q), len(p.t)
+            else:
+                qi, tj = int(meta[slot, 0]), int(meta[slot, 1])
+                if int(meta[slot, 2]) <= 0:
+                    results[i] = DpResult([], 0, 0)
+                    continue
+            results[i] = DpResult(
+                _merge_steps(buf[slot, :ks[slot]]), qi, tj)
+        return
+    ptr, meta = res
 
     starts: List[Tuple[int, int, int]] = []  # (slot, qi, tj)
     for slot, i in enumerate(chunk_idx):
