@@ -148,7 +148,8 @@ def chain_batch_jax(per_read_segments: List[List[Segment]], *,
         # are sliced off below — per-candidate results are identical to
         # the single-device dispatch.
         args, _b = shard_batch(mesh, [qs, qe, ts, te, cov, n_seg])
-        rows = jax.device_get(fn(*args))
+        from mandalorion_tpu.parallel.mesh import fetch_global
+        rows = fetch_global(fn(*args))
         parent, best, best_score = _unpack_chain(rows[:B], MAX_SEG)
     else:
         rows = jax.device_get(

@@ -171,10 +171,11 @@ def _dispatch_rowscan(q_arr, t_arr, qlen, tlen, cfg, max_q, width,
     if mesh is not None:
         # the DP problem batch shards over the mesh (module A 'reads'
         # axis); padding rows carry qlen=0 and are sliced off
+        from mandalorion_tpu.parallel.mesh import fetch_global
         args, b = shard_batch(
             mesh, [q_arr, t_arr, qlen[:, 0].copy(), tlen[:, 0].copy()])
         ptr, meta = fn(*args)
-        return np.asarray(ptr)[:b], np.asarray(meta)[:b]
+        return fetch_global(ptr)[:b], fetch_global(meta)[:b]
     ptr, meta = fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
                    jnp.asarray(qlen[:, 0]), jnp.asarray(tlen[:, 0]))
     return np.asarray(ptr), np.asarray(meta)

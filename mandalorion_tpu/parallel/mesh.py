@@ -66,6 +66,20 @@ def shard_batch(mesh: Mesh, arrays: Sequence[np.ndarray],
     return out, b
 
 
+def fetch_global(x) -> np.ndarray:
+    """Materialize a (possibly cross-process-sharded) device array on
+    EVERY process as numpy. Single-process: a plain fetch. Multi-process
+    (jax.distributed): batch-dim-0-sharded arrays are not fully
+    addressable on any one host, so all-gather the shards first — this is
+    what lets the production dispatch entry points (chain DP, rowscan DP)
+    run unchanged on a >1-process global mesh (SURVEY §5.8)."""
+    if jax.process_count() > 1 and isinstance(x, jax.Array) \
+            and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Tuple[str, ...] = ("reads", "loci")) -> Mesh:
     """Build a mesh over the first n devices. With two axes the device

@@ -274,8 +274,18 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
     score, d1, d2, op, op0, node0, orig1, orig2, offs = _align_rows(
         base_r, preds_r, n_nodes, q, qlen, n_hi,
         match, mismatch, o1, e1, o2, e2, band, W, adaptive)
-    n_cap = base_r.shape[0]
-    l_cap = q.shape[0]
+    return _traceback_from_mats(
+        preds_r, n_nodes, is_end_r, qlen, score, d1, d2, op, op0, node0,
+        orig1, orig2, offs, o1, e1, o2, e2, W, q.shape[0])
+
+
+def _traceback_from_mats(preds_r, n_nodes, is_end_r, qlen,
+                         score, d1, d2, op, op0, node0, orig1, orig2,
+                         offs, o1, e1, o2, e2, W, l_cap):
+    """The on-device pointer walk over precomputed state matrices (shared
+    by the XLA forward pass above and the Pallas one in
+    poa/pallas_kernel.py — both produce the same matrix contract)."""
+    n_cap = preds_r.shape[0]
 
     def cell(mat, t, j, fill=NEG):
         """mat value at matrix row t, ABSOLUTE column j (NEG-fill outside
@@ -390,6 +400,39 @@ _align_traceback_batch = jax.jit(
     static_argnames=("match", "mismatch", "o1", "e1", "o2", "e2", "band",
                      "W", "adaptive"))
 
+# matrices from the Pallas forward pass are row-major (n_cap+1, B, W) and
+# offs (n_cap+1, B): batch axis 1 — vmapping there avoids a 2 GB transpose
+_traceback_from_mats_batch = jax.jit(
+    jax.vmap(_traceback_from_mats,
+             in_axes=(0, 0, 0, 0) + (1,) * 9 + (None,) * 6),
+    static_argnames=("o1", "e1", "o2", "e2", "W", "l_cap"))
+
+
+def _poa_pallas_mode(params, preds, nn, W):
+    """None = use the XLA forward pass; otherwise the `interpret` flag for
+    the Pallas forward kernel (poa/pallas_kernel.py). Pallas is used on a
+    real accelerator (or under MANDO_POA_PALLAS=interpret for CPU parity
+    tests) when the banding is adaptive (the production model) and every
+    graph's predecessor back-distance fits the kernel's VMEM ring."""
+    import os
+    mode = os.environ.get("MANDO_POA_PALLAS", "auto")
+    if mode == "0" or not params.adaptive:
+        return None
+    if mode == "interpret":
+        interpret = True
+    else:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return None
+        interpret = False
+    from mandalorion_tpu.poa.pallas_kernel import (max_back_distance,
+                                                   ring_depth)
+    k = ring_depth(W)
+    for b in range(preds.shape[0]):
+        if max_back_distance(preds[b], int(nn[b])) >= k:
+            return None
+    return interpret
+
 
 def _item_width(n_nodes: int, qlen: int, band: int, l_cap: int,
                 adaptive: bool = False) -> int:
@@ -481,10 +524,26 @@ def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
         buf = np.asarray(buf)[:b]
         ks = np.asarray(ks)[:b]
     else:
-        buf, ks = _align_traceback_batch(
-            base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
-            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-            pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
+        interpret = _poa_pallas_mode(pp, preds, nn, W)
+        if interpret is not None:
+            # Pallas forward pass (the whole row loop compiled into one
+            # Mosaic program) + the shared XLA traceback walk
+            from mandalorion_tpu.poa.pallas_kernel import \
+                poa_forward_pallas
+            mats = poa_forward_pallas(
+                base, preds, nn, qq, ql, int(nn.max()),
+                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+                pp.gap_open2, pp.gap_extend2, pp.band, W,
+                interpret=interpret)
+            buf, ks = _traceback_from_mats_batch(
+                preds, nn, ends, ql, *mats,
+                pp.gap_open, pp.gap_extend, pp.gap_open2, pp.gap_extend2,
+                W, l_cap)
+        else:
+            buf, ks = _align_traceback_batch(
+                base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
+                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+                pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
         buf = np.asarray(buf)
         ks = np.asarray(ks)
     for bi, gi in enumerate(batch):

@@ -1,0 +1,386 @@
+"""Pallas TPU forward pass for the batched seq-to-graph POA DP.
+
+The XLA `fori_loop` form of the graph DP (poa/kernels.py `_align_rows`)
+costs ~50 us per problem-row on a v5e — each row is a handful of
+(1, W<=2048)-lane vector ops plus a few dynamic row reads, so the loop is
+pure per-iteration overhead, and it does NOT amortize with batch size
+(measured r4: B=16 -> 3.8 s, B=61 -> 14.5 s for one 4096-row round).
+This kernel compiles the whole row loop into one Mosaic program, exactly
+like the aligner's Pallas DP (align/kernels.py): grid = (batch tiles,
+rank rows), DP state in VMEM scratch, every row's matrices streamed
+straight to HBM for the (unchanged) XLA traceback to walk.
+
+Graph-DP-specific parts:
+- predecessor rows live in a K-deep circular VMEM window per problem
+  (reads `h_ring[t*K + (pred_rank & (K-1))]` — dynamic sublane reads are
+  legal in Mosaic); the host gates dispatch on the graph's maximum
+  predecessor back-distance <= K-1 and falls back to the XLA path
+  otherwise (virtual-source reads are served from a dedicated row-0
+  scratch, so rank-0 restarts never age out of the ring);
+- window realignment between a predecessor row's band offset and the
+  current row's (the `shifted` read in `_align_rows`) is a dynamic LANE
+  shift, which Mosaic only allows 128-aligned — so it is done as a
+  `pltpu.roll` of a NEG-extended row followed by a static slice, with the
+  exact `ok` bounds mask applied on top (wrap-around values never leak);
+- the adaptive (-S) band center needs the best-column of the best
+  predecessor row: per-row `bestc`/`offs` scalars live in K-lane rings
+  read by small rolls.
+
+Bit-identical contract: produces the same eight windowed state matrices,
+offsets, and therefore the same traceback paths as `_align_rows`
+(tests/test_poa_pallas.py asserts consensus equality on randomized graphs
+via interpret mode; the TPU build is additionally spot-checked on
+hardware). Adaptive banding only — the production banding model
+(PoaParams.adaptive, NOTES r3); static-band calls use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mandalorion_tpu.poa.graph import NEG
+
+TILE = 8              # problems per grid tile (Mosaic sublane alignment)
+LANE = 128
+_RING_BYTES = 6 * 1024 * 1024   # VMEM budget for the 3 state rings
+
+
+def ring_depth(W: int) -> int:
+    """Predecessor-window depth for a given banded width (pow2)."""
+    k = 1
+    while 3 * TILE * (2 * k) * W * 4 <= _RING_BYTES:
+        k *= 2
+    return k
+
+
+def _cummax_lane(x):
+    """Inclusive prefix max along the lane axis (doubling rolls)."""
+    n = x.shape[-1]
+    jidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    d = 1
+    while d < n:
+        rolled = pltpu.roll(x, shift=d, axis=x.ndim - 1)
+        x = jnp.maximum(x, jnp.where(jidx >= d, rolled, NEG))
+        d *= 2
+    return x
+
+
+def _shift_right_fill(x, fill):
+    """out[..., e] = x[..., e-1]; out[..., 0] = fill (a traced scalar)."""
+    jidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    rolled = pltpu.roll(x, shift=1, axis=x.ndim - 1)
+    return jnp.where(jidx >= 1, rolled, fill)
+
+
+def _dyn_window(row_ext, rel0, W):
+    """(1, 3W) NEG-extended row -> (1, W) window starting at rel0
+    (out[e] = row[rel0 + e]; any wrap-around is masked by the caller's
+    `ok` bounds check)."""
+    sh = jnp.mod(-rel0, 3 * W)
+    return pltpu.roll(row_ext, shift=sh, axis=1)[:, :W]
+
+
+def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
+                    score_ref, d1_ref, d2_ref, op_ref, op0_ref,
+                    node0_ref, orig1_ref, orig2_ref, offsb_ref,
+                    h_ring, d1_ring, d2_ring, offs_ring, bestc_ring,
+                    row0_scr,
+                    *, match, mismatch, o1, e1, o2, e2, band, W, K,
+                    p_cap):
+    i = pl.program_id(0)                      # batch tile
+    j = pl.program_id(1)                      # matrix row (0 = boundary)
+    n_hi = meta_ref[0, 2]                     # batch-max node count
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    neg_row = jnp.full((1, W), NEG, jnp.int32)
+    kzero = jnp.zeros((1, K), jnp.int32)
+
+    @pl.when(j == 0)
+    def _init():
+        for t in range(TILE):
+            qlen = meta_ref[pl.ds(i * TILE + t, 1), :][0, 1]
+            g0 = -jnp.minimum(o1 + e1 * cidx, o2 + e2 * cidx)
+            g0 = jnp.where(cidx == 0, 0, g0)
+            g0 = jnp.where(cidx > jnp.minimum(qlen, band), NEG, g0)
+            score_ref[0, t, :] = g0[0]
+            d1_ref[0, t, :] = neg_row[0]
+            d2_ref[0, t, :] = neg_row[0]
+            op_ref[0, t, :] = jnp.full((W,), 1, jnp.int32)
+            op0_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            node0_ref[0, t, :] = jnp.full((W,), -2, jnp.int32)
+            orig1_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            orig2_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            offsb_ref[0, t, :] = jnp.zeros((LANE,), jnp.int32)
+            row0_scr[t, :] = g0[0]
+            h_ring[t * K, :] = g0[0]
+            d1_ring[t * K, :] = neg_row[0]
+            d2_ring[t * K, :] = neg_row[0]
+            offs_ring[t, :] = kzero[0]
+            bestc_ring[t, :] = kzero[0]
+
+    @pl.when((j > 0) & (j <= n_hi))
+    def _row():
+        slot = j & (K - 1)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        for t in range(TILE):
+            qlen = meta_ref[pl.ds(i * TILE + t, 1), :][0, 1]
+            base_v = rowdata_ref[0, t, p_cap]
+
+            # ---- adaptive band center: best pred row's first-max col + 1
+            c = jnp.int32(NEG)
+            for p in range(p_cap):
+                pr = rowdata_ref[0, t, p]
+                prc = jnp.maximum(pr, 0)
+                bc_row = bestc_ring[t:t + 1, :]
+                bc = pltpu.roll(bc_row, shift=jnp.mod(
+                    -(prc & (K - 1)), K), axis=1)[0, 0]
+                bc = jnp.where(prc == 0, 0, bc)
+                c = jnp.maximum(c, jnp.where(pr >= 0, bc, NEG))
+            center = c + 1
+            off = jnp.clip(center - band, 0,
+                           jnp.maximum(0, qlen + 1 - W))
+            jabs = off + cidx
+            j0 = jnp.maximum(0, center - band)
+            j1 = jnp.minimum(qlen, center + band)
+            masked = (jabs < j0) | (jabs > j1)
+
+            # query window: qm1[e] = q[jabs[e] - 1] via q_ext roll
+            q_row = q_ref[pl.ds(i * TILE + t, 1), :]
+            LQ = q_row.shape[1]
+            qm1 = pltpu.roll(q_row, shift=jnp.mod(-off, LQ),
+                             axis=1)[:, :W]
+            sub = jnp.where(qm1 == base_v, match, -mismatch
+                            ).astype(jnp.int32)
+
+            # ---- predecessor reads
+            best_diag = jnp.full((1, W), NEG, jnp.int32)
+            rank_diag = jnp.full((1, W), -2, jnp.int32)
+            d1_row = jnp.full((1, W), NEG, jnp.int32)
+            d2_row = jnp.full((1, W), NEG, jnp.int32)
+            for p in range(p_cap):
+                pr = rowdata_ref[0, t, p]
+                prc = jnp.maximum(pr, 0)
+                pslot = prc & (K - 1)
+                off_row = offs_ring[t:t + 1, :]
+                off_p = pltpu.roll(off_row, shift=jnp.mod(
+                    -pslot, K), axis=1)[0, 0]
+                off_p = jnp.where(prc == 0, 0, off_p)
+                rel0 = off - 1 - off_p
+
+                is0 = prc == 0
+                h_row = jnp.where(
+                    is0, row0_scr[t:t + 1, :],
+                    h_ring[pl.ds(t * K + pslot, 1), :])
+                d1p_row = jnp.where(
+                    is0, neg_row,
+                    d1_ring[pl.ds(t * K + pslot, 1), :])
+                d2p_row = jnp.where(
+                    is0, neg_row,
+                    d2_ring[pl.ds(t * K + pslot, 1), :])
+
+                ext_h = jnp.concatenate([h_row, neg_row, neg_row], axis=1)
+                ext_d1 = jnp.concatenate([d1p_row, neg_row, neg_row],
+                                         axis=1)
+                ext_d2 = jnp.concatenate([d2p_row, neg_row, neg_row],
+                                         axis=1)
+
+                # diag window: value at stored lane rel0 + e  (abs col
+                # off-1+e); next window: rel0 + 1 + e (abs col off+e)
+                eabs_d = (off - 1) + cidx
+                ok_d = ((pr >= 0) & (rel0 + cidx >= 0)
+                        & (rel0 + cidx < W) & (eabs_d >= 0))
+                ok_n = ((pr >= 0) & (rel0 + 1 + cidx >= 0)
+                        & (rel0 + 1 + cidx < W))
+                w_diag = jnp.where(ok_d, _dyn_window(ext_h, rel0, W), NEG)
+                w_h = jnp.where(ok_n, _dyn_window(ext_h, rel0 + 1, W),
+                                NEG)
+                w_d1 = jnp.where(ok_n, _dyn_window(ext_d1, rel0 + 1, W),
+                                 NEG)
+                w_d2 = jnp.where(ok_n, _dyn_window(ext_d2, rel0 + 1, W),
+                                 NEG)
+
+                better = w_diag > best_diag
+                best_diag = jnp.where(better, w_diag, best_diag)
+                rank_diag = jnp.where(better, pr, rank_diag)
+                d1_row = jnp.maximum(
+                    d1_row, jnp.maximum(w_h - (o1 + e1), w_d1 - e1))
+                d2_row = jnp.maximum(
+                    d2_row, jnp.maximum(w_h - (o2 + e2), w_d2 - e2))
+            d1_row = jnp.where(masked, NEG, d1_row)
+            d2_row = jnp.where(masked, NEG, d2_row)
+
+            # ---- H pre-insertion: diag >= D1 >= D2 on ties
+            row = jnp.where(jabs == 0, NEG, best_diag + sub)
+            rowo = jnp.zeros((1, W), jnp.int32)
+            rown = jnp.where(jabs == 0, -2, rank_diag)
+            m = d1_row > row
+            row = jnp.where(m, d1_row, row)
+            rowo = jnp.where(m, 2, rowo)
+            m = d2_row > row
+            row = jnp.where(m, d2_row, row)
+            rowo = jnp.where(m, 4, rowo)
+            row = jnp.where(masked, NEG, row)
+
+            # ---- convex insertions via prefix-max scans
+            fin = row
+            fino = rowo
+            org_out = []
+            for oo, ee, code in ((o1, e1, 1), (o2, e2, 3)):
+                vals = row + ee * jabs
+                acc_c = jnp.where(off > 0, NEG + ee * (off - 1),
+                                  jnp.int32(NEG - 1))
+                if ee > 0:
+                    org_c = jnp.where(off > 0, off - 1, -1)
+                else:
+                    org_c = jnp.where(off > 0, 0, -1)
+                acc = jnp.maximum(_cummax_lane(vals), acc_c)
+                prev_acc = _shift_right_fill(acc, acc_c)
+                is_new = vals > prev_acc
+                org = jnp.maximum(
+                    _cummax_lane(jnp.where(is_new, jabs, -1)), org_c)
+                ins = acc - oo - ee * jabs
+                m = ins > fin
+                fin = jnp.where(m, ins, fin)
+                fino = jnp.where(m, code, fino)
+                org_out.append(jnp.where(m, org, 0))
+            fin = jnp.where(masked, NEG, fin)
+
+            # ---- stream the row out + update rings
+            score_ref[0, t, :] = fin[0]
+            d1_ref[0, t, :] = d1_row[0]
+            d2_ref[0, t, :] = d2_row[0]
+            op_ref[0, t, :] = fino[0]
+            op0_ref[0, t, :] = rowo[0]
+            node0_ref[0, t, :] = rown[0]
+            orig1_ref[0, t, :] = org_out[0][0]
+            orig2_ref[0, t, :] = org_out[1][0]
+            lidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            offsb_ref[0, t, :] = jnp.where(lidx == 0, off, 0)[0]
+
+            h_ring[pl.ds(t * K + slot, 1), :] = fin
+            d1_ring[pl.ds(t * K + slot, 1), :] = d1_row
+            d2_ring[pl.ds(t * K + slot, 1), :] = d2_row
+            offs_ring[t, :] = jnp.where(kidx == slot, off,
+                                        offs_ring[t:t + 1, :])[0]
+            row_best = jnp.max(fin)
+            bcol = jnp.where(
+                row_best <= NEG, 0,
+                off + jnp.min(jnp.where(fin == row_best, cidx, W)))
+            bestc_ring[t, :] = jnp.where(kidx == slot, bcol,
+                                         bestc_ring[t:t + 1, :])[0]
+
+    @pl.when(j > n_hi)
+    def _inert():
+        # rows past the batch's max node count keep init-pattern values
+        # (the XLA path never writes them either)
+        for t in range(TILE):
+            score_ref[0, t, :] = neg_row[0]
+            d1_ref[0, t, :] = neg_row[0]
+            d2_ref[0, t, :] = neg_row[0]
+            op_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            op0_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            node0_ref[0, t, :] = jnp.full((W,), -2, jnp.int32)
+            orig1_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            orig2_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
+            offsb_ref[0, t, :] = jnp.zeros((LANE,), jnp.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, B, n_cap,
+                p_cap, lq, interpret):
+    K = ring_depth(W)
+    assert B % TILE == 0
+    kernel = functools.partial(
+        _poa_fwd_kernel, match=match, mismatch=mismatch, o1=o1, e1=e1,
+        o2=o2, e2=e2, band=band, W=W, K=K, p_cap=p_cap)
+    mats = [jax.ShapeDtypeStruct((n_cap + 1, B, W), jnp.int32)
+            for _ in range(8)]
+    fn = pl.pallas_call(
+        kernel,
+        grid=(B // TILE, n_cap + 1),
+        in_specs=[
+            pl.BlockSpec((B, LANE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # meta
+            pl.BlockSpec((1, TILE, LANE), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),          # rowdata
+                         # (host shifts rowdata one row down: block j
+                         # holds graph row j-1; row 0 is a dummy)
+            pl.BlockSpec((B, lq), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),          # q_ext
+        ],
+        out_specs=[pl.BlockSpec((1, TILE, W), lambda i, j: (j, i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in range(8)]
+        + [pl.BlockSpec((1, TILE, LANE), lambda i, j: (j, i, 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=mats + [jax.ShapeDtypeStruct((n_cap + 1, B, LANE),
+                                               jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((TILE * K, W), jnp.int32),   # h_ring
+            pltpu.VMEM((TILE * K, W), jnp.int32),   # d1_ring
+            pltpu.VMEM((TILE * K, W), jnp.int32),   # d2_ring
+            pltpu.VMEM((TILE, K), jnp.int32),       # offs_ring
+            pltpu.VMEM((TILE, K), jnp.int32),       # bestc_ring
+            pltpu.VMEM((TILE, W), jnp.int32),       # row0
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def max_back_distance(preds_r: np.ndarray, n_nodes: int) -> int:
+    """Largest (row - predecessor_row) over real predecessors (the
+    virtual source row 0 is excluded — the kernel serves it from a
+    dedicated scratch, so rank-0 restarts never constrain the ring)."""
+    rows = np.arange(1, n_nodes + 1)[:, None]
+    pr = preds_r[:n_nodes].astype(np.int64)
+    back = np.where(pr >= 1, rows - pr, 0)
+    return int(back.max(initial=0))
+
+
+def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
+                       match, mismatch, o1, e1, o2, e2, band, W,
+                       interpret: bool = False):
+    """Batched forward pass. Inputs: base (B, n_cap), preds (B, n_cap,
+    p_cap), nn (B,), qq (B, l_cap), ql (B,). Returns the 8 state matrices
+    in ROW-major layout (n_cap+1, B, W) + offs (n_cap+1, B) — the same
+    values as vmapped `_align_rows` with the batch axis second."""
+    B, n_cap = base.shape
+    p_cap = preds.shape[2]
+    l_cap = qq.shape[1]
+    # pad batch to a tile multiple (inert rows: nn=0, ql=0)
+    Bp = -(-B // TILE) * TILE
+    if Bp != B:
+        pad = Bp - B
+        base = np.concatenate([base, np.zeros((pad, n_cap), np.int32)])
+        preds = np.concatenate(
+            [preds, np.full((pad, n_cap, p_cap), -1, np.int32)])
+        nn = np.concatenate([nn, np.zeros(pad, np.int32)])
+        qq = np.concatenate([qq, np.zeros((pad, l_cap), np.int32)])
+        ql = np.concatenate([ql, np.zeros(pad, np.int32)])
+    meta = np.zeros((Bp, LANE), np.int32)
+    meta[:, 0] = nn
+    meta[:, 1] = ql
+    meta[:, 2] = n_hi
+    # rowdata: per-row preds + base in one streamed block, shifted one
+    # row down so grid row j reads graph row j-1 with an identity
+    # index map (row 0 is a dummy)
+    rowdata = np.full((n_cap + 1, Bp, LANE), -1, np.int32)
+    rowdata[1:, :, :p_cap] = preds.transpose(1, 0, 2)
+    rowdata[1:, :, p_cap] = base.T
+    # q_ext: [boundary 0, q, zeros]; width W + 128-aligned
+    LQ = -(-(l_cap + 1 + W) // LANE) * LANE
+    q_ext = np.zeros((Bp, LQ), np.int32)
+    q_ext[:, 1:1 + l_cap] = qq
+    fn = _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, Bp, n_cap,
+                     p_cap, LQ, interpret)
+    outs = fn(jnp.asarray(meta), jnp.asarray(rowdata), jnp.asarray(q_ext))
+    mats = [o[:, :B] for o in outs[:8]]
+    offs = outs[8][:, :B, 0]
+    return tuple(mats) + (offs,)

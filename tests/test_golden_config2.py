@@ -1,0 +1,203 @@
+"""Golden reference-parity beyond the 2-gene dataset (VERDICT r3 #6):
+
+- the ADVERSARIAL config-2 truth set (overlapping same-strand genes,
+  antisense pair, exon skipping, processed-pseudogene decoy) through the
+  REFERENCE Mando.py (replay-stub minimap2/abpoa) vs our pipeline;
+- a multi-locus multi-chromosome dataset (3 chromosomes x 2 genes);
+- randomized-CIGAR emtrey parity: reference emtrey.parseLine vs our
+  sam_to_psl_line on the same synthetic SAM fields, byte-for-byte.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import oracle
+import synthdata
+from mandalorion_tpu.config import AlignConfig, PipelineConfig
+from mandalorion_tpu.io.fastx import revcomp, write_fasta
+from mandalorion_tpu.io.sam import sam_to_psl_line
+from mandalorion_tpu.pipeline.stages import run_pipeline
+
+pytestmark = pytest.mark.skipif(
+    not oracle.reference_available(), reason="reference tree not mounted")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_stub_tools(tmp, genome_fa, reads_sam):
+    bin_dir = tmp / "bin"
+    bin_dir.mkdir()
+    (bin_dir / "minimap2").write_text(f"""#!/bin/bash
+for arg in "$@"; do
+  if [[ "$arg" == *Isoform_Consensi* ]]; then
+    python3 {REPO}/tools/_align_stub.py {genome_fa} "$arg"
+    exit 0
+  fi
+done
+cat {reads_sam}
+""")
+    (bin_dir / "minimap2").chmod(0o755)
+    (bin_dir / "abpoa").write_text("#!/bin/bash\nexit 0\n")
+    (bin_dir / "abpoa").chmod(0o755)
+    (bin_dir / "scp").write_text("#!/bin/bash\ncp \"$@\"\n")
+    (bin_dir / "scp").chmod(0o755)
+    return bin_dir
+
+
+def _run_reference(tmp, bin_dir, extra=()):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.join(REPO, "tests", "stubs")
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env["PATH"] = str(bin_dir) + os.pathsep + env.get("PATH", "")
+    ref = tmp / "ref"
+    ref.mkdir()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(oracle.REFERENCE, "Mando.py"),
+         "-p", str(ref), "-g", str(tmp / "ann.gtf"),
+         "-G", str(tmp / "genome.fasta"),
+         "-f", str(tmp / "reads.fasta"), "-t", "1",
+         "--mm2_path", str(bin_dir / "minimap2")] + list(extra),
+        env=env, capture_output=True, text=True, timeout=900,
+        cwd=str(ref))  # the reference writes ./abpoa.messages to its cwd
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return ref
+
+
+def _assert_golden_parity(ours, ref):
+    assert (ours / "Mando_isoforms.read_stat.txt").read_text() == \
+           (ref / "Mando_isoforms.read_stat.txt").read_text()
+    assert (ours / "Isoforms.filtered.clean.quant").read_text() == \
+           (ref / "Isoforms.filtered.clean.quant").read_text()
+    mine = (ours / "Isoforms.filtered.clean.genes"
+            ).read_text().splitlines()
+    theirs = (ref / "Isoforms.filtered.clean.genes"
+              ).read_text().splitlines()
+    assert len(mine) == len(theirs)
+    for m_line, t_line in zip(mine, theirs):
+        m = m_line.split("\t")
+        t = t_line.split("\t")
+        # names/locus/chrom/best-gene/overlap set exact; coords tolerate
+        # the reference's random-member-read consensus end wobble
+        assert m[0] == t[0] and m[1] == t[1] and m[2] == t[2]
+        assert abs(int(m[3]) - int(t[3])) <= 10
+        assert abs(int(m[4]) - int(t[4])) <= 10
+        assert m[5] == t[5]
+        assert sorted(m[6].split(",")) == sorted(t[6].split(","))
+
+
+def test_golden_config2_adversarial(tmp_path):
+    """The config-2 adversarial truth set through the reference D/F/Q
+    chain vs ours: byte parity on read_stat + quant, column parity on
+    genes (defineIsoforms.py:55-91, filterIsoforms.py:461-509,
+    assignReadsToIsoforms.py:27-48)."""
+    from mandalorion_tpu.utils.simulate import make_adversarial_dataset
+    make_adversarial_dataset(str(tmp_path), reads_per_isoform=10,
+                             sub_rate=0.01, seed=7)
+    ours = tmp_path / "ours"
+    cfg = PipelineConfig(align=AlignConfig(emit_sam=True), threads=1)
+    run_pipeline(str(ours), str(tmp_path / "genome.fasta"),
+                 str(tmp_path / "ann.gtf"), str(tmp_path / "reads.fasta"),
+                 cfg)
+    bin_dir = _write_stub_tools(tmp_path, tmp_path / "genome.fasta",
+                                ours / "tmp" / "mm2Alignments.sam")
+    ref = _run_reference(tmp_path, bin_dir)
+    _assert_golden_parity(ours, ref)
+
+
+def test_golden_multichrom_multilocus(tmp_path):
+    """3 chromosomes x 2 genes: the per-chromosome module F fan-out and
+    the locus splitter's chromosome transitions vs the reference."""
+    rng = np.random.default_rng(17)
+    genomes = {}
+    reads = []
+    gtf = []
+    for ci in range(3):
+        chrom = f"chr{ci + 1}"
+        genome = synthdata.make_genome(30_000, seed=200 + ci)
+        for gi in range(2):
+            base = 4000 + gi * 14_000
+            exons = [(base, base + 500), (base + 2000, base + 2600),
+                     (base + 4500, base + 5000)]
+            strand = "+" if (ci + gi) % 2 == 0 else "-"
+            genome = synthdata.plant_introns(genome, exons, strand=strand)
+            t = synthdata.transcript_seq(genome, exons)
+            if strand == "-":
+                t = revcomp(t)
+            for k in range(12):
+                r, _ = synthdata.mutate_read(t, rng, 0.01)
+                reads.append((f"c{ci}g{gi}r{k}", r))
+            gtf.append(synthdata.gtf_lines(
+                chrom, f"G{ci}{gi}", f"T{ci}{gi}", exons, strand=strand))
+        genomes[chrom] = genome
+    (tmp_path / "genome.fasta").write_text(
+        "".join(f">{c}\n{s}\n" for c, s in genomes.items()))
+    write_fasta(str(tmp_path / "reads.fasta"), reads)
+    (tmp_path / "ann.gtf").write_text("".join(gtf))
+
+    ours = tmp_path / "ours"
+    cfg = PipelineConfig(align=AlignConfig(emit_sam=True), threads=1)
+    run_pipeline(str(ours), str(tmp_path / "genome.fasta"),
+                 str(tmp_path / "ann.gtf"), str(tmp_path / "reads.fasta"),
+                 cfg)
+    quant = (ours / "Isoforms.filtered.clean.quant").read_text()
+    assert quant.count("\n") >= 6  # header + one isoform per gene
+    bin_dir = _write_stub_tools(tmp_path, tmp_path / "genome.fasta",
+                                ours / "tmp" / "mm2Alignments.sam")
+    ref = _run_reference(tmp_path, bin_dir)
+    _assert_golden_parity(ours, ref)
+
+
+# ------------------------------------------------- emtrey CIGAR fuzzing
+
+@pytest.fixture(scope="module")
+def ref_emtrey(tmp_path_factory):
+    out = tmp_path_factory.mktemp("emtrey") / "out.psl"
+    return oracle.load_script_functions(
+        "emtrey.py", ["-o", str(out), "-i", "in.sam", "-m"],
+        stop_at="def processSamBatch")
+
+
+def _random_cigar(rng):
+    """Random plausible long-read CIGAR: clips, matches, indels,
+    introns."""
+    parts = []
+    if rng.random() < 0.5:
+        parts.append(f"{rng.integers(1, 40)}S")
+    parts.append(f"{rng.integers(10, 200)}M")
+    for _ in range(int(rng.integers(0, 6))):
+        op = rng.choice(["I", "D", "N"])
+        ln = (int(rng.integers(20, 5000)) if op == "N"
+              else int(rng.integers(1, 15)))
+        parts.append(f"{ln}{op}")
+        parts.append(f"{rng.integers(10, 200)}M")
+    if rng.random() < 0.5:
+        parts.append(f"{rng.integers(1, 40)}S")
+    return "".join(parts)
+
+
+def test_emtrey_random_cigar_parity(ref_emtrey):
+    """Byte parity of the full 24-col mando PSL line on randomized
+    CIGARs/strands/tags vs the reference's parseLine (emtrey.py:31-152)."""
+    rng = np.random.default_rng(123)
+    bases = "ACGT"
+    for trial in range(120):
+        cigar = _random_cigar(rng)
+        qlen = sum(int(n) for n, op in
+                   __import__("re").findall(r"(\d+)([MIS])", cigar))
+        seq = "".join(bases[int(b)] for b in rng.integers(0, 4, qlen))
+        flag = int(rng.choice([0, 16]))
+        nm = int(rng.integers(0, 8))
+        tags = [f"NM:i:{nm}", "nn:i:0"]
+        if rng.random() < 0.5:
+            tags.append("ts:A:" + ("+" if rng.random() < 0.5 else "-"))
+        tags.append("cs:Z:=ACGT*ag+cc-tt=GG")  # harvested verbatim
+        fields = ["r%d" % trial, str(flag), "chr1",
+                  str(int(rng.integers(1, 100000))), "60", cigar, "*",
+                  "0", "0", seq, "I" * qlen] + tags
+        theirs = ref_emtrey.parseLine(fields, 5_000_000)
+        mine = sam_to_psl_line(fields, 5_000_000, mando=True)
+        assert mine + "\n" == theirs, (cigar, flag, tags)

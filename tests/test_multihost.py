@@ -59,6 +59,86 @@ def test_two_process_distributed_psum(tmp_path):
         assert f"proc {pid} psum OK" in out
 
 
+_WORKER4 = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mandalorion_tpu.parallel.mesh import (make_mesh, multihost_init,
+                                           use_mesh)
+multihost_init(f"127.0.0.1:{port}", 4, pid, timeout_s=120)
+assert jax.process_count() == 4
+assert len(jax.devices()) == 8  # 4 procs x 2 virtual CPU devices
+
+import hashlib
+import numpy as np
+from mandalorion_tpu.align.chain import Segment, chain_segments
+from mandalorion_tpu.align.chain_kernel import chain_batch_jax
+
+# the REAL module-A chain-DP dispatch over the 8-device global mesh:
+# every process holds the same candidate batch (SPMD), the batch dim
+# shards across all four processes' devices, and results all-gather back
+rng = np.random.default_rng(7)
+seg_lists = []
+for b in range(24):
+    segs = []
+    q = t = 0
+    for _ in range(int(rng.integers(3, 12))):
+        ln = int(rng.integers(15, 60))
+        segs.append(Segment(q, q + ln, t, t + ln))
+        q += ln + int(rng.integers(0, 30))
+        t += ln + int(rng.choice([0, 5, 40, 500, 3000]))
+    seg_lists.append(segs)
+mesh = make_mesh(8)
+with use_mesh(mesh):
+    got = chain_batch_jax(seg_lists, min_intron=30, max_intron=400000)
+# byte-identity vs the numpy chain backend on this process
+for segs, (chain, score) in zip(seg_lists, got):
+    ref_chain, ref_score = chain_segments(segs, min_intron=30,
+                                          max_intron=400000)
+    assert [(c.q_start, c.q_end, c.t_start, c.t_end) for c in chain] == \
+           [(c.q_start, c.q_end, c.t_start, c.t_end) for c in ref_chain]
+digest = hashlib.sha256(repr(
+    [(s, [(c.q_start, c.q_end, c.t_start, c.t_end) for c in ch])
+     for ch, s in got]).encode()).hexdigest()
+
+# module Q's cross-process count-matrix psum on the same global mesh
+from mandalorion_tpu.parallel.dist import mesh_count_matrix
+ids = np.repeat(np.arange(12), 3).astype(np.int32)
+counts = mesh_count_matrix(mesh, ids, 12)
+assert (np.asarray(counts).reshape(-1) == 3).all()
+
+print(f"proc {pid} digest {digest}", flush=True)
+"""
+
+
+def test_four_process_sharded_pipeline_step(tmp_path):
+    """4 jax.distributed processes run the actual module-A sharded chain
+    dispatch + the module-Q psum over one 8-device global mesh; every
+    process must produce the byte-identical result (VERDICT r3 #7)."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER4, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(4)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    digests = set()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"proc {pid} digest ")]
+        assert line, out[-2000:]
+        digests.add(line[0].split()[-1])
+    assert len(digests) == 1, digests
+
+
 def test_multihost_init_fails_loudly_on_misconfiguration():
     """An explicit topology that cannot be satisfied must raise, not
     silently proceed single-process (VERDICT r1 weak #7)."""
