@@ -3,42 +3,48 @@
 
 Prints ONE JSON line. Headline metric: reads aligned+assigned per second
 (full APDFQ on a config-1-style dataset, BASELINE.md) on the default
-host-fused path, best of 3 attempts with the attempt spread reported
-(`value_spread`) so host noise is visible instead of silently moving the
-headline (VERDICT r2 weak #1).
+host-fused path, MEDIAN of 5 attempts with the full attempt spread
+reported (`value_spread`) so host noise is visible instead of silently
+moving the headline (VERDICT r3 weak #4).
 
 The same line also carries:
 - `device_path`: the same pipeline with the TPU compute backends selected
-  end to end (chain_backend='device' + dp_backend='pallas'), reported
-  warm (best of 2) AND cold (first attempt) so compile time is split out
-  from steady-state throughput (VERDICT r2 weak #2). Kernel shapes are
-  quantized and persisted via the XLA compilation cache
-  (mandalorion_tpu/runtime.py), so cold ~ warm after the first-ever run
-  on a machine.
-- `poa`: graph-engine POA consensus throughput in bases/s (warm), the
-  second named driver metric (BASELINE.json), on a 16-isoform x 20-read
-  x 2 kb synthetic workload through the production consensus path
-  (resolve_consensus_jobs -> native C++ banded engine, threaded).
+  end to end (chain_backend='device' + dp_backend='pallas'), reported as
+  the median of the warm attempts AND the cold first attempt, plus
+  `cold_kind` ('first-ever' vs 'warm-cache') resolved from whether the
+  persistent XLA compilation cache already had entries (VERDICT r3 #9).
+  `tunnel` embeds this run's measured dispatch round-trip latency and
+  device->host bandwidth so the artifact itself shows what a tunneled
+  dispatch costs (VERDICT r3 #2: evidence, not narrative).
+- `poa`: graph-engine POA consensus throughput in bases/s through the
+  FULL production consensus path — prepare_consensus_jobs (seeded
+  subsample + orientation, the host phase production pays) followed by
+  resolve_consensus_jobs — on a 16-isoform x 20-read x 2 kb synthetic
+  workload (VERDICT r3 weak #8: the host phase is now included, not
+  bypassed). Reported for the host C++ engine (production default) AND
+  the batched device kernel on the chip (VERDICT r3 #3).
 
 vs_baseline compares against the reference pipeline's MEASURED throughput
-on this exact workload (tools/measure_reference_baseline.py): the reference
-ran end-to-end with stub minimap2/abpoa binaries that replay our
-precomputed alignments — i.e. its alignment and consensus compute were
-FREE — and completed at 106.92 reads/s (2000 reads, 18.7 s wall, 8
-threads; same dataset as the bench). The baseline is therefore
-conservative: the real reference (paying for minimap2 + abPOA) is slower.
+on this exact workload (tools/measure_reference_baseline.py): the
+reference ran end-to-end with stub minimap2/abpoa binaries replaying our
+precomputed alignments — its alignment and consensus compute FREE — at
+106.92 reads/s (r1 measurement) and 77.3/91.9/94.8 reads/s re-measured at
+r4 HEAD on the same box. vs_baseline uses the HIGHER r1 figure, i.e. the
+conservative denominator; both appear in `baseline`.
 """
 
 import contextlib
 import json
 import os
 import signal
+import statistics
 import sys
 import tempfile
 import time
 
 # measured via tools/measure_reference_baseline.py (see module docstring)
-REFERENCE_READS_PER_SEC = 106.92
+REFERENCE_READS_PER_SEC = 106.92        # r1 measurement (higher => conservative)
+REFERENCE_READS_PER_SEC_R4 = [77.27, 91.91, 94.76]  # re-measured 2026-08-20
 
 
 class _Watchdog:
@@ -82,6 +88,43 @@ def _device_ready(retries: int = 3, wait_s: int = 20) -> bool:
     return False
 
 
+def _cache_entries() -> int:
+    """Entry count of the persistent XLA compilation cache (0 on a
+    machine's first-ever run; >0 => 'cold' attempts still reuse kernels)."""
+    base = os.environ.get("MANDO_XLA_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mandalorion_tpu", "xla")
+    try:
+        return sum(len(fs) for _d, _s, fs in os.walk(base))
+    except OSError:
+        return 0
+
+
+def _tunnel_stats():
+    """Measured cost of one device dispatch through this run's link:
+    round-trip latency of a tiny jit dispatch+fetch, and D2H bandwidth."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((8, 128), jnp.float32)
+    np.asarray(f(x))  # compile + first-touch
+    t0 = time.time()
+    for _ in range(10):
+        np.asarray(f(x))
+    lat_ms = (time.time() - t0) / 10 * 1000
+    # a FRESH result array each fetch: np.asarray on the same jax.Array
+    # returns a cached host copy after the first call
+    g = jax.jit(lambda x, s: x + s)
+    big = jax.device_put(np.ones(4 * 1024 * 1024, np.float32))
+    np.asarray(g(big, 0.0))  # compile
+    t0 = time.time()
+    for i in range(3):
+        np.asarray(g(big, float(i + 1)))
+    bw = 3 * 16 / (time.time() - t0)
+    return {"dispatch_roundtrip_ms": round(lat_ms, 1),
+            "d2h_MB_per_s": round(bw, 1)}
+
+
 def _run_times(tmp, out_name, cfg, n_reads, attempts):
     from mandalorion_tpu.pipeline.stages import run_pipeline
     times = []
@@ -99,49 +142,46 @@ def _run_times(tmp, out_name, cfg, n_reads, attempts):
     return [n_reads / dt for dt in times]
 
 
-def _poa_bases_per_s():
-    """Graph-engine POA consensus bases/s — the BASELINE.json 'POA
-    consensus bases/sec' metric, measured on the PRODUCTION consensus
-    path (resolve_consensus_jobs: C++ banded engine, one thread per
-    isoform)."""
+def _poa_workload(n_iso=16, n_reads=20, length=2000):
+    """(name, seq) read sets for the production consensus path (strings in,
+    so subsample + orientation are part of the measurement)."""
     import numpy as np
-    from mandalorion_tpu.poa.graph import PoaParams
-    from mandalorion_tpu.poa.consensus import (ConsensusJob,
-                                               resolve_consensus_jobs)
-
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import synthdata
     rng = np.random.default_rng(0)
-
-    def noisy(base, err=0.05):
-        out = []
-        for b in base:
-            r = rng.random()
-            if r < err * 0.4:
-                continue
-            if r < err * 0.7:
-                out.append(int(rng.integers(0, 4)))
-                out.append(int(b))
-            elif r < err:
-                out.append(int(rng.integers(0, 4)))
-            else:
-                out.append(int(b))
-        return np.array(out, np.uint8)
-
     sets = []
-    for _ in range(16):
-        base = rng.integers(0, 4, 2000).astype(np.uint8)
-        sets.append([noisy(base) for _ in range(20)])
-    params = PoaParams(band=30, adaptive=True)  # production auto band
+    for i in range(n_iso):
+        true = synthdata.make_genome(length, seed=900 + i)
+        reads = []
+        for r in range(n_reads):
+            seq, _ = synthdata.mutate_read(true, rng, 0.05)
+            reads.append((f"i{i}r{r}", seq))
+        sets.append(reads)
+    bases = sum(len(s) for ss in sets for _n, s in ss)
+    return sets, bases
 
-    def jobs():
-        return [ConsensusJob([], oriented=ss, params=params, fallback="")
-                for ss in sets]
 
-    resolve_consensus_jobs(jobs())  # warmup (native build, thread pool)
+def _poa_bases_per_s(backend, n_iso=16, n_reads=20):
+    """Graph-engine POA bases/s through the FULL production path:
+    prepare_consensus_jobs (subsample + orientation) +
+    resolve_consensus_jobs on the given backend."""
+    import numpy as np
+    from mandalorion_tpu.config import PoaConfig
+    from mandalorion_tpu.poa.consensus import (prepare_consensus_jobs,
+                                               resolve_consensus_jobs)
+    sets, bases = _poa_workload(n_iso=n_iso, n_reads=n_reads)
+    cfg = PoaConfig()
+
+    def run():
+        jobs = prepare_consensus_jobs(sets, cfg,
+                                      np.random.default_rng(0))
+        resolve_consensus_jobs(jobs, backend=backend)
+
+    run()  # warmup (native build / kernel compiles, same shapes)
     t0 = time.time()
-    resolve_consensus_jobs(jobs())
-    dt = time.time() - t0
-    bases = sum(len(s) for ss in sets for s in ss)
-    return bases / dt
+    run()
+    return bases / (time.time() - t0)
 
 
 def main():
@@ -149,10 +189,11 @@ def main():
     from mandalorion_tpu.utils.simulate import make_dataset
 
     threads = os.cpu_count() or 8
+    cache_before = _cache_entries()
     with tempfile.TemporaryDirectory() as tmp:
         n_reads = make_dataset(tmp)
         host_rps = _run_times(tmp, "host", PipelineConfig(threads=threads),
-                              n_reads, attempts=3)
+                              n_reads, attempts=5)
 
         # the r3 default-engine flip (star -> graph POA, the abPOA
         # analogue) moved real consensus compute INTO the headline while
@@ -160,13 +201,19 @@ def main():
         # replay stubs; report the star fast path alongside so the
         # engine cost stays visible in the artifact, not just in NOTES
         from mandalorion_tpu.config import PoaConfig
-        star_rps = _run_times(
-            tmp, "star", PipelineConfig(threads=threads,
-                                        poa=PoaConfig(engine="star")),
-            n_reads, attempts=2)
+        try:
+            with _Watchdog(900):
+                star_rps = _run_times(
+                    tmp, "star",
+                    PipelineConfig(threads=threads,
+                                   poa=PoaConfig(engine="star")),
+                    n_reads, attempts=2)
+            star = round(max(star_rps), 2)
+        except BaseException as e:  # never lose the headline to a flake
+            star = f"error: {str(e)[:120]}"
 
-        # device path: chain DP + Pallas affine-gap DP on the chip, warm
-        # (best of 2) with the cold first attempt reported alongside
+        # device path: chain DP + Pallas affine-gap DP on the chip,
+        # median of the warm attempts, cold first attempt alongside
         dev_dir = os.path.join(tmp, "dev_data")
         dev_reads = make_dataset(dev_dir, n_genes=4, n_reads_per_gene=75,
                                  genome_len=120_000)
@@ -179,29 +226,50 @@ def main():
                     raise TimeoutError("device backend init failing "
                                        "(tunnel down after retries)")
                 rps = _run_times(dev_dir, "dev", dev_cfg, dev_reads,
-                                 attempts=2)
-            device_path = {"reads_per_s": round(max(rps), 2),
-                           "reads_per_s_cold": round(rps[0], 2),
-                           "reads": dev_reads,
-                           "backends": "chain=device dp=pallas"}
+                                 attempts=4)
+                tunnel = _tunnel_stats()
+            device_path = {
+                "reads_per_s": round(statistics.median(rps[1:]), 2),
+                "reads_per_s_cold": round(rps[0], 2),
+                "cold_kind": ("warm-cache" if cache_before
+                              else "first-ever"),
+                "warm_spread": [round(x, 2) for x in rps[1:]],
+                "reads": dev_reads,
+                "backends": "chain=device dp=pallas",
+                "tunnel": tunnel,
+            }
         except BaseException as e:  # never lose the headline to a flake
             device_path = {"error": str(e)[:200]}
 
+        poa = {"workload": "16 isoforms x 20 reads x 2kb, warm, full "
+                           "production path (subsample+orient+graph DP)"}
         try:
             with _Watchdog(900), contextlib.redirect_stdout(sys.stderr):
-                poa = {"bases_per_s": round(_poa_bases_per_s(), 1),
-                       "workload": "16 isoforms x 20 reads x 2kb, warm, "
-                                   "native engine threaded"}
+                poa["bases_per_s_host"] = round(
+                    _poa_bases_per_s("native"), 1)
         except BaseException as e:
-            poa = {"error": str(e)[:200]}
+            poa["bases_per_s_host"] = f"error: {str(e)[:120]}"
+        try:
+            with _Watchdog(1500), contextlib.redirect_stdout(sys.stderr):
+                poa["bases_per_s_device"] = round(
+                    _poa_bases_per_s("device"), 1)
+        except BaseException as e:
+            poa["bases_per_s_device"] = f"error: {str(e)[:120]}"
 
     print(json.dumps({
         "metric": "reads aligned+assigned per sec per chip (APDFQ e2e)",
-        "value": round(max(host_rps), 2),
+        "value": round(statistics.median(host_rps), 2),
         "unit": "reads/s",
-        "vs_baseline": round(max(host_rps) / REFERENCE_READS_PER_SEC, 3),
+        "vs_baseline": round(statistics.median(host_rps)
+                             / REFERENCE_READS_PER_SEC, 3),
         "value_spread": [round(x, 2) for x in host_rps],
-        "star_engine_reads_per_s": round(max(star_rps), 2),
+        "baseline": {"reference_reads_per_s_r1": REFERENCE_READS_PER_SEC,
+                     "reference_reads_per_s_r4_head":
+                         REFERENCE_READS_PER_SEC_R4,
+                     "note": "reference with free alignment+consensus "
+                             "(replay stubs); vs_baseline uses the higher "
+                             "r1 figure"},
+        "star_engine_reads_per_s": star,
         "device_path": device_path,
         "poa": poa,
     }))
