@@ -122,11 +122,12 @@ class SpliceAligner:
         from mandalorion_tpu.align.index import ANCHOR_BUDGET
         from mandalorion_tpu.parallel.dist import sharded_index_lookup
         mesh, sh, sp, sl = self._sharded
+        from mandalorion_tpu.parallel.mesh import fetch_global
         pos, valid, cnt = sharded_index_lookup(mesh, sh, sp, sl,
                                                hashes, self.max_occ)
-        pos = np.asarray(pos)
-        valid = np.asarray(valid)
-        counts = np.asarray(cnt).sum(axis=0)  # one shard owns each hash
+        pos = fetch_global(pos)
+        valid = fetch_global(valid)
+        counts = fetch_global(cnt).sum(axis=0)  # one shard owns each hash
         keep = (counts > 0) & (counts <= self.max_occ)
         kept_counts = counts[keep]
         if int(kept_counts.sum()) > ANCHOR_BUDGET:

@@ -189,5 +189,6 @@ def mesh_count_matrix(mesh: Mesh, flat_ids: "np.ndarray",
             num_segments=num_segments + 1)
         return jax.lax.psum(counts, axes)
 
-    merged = np.asarray(run(ids_sharded))
+    from mandalorion_tpu.parallel.mesh import fetch_global
+    merged = fetch_global(run(ids_sharded))
     return merged[:num_segments].astype(np.int64)

@@ -75,6 +75,8 @@ def fetch_global(x) -> np.ndarray:
     run unchanged on a >1-process global mesh (SURVEY §5.8)."""
     if jax.process_count() > 1 and isinstance(x, jax.Array) \
             and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)

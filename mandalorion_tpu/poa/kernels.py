@@ -516,13 +516,14 @@ def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
         # each device aligns its shard of (graph, query) problems;
         # zero-padded rows (n_nodes=0, qlen=0) produce empty paths
         # and are sliced off
+        from mandalorion_tpu.parallel.mesh import fetch_global
         args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
         buf, ks = _align_traceback_batch(
             *args, jnp.int32(int(nn.max())),
             pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
             pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
-        buf = np.asarray(buf)[:b]
-        ks = np.asarray(ks)[:b]
+        buf = fetch_global(buf)[:b]
+        ks = fetch_global(ks)[:b]
     else:
         interpret = _poa_pallas_mode(pp, preds, nn, W)
         if interpret is not None:

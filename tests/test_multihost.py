@@ -139,6 +139,83 @@ def test_four_process_sharded_pipeline_step(tmp_path):
     assert len(digests) == 1, digests
 
 
+_WORKER_PIPE = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; data = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mandalorion_tpu.parallel.mesh import (make_mesh, multihost_init,
+                                           use_mesh)
+multihost_init(f"127.0.0.1:{port}", 2, pid, timeout_s=120)
+assert len(jax.devices()) == 4
+
+import hashlib
+from mandalorion_tpu.config import AlignConfig, PipelineConfig, PoaConfig
+from mandalorion_tpu.pipeline.stages import run_pipeline
+
+cfg = PipelineConfig(
+    threads=1,
+    align=AlignConfig(chain_backend="device", dp_backend="rowscan"),
+    poa=PoaConfig(engine="graph", backend="device", max_reads=6))
+args = (os.path.join(data, "genome.fasta"), os.path.join(data, "ann.gtf"),
+        os.path.join(data, "reads.fasta"), cfg)
+# meshless reference run (local jits only; both processes run it in
+# lockstep so the sharded run's collectives stay aligned afterwards)
+run_pipeline(os.path.join(data, f"ref{pid}"), *args)
+# the FULL pipeline over a 4-device mesh spanning both processes
+with use_mesh(make_mesh(4)):
+    run_pipeline(os.path.join(data, f"out{pid}"), *args)
+
+h = hashlib.sha256()
+for tag in (f"ref{pid}", f"out{pid}"):
+    for name in ("Isoforms.filtered.fasta", "Isoforms.filtered.clean.psl",
+                 "Isoforms.filtered.clean.quant"):
+        with open(os.path.join(data, tag, name), "rb") as fh:
+            h.update(fh.read())
+    # sharded must equal meshless byte for byte
+for name in ("Isoforms.filtered.fasta", "Isoforms.filtered.clean.psl",
+             "Isoforms.filtered.clean.quant",
+             "Isoforms.filtered.clean.tpm"):
+    a = open(os.path.join(data, f"ref{pid}", name), "rb").read()
+    b = open(os.path.join(data, f"out{pid}", name), "rb").read()
+    assert a == b, f"{name} differs from meshless run on proc {pid}"
+print(f"proc {pid} pipeline {h.hexdigest()}", flush=True)
+"""
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """The FULL APDFQ pipeline (device chain DP + rowscan fills + device
+    graph POA + psum quant merge) over a 4-device mesh spanning two
+    jax.distributed processes: artifacts must be byte-identical to the
+    meshless run on every process, and identical across processes."""
+    import numpy as np
+    from mandalorion_tpu.utils.simulate import make_dataset
+    make_dataset(str(tmp_path), n_genes=2, n_reads_per_gene=10,
+                 genome_len=40_000, exons_per_gene=(2, 3))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER_PIPE, str(pid), str(port),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    digests = set()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"proc {pid} pipeline ")]
+        assert line, out[-2000:]
+        digests.add(line[0].split()[-1])
+    assert len(digests) == 1, digests
+
+
 def test_multihost_init_fails_loudly_on_misconfiguration():
     """An explicit topology that cannot be satisfied must raise, not
     silently proceed single-process (VERDICT r1 weak #7)."""
