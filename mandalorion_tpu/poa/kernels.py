@@ -461,7 +461,14 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     from mandalorion_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()  # POA kernel shapes persist across runs
     orders = [g.topo_order() for g in graphs]
-    n_cap = _pow2_at_least(max(len(o) for o in orders))
+    # rank-row cap: pow2 up to 1024, then 512-steps — the DP cost is
+    # LINEAR in n_cap (one grid/loop row each), so pow2 padding wasted
+    # up to 2x the rows on mature graphs (a 2150-node graph padded to
+    # 4096); 512-quantization bounds the waste at 31% while keeping the
+    # compiled-shape set small (and persistent-cached)
+    n_max = max(len(o) for o in orders)
+    n_cap = (_pow2_at_least(n_max) if n_max <= 1024
+             else -(-n_max // 512) * 512)
     l_cap = _pow2_at_least(max(len(q) for q in queries))
     p_max = max(1, max((len(g.preds[v]) for g in graphs
                         for v in range(len(g.base))), default=1))
