@@ -466,13 +466,6 @@ def _traceback_walk(max_steps):
     return jax.vmap(one, in_axes=(1, 0, 0))
 
 
-@functools.lru_cache(maxsize=16)
-def _traceback_device_fn(max_steps):
-    """Standalone jitted walk (used when the pointer matrix is already a
-    device array from a prior dispatch)."""
-    return jax.jit(_traceback_walk(max_steps))
-
-
 def _merge_steps(steps: np.ndarray) -> List[Tuple[str, int, int]]:
     """Reverse-order step codes -> merged (op, dq, dt) runs (the host
     _traceback's output contract)."""
@@ -654,21 +647,6 @@ def _solve_chunk(chunk_idx: List[int], N: int,
                 continue
         starts.append((slot, qi, tj))
 
-    if isinstance(ptr, jax.Array):
-        # device-resident pointers (rows, N, W): walk on device
-        qi_arr = np.zeros(N, np.int32)
-        tj_arr = np.zeros(N, np.int32)
-        for slot, qi, tj in starts:
-            qi_arr[slot] = qi
-            tj_arr[slot] = tj
-        fn = _traceback_device_fn(max_q + width + 2)
-        buf, ks = fn(ptr, jnp.asarray(qi_arr), jnp.asarray(tj_arr))
-        buf = np.asarray(buf)
-        ks = np.asarray(ks)
-        for slot, qi, tj in starts:
-            results[chunk_idx[slot]] = DpResult(
-                _merge_steps(buf[slot, :ks[slot]]), qi, tj)
-    else:
-        for slot, qi, tj in starts:
-            results[chunk_idx[slot]] = DpResult(
-                _traceback(ptr[slot], qi, tj), qi, tj)
+    for slot, qi, tj in starts:
+        results[chunk_idx[slot]] = DpResult(
+            _traceback(ptr[slot], qi, tj), qi, tj)
