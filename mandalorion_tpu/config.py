@@ -186,5 +186,6 @@ def config_from_args(args) -> PipelineConfig:
             dp_backend=str(getattr(args, "dp_backend", "numpy")),
             chain_backend=str(getattr(args, "chain_backend", "native"))),
         poa=PoaConfig(
-            engine=str(getattr(args, "consensus_engine", "graph"))),
+            engine=str(getattr(args, "consensus_engine", "graph")),
+            backend=str(getattr(args, "consensus_backend", "auto"))),
     )

@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="isoform consensus engine: star (backbone+votes, "
                         "fast path) or graph (full partial-order "
                         "alignment; batched on device per locus)")
+    p.add_argument("--consensus_backend", default="auto",
+                   choices=["auto", "native", "device"],
+                   help="graph-POA execution backend: auto (device when "
+                        "a mesh is installed, else the host C++ engine), "
+                        "native, or device (batched kernel; the Pallas "
+                        "forward pass on real accelerators)")
     p.add_argument("--index_backend", default="replicated",
                    choices=["replicated", "sharded"],
                    help="genome index placement: replicated per host, or "

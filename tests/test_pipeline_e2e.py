@@ -228,6 +228,16 @@ def test_flag_surface(tmp_path):
     reasons = (out2 / "tmp" / "filter_reasons.txt").read_text()
     assert "single exon" in reasons
 
+    # --consensus_backend pins the graph-POA execution backend; the
+    # device kernel must byte-match the host C++ engine
+    out3 = tmp_path / "out3"
+    rc = cli_main(["-p", str(out3), "-G", str(tmp_path / "genome.fasta"),
+                   "-f", str(tmp_path / "reads.fastq.gz"),
+                   "--consensus_backend", "device"])
+    assert rc == 0
+    assert (out3 / "Isoforms.filtered.fasta").read_text() == \
+           (out1 / "Isoforms.filtered.fasta").read_text()
+
 
 def test_pacbio_bam_end_to_end(tmp_path):
     """-P flag: BAM input through A (conversion) and Q (converted paths)."""
