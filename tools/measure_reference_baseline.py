@@ -29,14 +29,13 @@ REFERENCE = "/root/reference"
 
 
 def main():
-    import bench
-    import oracle
     from mandalorion_tpu.config import AlignConfig, PipelineConfig
     from mandalorion_tpu.pipeline.stages import run_pipeline
+    from mandalorion_tpu.utils.simulate import make_dataset
 
     n_per_gene = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     tmp = tempfile.mkdtemp(prefix="refbase_")
-    n_reads = bench.make_dataset(tmp, n_reads_per_gene=n_per_gene)
+    n_reads = make_dataset(tmp, n_reads_per_gene=n_per_gene)
 
     # 1) our aligner produces the SAM the stub minimap2 will replay
     cfg = PipelineConfig(align=AlignConfig(emit_sam=True))
