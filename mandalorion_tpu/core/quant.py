@@ -70,8 +70,13 @@ def count_matrix(filtered_isoforms: Sequence[str],
                 continue
             flat.append(i * n_samples + sample_idx[sample])
     n_segments = len(filtered_isoforms) * n_samples
-    from mandalorion_tpu.parallel.mesh import pipeline_mesh
-    mesh = pipeline_mesh()
+    # A pipeline mesh can only be installed through
+    # parallel.mesh.use_mesh, so when that module was never imported
+    # there is no mesh — and importing it here would pull jax (~1.2 s)
+    # into every single-host CLI run's module Q for nothing.
+    import sys
+    mesh_mod = sys.modules.get("mandalorion_tpu.parallel.mesh")
+    mesh = mesh_mod.pipeline_mesh() if mesh_mod is not None else None
     if mesh is not None and flat and n_segments:
         # device-sharded count: per-shard segment_sum + psum merge over
         # the mesh (exact — integer counts), parallel/dist.py
