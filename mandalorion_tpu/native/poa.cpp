@@ -171,10 +171,8 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
         }
     }
 
-    std::vector<int32_t> best_prev(W + 1), best_rank(W + 1),
-        d1_row(W), d2_row(W), row(W), rown(W), orgbuf(2 * W);
-    std::vector<uint8_t> rowo(W), fino(W);
-    std::vector<int32_t> fin(W);
+    std::vector<int32_t> best_prev(W + 1), best_rank(W + 1), row(W);
+    std::vector<int64_t> keys(2 * W);
     std::vector<int32_t> pr_buf;
 
     for (int64_t r = 1; r <= n; r++) {
@@ -211,12 +209,14 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
         // stored column e and the vertical of stored column e-1 — the
         // +1-wide read exactly mirrors the kernel's eabs window). Split
         // into branchless vectorizable passes per predecessor.
-        std::fill(best_prev.begin(), best_prev.end(), NEG);
-        std::fill(best_rank.begin(), best_rank.end(), -2);
-        std::fill(d1_row.begin(), d1_row.end(), NEG);
-        std::fill(d2_row.begin(), d2_row.end(), NEG);
+        int32_t* __restrict d1_row = st.d1.data() + r * W;
+        int32_t* __restrict d2_row = st.d2.data() + r * W;
         const int32_t oe1 = pp.o1 + pp.e1, oe2 = pp.o2 + pp.e2;
         const int32_t ge1 = pp.e1, ge2 = pp.e2;
+        std::fill(best_prev.begin(), best_prev.end(), NEG);
+        std::fill(best_rank.begin(), best_rank.end(), -2);
+        std::fill(d1_row, d1_row + W, NEG);
+        std::fill(d2_row, d2_row + W, NEG);
         for (int32_t pr : pr_buf) {
             int32_t off_p = st.offs[pr];
             const int32_t* __restrict srow =
@@ -239,8 +239,8 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
                 br[e] = m ? pr : br[e];
             }
             int32_t c_lo = std::max(e_lo, 1) - 1;
-            int32_t* __restrict d1r = d1_row.data();
-            int32_t* __restrict d2r = d2_row.data();
+            int32_t* __restrict d1r = d1_row;
+            int32_t* __restrict d2r = d2_row;
 #pragma omp simd
             for (int32_t c = c_lo; c <= e_hi - 1; c++) {
                 int32_t rel = c + 1 + shift;
@@ -252,11 +252,11 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             }
         }
         // band mask on D rows: range fills
-        std::fill(d1_row.begin(), d1_row.begin() + cb0, NEG);
-        std::fill(d2_row.begin(), d2_row.begin() + cb0, NEG);
+        std::fill(d1_row, d1_row + cb0, NEG);
+        std::fill(d2_row, d2_row + cb0, NEG);
         if (cb1 + 1 < W) {
-            std::fill(d1_row.begin() + cb1 + 1, d1_row.end(), NEG);
-            std::fill(d2_row.begin() + cb1 + 1, d2_row.end(), NEG);
+            std::fill(d1_row + cb1 + 1, d1_row + W, NEG);
+            std::fill(d2_row + cb1 + 1, d2_row + W, NEG);
         }
 
         // H pre-insertion: diag >= D1 >= D2 on ties. The diagonal exists
@@ -266,15 +266,15 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             int32_t cd0 = (off == 0) ? 1 : 0;
             int32_t cd1 = (int32_t)std::min<int64_t>(W - 1, L - off);
             int32_t* __restrict rw = row.data();
-            int32_t* __restrict rn = rown.data();
-            uint8_t* __restrict ro = rowo.data();
+            int32_t* __restrict rn = st.node0.data() + r * W;
+            uint8_t* __restrict ro = st.op0.data() + r * W;
             const int32_t* __restrict bp = best_prev.data();
             const int32_t* __restrict br = best_rank.data();
-            const int32_t* __restrict d1r = d1_row.data();
-            const int32_t* __restrict d2r = d2_row.data();
+            const int32_t* __restrict d1r = d1_row;
+            const int32_t* __restrict d2r = d2_row;
             const uint8_t* __restrict qd = q + off - 1;  // q[jabs-1]
-            for (int32_t c = 0; c < cd0; c++) { rw[c] = NEG; rn[c] = -2; }
-            for (int32_t c = cd1 + 1; c < W; c++) { rw[c] = NEG; rn[c] = -2; }
+            for (int32_t c = 0; c < cd0; c++) rn[c] = -2;
+            for (int32_t c = cd1 + 1; c < W; c++) rn[c] = -2;
 #pragma omp simd
             for (int32_t c = cd0; c <= cd1; c++) {
                 int32_t sub = (qd[c] == base_v) ? pp.match : -pp.mismatch;
@@ -283,7 +283,7 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             }
 #pragma omp simd
             for (int32_t c = 0; c < W; c++) {
-                int32_t hv = rw[c];
+                int32_t hv = (c >= cd0 && c <= cd1) ? rw[c] : NEG;
                 uint8_t ov = 0;
                 bool m1 = d1r[c] > hv;
                 hv = m1 ? d1r[c] : hv;
@@ -303,63 +303,89 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
         // insertions: per component, a prefix-max scan with the masked
         // carry from columns < off (NEG + ee*j is monotone, so the carry
         // is NEG + ee*(off-1) with origin off-1 / 0 — kernel's acc_c rule)
-        std::copy(row.begin(), row.end(), fin.begin());
-        std::copy(rowo.begin(), rowo.end(), fino.begin());
-        for (int comp = 0; comp < 2; comp++) {
-            int32_t oo = comp ? pp.o2 : pp.o1;
-            int32_t ee = comp ? pp.e2 : pp.e1;
-            uint8_t code = comp ? 3 : 1;
-            int32_t* orow = orgbuf.data() + comp * W;
-            int64_t acc, org;
+        int32_t* __restrict fin = st.score.data() + r * W;
+        uint8_t* __restrict fino = st.op.data() + r * W;
+        std::copy(row.begin(), row.end(), fin);
+        std::memcpy(fino, st.op0.data() + r * W, W);
+        {
+            const int32_t oo1 = pp.o1, ee1 = pp.e1;
+            const int32_t oo2 = pp.o2, ee2 = pp.e2;
+            int32_t* __restrict org1 = st.orig1.data() + r * W;
+            int32_t* __restrict org2 = st.orig2.data() + r * W;
+            // packed (value, first-index) prefix max per component: the
+            // key carries the running max value in the high bits and
+            // 0xFFFFFF-(jabs+1) in the low 24, so equal values resolve
+            // to the SMALLER jabs — exactly the strict `val > acc`
+            // first-max rule. Both components scan in one loop: two
+            // independent dependency chains pipeline.
+            int64_t a1, g1, a2, g2;
             if (off > 0) {
-                acc = (int64_t)NEG + (int64_t)ee * (off - 1);
-                org = ee > 0 ? off - 1 : 0;
+                a1 = (int64_t)NEG + (int64_t)ee1 * (off - 1);
+                g1 = ee1 > 0 ? off - 1 : 0;
+                a2 = (int64_t)NEG + (int64_t)ee2 * (off - 1);
+                g2 = ee2 > 0 ? off - 1 : 0;
             } else {
-                acc = (int64_t)NEG - 1;
-                org = -1;
+                a1 = a2 = (int64_t)NEG - 1;
+                g1 = g2 = -1;
             }
-            for (int64_t c = 0; c < W; c++) {
-                int64_t jabs = off + c;
-                int64_t val = (int64_t)row[c] + (int64_t)ee * jabs;
-                if (val > acc) { acc = val; org = jabs; }
-                int64_t ins = acc - oo - (int64_t)ee * jabs;
-                if (ins > fin[c]) {
-                    fin[c] = (int32_t)ins;
-                    fino[c] = code;
-                    orow[c] = (int32_t)org;
-                } else {
-                    orow[c] = 0;
-                }
+            int64_t* __restrict k1 = keys.data();
+            int64_t* __restrict k2 = keys.data() + W;
+            const int32_t* __restrict rwp = row.data();
+#pragma omp simd
+            for (int32_t c = 0; c < W; c++) {
+                int64_t idx = (int64_t)(0xFFFFFF - (int32_t)(off + c + 1));
+                k1[c] = (((int64_t)rwp[c]
+                          + (int64_t)ee1 * (off + c)) << 24) | idx;
+                k2[c] = (((int64_t)rwp[c]
+                          + (int64_t)ee2 * (off + c)) << 24) | idx;
+            }
+            int64_t ka1 = (a1 << 24) | (int64_t)(0xFFFFFF - (int32_t)(g1 + 1));
+            int64_t ka2 = (a2 << 24) | (int64_t)(0xFFFFFF - (int32_t)(g2 + 1));
+            for (int32_t c = 0; c < W; c++) {
+                if (k1[c] > ka1) ka1 = k1[c];
+                k1[c] = ka1;
+                if (k2[c] > ka2) ka2 = k2[c];
+                k2[c] = ka2;
+            }
+#pragma omp simd
+            for (int32_t c = 0; c < W; c++) {
+                int64_t kk1 = k1[c], kk2 = k2[c];
+                int32_t i1 = (int32_t)(kk1 >> 24) - oo1
+                    - ee1 * (int32_t)(off + c);
+                int32_t i2 = (int32_t)(kk2 >> 24) - oo2
+                    - ee2 * (int32_t)(off + c);
+                int32_t o1v = 0xFFFFFF - (int32_t)(kk1 & 0xFFFFFF) - 1;
+                int32_t o2v = 0xFFFFFF - (int32_t)(kk2 & 0xFFFFFF) - 1;
+                // component 1 first, then component 2 (original order)
+                int32_t f = fin[c];
+                uint8_t fo = fino[c];
+                bool m1 = i1 > f;
+                f = m1 ? i1 : f;
+                fo = m1 ? (uint8_t)1 : fo;
+                org1[c] = m1 ? o1v : 0;
+                bool m2 = i2 > f;
+                f = m2 ? i2 : f;
+                fo = m2 ? (uint8_t)3 : fo;
+                org2[c] = m2 ? o2v : 0;
+                fin[c] = f;
+                fino[c] = fo;
             }
         }
-
         // band mask + store; best_col = first-max column (all-NEG -> 0)
-        int32_t* __restrict srow = st.score.data() + r * W;
-        int32_t best = NEG;
-        int32_t bc = 0;
+        int32_t* __restrict srow = fin;  // st.score row r, in place
         for (int32_t c = 0; c < cb0; c++) srow[c] = NEG;
-        for (int32_t c = cb0; c <= cb1; c++) {
-            int32_t hv = fin[c];
-            srow[c] = hv;
-            // strict >: first max wins (ascending c)
-            bool m = hv > best;
-            best = m ? hv : best;
-            bc = m ? c : bc;
-        }
         for (int32_t c = cb1 + 1; c < W; c++) srow[c] = NEG;
+        // first-max column via packed (value, smaller-c-wins) max
+        int64_t bkey = ((int64_t)NEG << 24) | 0xFFFFFF;
+#pragma omp simd reduction(max : bkey)
+        for (int32_t c = cb0; c <= cb1; c++) {
+            int64_t k = ((int64_t)srow[c] << 24)
+                | (int64_t)(0xFFFFFF - c - 1);
+            bkey = k > bkey ? k : bkey;
+        }
+        int32_t best = (int32_t)(bkey >> 24);
+        int32_t bc = 0xFFFFFF - (int32_t)(bkey & 0xFFFFFF) - 1;
         st.bestc[r] = best <= NEG ? 0 : (int32_t)(off + bc);
-        std::memcpy(st.d1.data() + r * W, d1_row.data(),
-                    W * sizeof(int32_t));
-        std::memcpy(st.d2.data() + r * W, d2_row.data(),
-                    W * sizeof(int32_t));
-        std::memcpy(st.op.data() + r * W, fino.data(), W);
-        std::memcpy(st.op0.data() + r * W, rowo.data(), W);
-        std::memcpy(st.node0.data() + r * W, rown.data(),
-                    W * sizeof(int32_t));
-        std::memcpy(st.orig1.data() + r * W, orgbuf.data(),
-                    W * sizeof(int32_t));
-        std::memcpy(st.orig2.data() + r * W, orgbuf.data() + W,
-                    W * sizeof(int32_t));
     }
 
     // best end: first max over end ranks (ascending) at column L
