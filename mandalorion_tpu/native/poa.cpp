@@ -231,24 +231,29 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
             int32_t e_hi = std::min((int32_t)W, W - 1 - shift);
             int32_t* __restrict bp = best_prev.data();
             int32_t* __restrict br = best_rank.data();
-#pragma omp simd
-            for (int32_t e = e_lo; e <= e_hi; e++) {
+            int32_t* __restrict d1r = d1_row;
+            int32_t* __restrict d2r = d2_row;
+            // fused pass: slot e updates best_prev[e] and the D row at
+            // e-1 (same srow element), so the pred row is read once.
+            // The lone e without a D update (e_lo when e_lo == 0) runs
+            // scalar first.
+            int32_t d0 = std::max(e_lo, 1);
+            for (int32_t e = e_lo; e < d0 && e <= e_hi; e++) {
                 int32_t sv = srow[e + shift];
                 bool m = sv > bp[e];
                 bp[e] = m ? sv : bp[e];
                 br[e] = m ? pr : br[e];
             }
-            int32_t c_lo = std::max(e_lo, 1) - 1;
-            int32_t* __restrict d1r = d1_row;
-            int32_t* __restrict d2r = d2_row;
 #pragma omp simd
-            for (int32_t c = c_lo; c <= e_hi - 1; c++) {
-                int32_t rel = c + 1 + shift;
-                int32_t sv = srow[rel];
-                int32_t c1 = std::max(sv - oe1, d1p[rel] - ge1);
-                int32_t c2 = std::max(sv - oe2, d2p[rel] - ge2);
-                d1r[c] = c1 > d1r[c] ? c1 : d1r[c];
-                d2r[c] = c2 > d2r[c] ? c2 : d2r[c];
+            for (int32_t e = d0; e <= e_hi; e++) {
+                int32_t sv = srow[e + shift];
+                bool m = sv > bp[e];
+                bp[e] = m ? sv : bp[e];
+                br[e] = m ? pr : br[e];
+                int32_t c1 = std::max(sv - oe1, d1p[e + shift] - ge1);
+                int32_t c2 = std::max(sv - oe2, d2p[e + shift] - ge2);
+                d1r[e - 1] = c1 > d1r[e - 1] ? c1 : d1r[e - 1];
+                d2r[e - 1] = c2 > d2r[e - 1] ? c2 : d2r[e - 1];
             }
         }
         // band mask on D rows: range fills
