@@ -263,6 +263,10 @@ def main():
         "vs_baseline": round(statistics.median(host_rps)
                              / REFERENCE_READS_PER_SEC, 3),
         "value_spread": [round(x, 2) for x in host_rps],
+        "value_spread_note": "attempt 0 pays one-time process warmup "
+                             "(native library build check, imports, "
+                             "page cache); the median headline absorbs "
+                             "it, the spread shows it",
         "baseline": {"reference_reads_per_s_r1": REFERENCE_READS_PER_SEC,
                      "reference_reads_per_s_r4_head":
                          REFERENCE_READS_PER_SEC_R4,
