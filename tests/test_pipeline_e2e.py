@@ -459,3 +459,33 @@ def test_long_read_isoforms_exact(tmp_path):
                   if l and not l.startswith(">"))
     assert fa.count(">") == 2
     assert lens == [12000, 25000]
+
+
+def test_thread_count_byte_determinism(dataset):
+    """Worker count must never leak into the outputs: the fork pools
+    (modules A/D/F), the threaded POA resolve, and every ordered merge
+    (SURVEY §5.2 race safety) have to produce byte-identical artifacts
+    at any -t. Runs the same multi-sample dataset at -t 1 and -t 3 (odd
+    count: uneven work split) and compares every output byte-for-byte."""
+    tmp, _genome = dataset
+    outs = {}
+    for t in (1, 3):
+        out = tmp / f"out_t{t}"
+        rc = cli_main(["-p", str(out), "-G", str(tmp / "genome.fasta"),
+                       "-g", str(tmp / "ann.gtf"),
+                       "-f", str(tmp / "reads.fofn"),
+                       "-R", "3", "-t", str(t)])
+        assert rc == 0
+        blobs = {}
+        for name in ("Isoforms.filtered.fasta",
+                     "Isoforms.filtered.clean.psl",
+                     "Isoforms.filtered.clean.gtf",
+                     "Isoforms.filtered.clean.quant",
+                     "Isoforms.filtered.clean.tpm",
+                     "Isoforms.filtered.clean.genes",
+                     "Mando_isoforms.read_stat.txt"):
+            with open(out / name, "rb") as fh:
+                blobs[name] = fh.read()
+        outs[t] = blobs
+    for name, blob in outs[1].items():
+        assert outs[3][name] == blob, f"{name} differs between -t 1/-t 3"
