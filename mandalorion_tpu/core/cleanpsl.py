@@ -143,8 +143,16 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
     from mandalorion_tpu.io.psl import psl_sort_key
 
     used = set()
-    cleaned: List[str] = []
+    # decorate-sort-undecorate: each entry is (chrom, tStart, line, tEnd,
+    # name) so the sort needs no key function and the locus split no
+    # re-parse. Natural tuple order == psl_sort_key's GNU `sort -k 14,14
+    # -k 16,17n` C-collation order: UTF-8 encoding preserves codepoint
+    # order, so comparing the str chrom/line equals comparing their
+    # bytes; tEnd/name only break ties between IDENTICAL lines, where
+    # any order is the same output.
+    cleaned: List[tuple] = []
     with open(psl_path) as fh, open(clean_path, "w") as out:
+        buf: List[str] = []
         for line in fh:
             if not line.strip():
                 continue
@@ -164,23 +172,40 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
             a[18] = ",".join(map(str, ns)) + ","
             a[19] = ",".join(map(str, nq)) + ","
             a[20] = ",".join(map(str, nt)) + ","
-            cleaned.append("\t".join(a) + "\n")
-            if len(cleaned) % 4096 == 0:  # chunked writes: IO-bound stage
-                out.write("".join(cleaned[-4096:]))
-        rem = len(cleaned) % 4096
-        if rem:
-            out.write("".join(cleaned[-rem:]))
-    cleaned.sort(key=psl_sort_key)
+            out_line = "\t".join(a) + "\n"
+            cleaned.append((a[13], int(a[15]), out_line, int(a[16]), name))
+            buf.append(out_line)
+            if len(buf) == 4096:  # chunked writes: IO-bound stage
+                out.write("".join(buf))
+                buf = []
+        if buf:
+            out.write("".join(buf))
+    cleaned.sort()
     with open(sorted_path, "w") as out:
-        out.writelines(cleaned)
+        out.writelines(entry[2] for entry in cleaned)
     os.makedirs(out_dir, exist_ok=True)
     read_to_root: Dict[str, str] = {}
-    for chrom, start, end, lines in iter_loci(cleaned):
+    # locus grouping on the carried (chrom, tStart, tEnd): a new locus
+    # when the chromosome changes or start > previous_end, previous_end
+    # growing to max(end, previous_end) — exactly iter_loci's rule
+    # (SDC.py:442-495 incl. the v4.0.0 first-read fix)
+    i = 0
+    n_entries = len(cleaned)
+    while i < n_entries:
+        chrom, start, _line, end, _name = cleaned[i]
+        j = i + 1
+        while j < n_entries:
+            c2, s2, _l2, e2, _n2 = cleaned[j]
+            if c2 != chrom or s2 > end:
+                break
+            end = max(end, e2)
+            j += 1
         root = f"{chrom}~{start}~{end}"
         with open(os.path.join(out_dir, root + ".psl"), "w") as out:
-            out.write("".join(lines))
-        for line in lines:
-            read_to_root[line.split("\t", 10)[9]] = root
+            out.write("".join(cleaned[k][2] for k in range(i, j)))
+        for k in range(i, j):
+            read_to_root[cleaned[k][4]] = root
+        i = j
     return read_to_root
 
 
