@@ -140,8 +140,6 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
     PSL (long lines carry read sequences) parsed only once."""
     import os
 
-    from mandalorion_tpu.io.psl import psl_sort_key
-
     used = set()
     # decorate-sort-undecorate: each entry is (chrom, tStart, line, tEnd,
     # name) so the sort needs no key function and the locus split no
