@@ -67,6 +67,107 @@ def read_fastx(path: str) -> Iterator[Tuple[str, str, Optional[str]]]:
             raise ValueError(f"{path}: not a fasta/fastq file (starts {first!r})")
 
 
+def scan_record_offsets(path: str):
+    """Byte offset of every record start in a PLAIN (non-gzip) fasta or
+    fastq file, via one buffered binary scan — len() is the record count
+    and offsets[k] seeks straight to record k (read_fastx_slice), so
+    module A's fork workers can jump to their slice instead of
+    skip-parsing every record before it. Returns None for gzipped input
+    (no cheap random access) — callers fall back to islice."""
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+        if len(head) < 2 or head[:2] == b"\x1f\x8b":
+            return None if head[:2] == b"\x1f\x8b" else []
+        fasta = head[:1] == b">"
+        if not fasta and head[:1] != b"@":
+            raise ValueError(f"{path}: not a fasta/fastq file")
+        fh.seek(0)
+        offsets: List[int] = []
+        pos = 0
+        line_idx = 0
+        CHUNK = 1 << 20
+        pending = b""
+        while True:
+            block = fh.read(CHUNK)
+            if not block:
+                break
+            block = pending + block
+            pending = b""
+            start = 0
+            while True:
+                nl = block.find(b"\n", start)
+                if nl < 0:
+                    pending = block[start:]
+                    break
+                line = block[start:nl]
+                if fasta:
+                    if line[:1] == b">":
+                        offsets.append(pos + start)
+                else:
+                    # fastq: strictly 4-line records; only every 4th
+                    # line is a header (quality lines may start with @)
+                    if line_idx % 4 == 0:
+                        offsets.append(pos + start)
+                line_idx += 1
+                start = nl + 1
+            pos += len(block) - len(pending)
+        if pending:
+            if fasta:
+                if pending[:1] == b">":
+                    offsets.append(pos)
+            elif line_idx % 4 == 0:
+                offsets.append(pos)
+    return offsets
+
+
+def read_fastx_slice(path: str, offset: int, count: int
+                     ) -> Iterator[Tuple[str, str, Optional[str]]]:
+    """read_fastx starting at a record byte offset (from
+    scan_record_offsets), yielding at most `count` records. Plain files
+    only."""
+    import itertools
+    with open(path) as fh:
+        fh.seek(offset)
+        first = fh.read(1)
+        if not first:
+            return
+        if first == ">":
+            name = fh.readline().strip().split()[0]
+            chunks: List[str] = []
+            emitted = 0
+            for line in fh:
+                if line.startswith(">"):
+                    yield name, "".join(chunks), None
+                    emitted += 1
+                    if emitted >= count:
+                        return
+                    name = line[1:].strip().split()[0]
+                    chunks = []
+                else:
+                    chunks.append(line.strip())
+            yield name, "".join(chunks), None
+        elif first == "@":
+            name = fh.readline().strip().split()[0]
+            emitted = 0
+            while True:
+                seq = fh.readline()
+                if not seq:
+                    break
+                fh.readline()  # '+'
+                qual = fh.readline()
+                yield name, seq.strip(), qual.strip()
+                emitted += 1
+                if emitted >= count:
+                    return
+                header = fh.readline()
+                if not header:
+                    break
+                name = header.strip().lstrip("@").split()[0]
+        else:
+            raise ValueError(f"{path}: not a fasta/fastq record at "
+                             f"offset {offset} (starts {first!r})")
+
+
 def fastx_to_dict(path: str) -> Dict[str, str]:
     """name -> sequence dict (reference `read_fasta`, filterIsoforms.py:74-79)."""
     return {name: seq for name, seq, _ in read_fastx(path)}

@@ -108,12 +108,19 @@ _A_ALIGNER: Optional[SpliceAligner] = None
 def _align_chunk_worker(job) -> str:
     """Fork-pool worker: align one slice of the combined fasta with the
     inherited index and write its own part-file. The job carries only
-    (path, record range) — shipping sequences or PSL text through the
-    pool pipes would pickle hundreds of MB at 100k-read scale."""
+    (path, record range[, byte offset]) — shipping sequences or PSL text
+    through the pool pipes would pickle hundreds of MB at 100k-read
+    scale. With a byte offset (plain input, scan_record_offsets) the
+    worker seeks straight to its slice; otherwise (gzip) it skip-parses
+    the records before it."""
     import itertools
-    combined, rec_lo, rec_hi, part_path = job
-    batch = [(name, seq) for name, seq, _q in itertools.islice(
-        read_fastx(combined), rec_lo, rec_hi)]
+    combined, rec_lo, rec_hi, part_path, byte_off = job
+    if byte_off >= 0:
+        from mandalorion_tpu.io.fastx import read_fastx_slice
+        records = read_fastx_slice(combined, byte_off, rec_hi - rec_lo)
+    else:
+        records = itertools.islice(read_fastx(combined), rec_lo, rec_hi)
+    batch = [(name, seq) for name, seq, _q in records]
     with open(part_path, "w") as out:
         for rec in _A_ALIGNER.map_batch(batch):
             out.write(format_psl(rec) + "\n")
@@ -143,7 +150,13 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
         print("\tbuilding genome index")
         aligner = SpliceAligner(fastx_to_dict(genome_path), cfg.align)
     t0 = time.time()
-    n_reads = sum(1 for _ in read_fastx(combined))
+    # one binary scan gives the record count AND per-record byte offsets
+    # (plain files) so pool workers can seek to their slice; gzipped
+    # pass-through inputs fall back to counting + worker skip-parse
+    from mandalorion_tpu.io.fastx import scan_record_offsets
+    offsets = scan_record_offsets(combined)
+    n_reads = (len(offsets) if offsets is not None
+               else sum(1 for _ in read_fastx(combined)))
     # a few jobs per worker: balances load while bounding each worker's
     # skip-parse of the records before its slice (inputs may be .gz, so
     # record counts, not byte offsets, address the slices)
@@ -161,7 +174,8 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
             _A_ALIGNER = aligner
             ctx = mp.get_context("fork")
             jobs = [(combined, k * chunk, min((k + 1) * chunk, n_reads),
-                     paths.t(f"mm2Alignments.part{k}.psl"))
+                     paths.t(f"mm2Alignments.part{k}.psl"),
+                     offsets[k * chunk] if offsets is not None else -1)
                     for k in range(n_jobs)]
             with ctx.Pool(_pool_size(cfg.threads, n_jobs)) as pool:
                 for part in pool.imap(_align_chunk_worker, jobs):

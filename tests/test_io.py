@@ -214,3 +214,50 @@ def test_sam_to_psl_pooled_matches_serial(tmp_path):
     sam_to_psl(str(sam), str(b), mando=True, threads=2, batch_lines=37)
     assert a.read_bytes() == b.read_bytes()
     assert sum(1 for _ in open(a)) == 500
+
+
+def test_scan_record_offsets_and_slice(tmp_path):
+    """Byte-offset record addressing for module A's pool workers: the
+    scanner's offsets must slice identically to islice on fasta (multi-
+    line sequences) and fastq (adversarial '@'-leading quality lines);
+    gzip input reports None (no random access)."""
+    import gzip
+    import numpy as np
+    from mandalorion_tpu.io.fastx import (read_fastx, read_fastx_slice,
+                                          scan_record_offsets)
+    rng = np.random.default_rng(0)
+    fa = tmp_path / "x.fa"
+    with open(fa, "w") as out:
+        for i in range(57):
+            seq = "".join(rng.choice(list("ACGT"),
+                                     int(rng.integers(1, 300))))
+            out.write(f">r{i} extra comment\n")
+            for j in range(0, len(seq), 60):
+                out.write(seq[j:j + 60] + "\n")
+    offs = scan_record_offsets(str(fa))
+    full = list(read_fastx(str(fa)))
+    assert len(offs) == len(full) == 57
+    for lo in (0, 1, 13, 56):
+        for cnt in (1, 5, 57):
+            assert list(read_fastx_slice(str(fa), offs[lo], cnt)) \
+                == full[lo:lo + cnt]
+
+    fq = tmp_path / "x.fq"
+    with open(fq, "w") as out:
+        for i in range(23):
+            seq = "".join(rng.choice(list("ACGT"), 50))
+            out.write(f"@q{i} c\n{seq}\n+\n" + "@" + "I" * 49 + "\n")
+    offs = scan_record_offsets(str(fq))
+    full = list(read_fastx(str(fq)))
+    assert len(offs) == len(full) == 23
+    for lo in (0, 7, 22):
+        assert list(read_fastx_slice(str(fq), offs[lo], 4)) \
+            == full[lo:lo + 4]
+
+    gz = tmp_path / "x.fa.gz"
+    with gzip.open(gz, "wt") as out:
+        out.write(">a\nACGT\n")
+    assert scan_record_offsets(str(gz)) is None
+    empty = tmp_path / "e.fa"
+    empty.write_text("")
+    assert scan_record_offsets(str(empty)) == []
