@@ -261,3 +261,27 @@ def test_scan_record_offsets_and_slice(tmp_path):
     empty = tmp_path / "e.fa"
     empty.write_text("")
     assert scan_record_offsets(str(empty)) == []
+
+
+def test_scan_record_offsets_chunk_boundaries(tmp_path):
+    """Records spanning the scanner's 1 MiB read chunks: offsets must be
+    exact when a header straddles two chunks (the pending-tail path)."""
+    import numpy as np
+    from mandalorion_tpu.io.fastx import (read_fastx, read_fastx_slice,
+                                          scan_record_offsets)
+    rng = np.random.default_rng(3)
+    fa = tmp_path / "big.fa"
+    with open(fa, "w") as out:
+        for i in range(700):
+            seq = "".join(rng.choice(list("ACGT"),
+                                     int(rng.integers(2000, 6000))))
+            out.write(f">big{i}\n")
+            for j in range(0, len(seq), 77):
+                out.write(seq[j:j + 77] + "\n")
+    assert fa.stat().st_size > 2 * (1 << 20)  # spans >2 scan chunks
+    offs = scan_record_offsets(str(fa))
+    full = list(read_fastx(str(fa)))
+    assert len(offs) == len(full) == 700
+    for lo in (0, 349, 699):
+        assert list(read_fastx_slice(str(fa), offs[lo], 3)) \
+            == full[lo:lo + 3]
