@@ -76,8 +76,12 @@ def scan_record_offsets(path: str):
     (no cheap random access) — callers fall back to islice."""
     with open(path, "rb") as fh:
         head = fh.read(2)
-        if len(head) < 2 or head[:2] == b"\x1f\x8b":
-            return None if head[:2] == b"\x1f\x8b" else []
+        if head[:2] == b"\x1f\x8b":
+            return None
+        if not head:
+            return []
+        # a 1-byte non-gzip file falls through to the normal scan so a
+        # malformed header raises here instead of reporting 0 records
         fasta = head[:1] == b">"
         if not fasta and head[:1] != b"@":
             raise ValueError(f"{path}: not a fasta/fastq file")

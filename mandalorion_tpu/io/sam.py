@@ -99,6 +99,13 @@ def sam_to_psl_line(fields, t_size: int, mando: bool = False) -> Optional[str]:
             if col.split(":")[2] == "-":
                 strand = "+" if strand == "-" else "-"
         elif "cs:Z:" in col:
+            # DELIBERATE divergence from emtrey.py:130-131, which does
+            # col.split(':')[2] and so harvests '' for SHORT-form cs
+            # (values like ':6-ata:10' contain colons). Unreachable in
+            # production — the pipeline always runs --cs=long, where the
+            # two expressions agree — but we keep the whole tag value so
+            # short-form input degrades to a truthful cs column instead
+            # of an empty one. Ledger: docs/design.md §quirks.
             cs = col.split(":", 2)[2]
     mismatch = max(nm - ID - ambig, 0)
     matches = M - mismatch

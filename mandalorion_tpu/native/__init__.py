@@ -43,10 +43,12 @@ def load_native() -> Optional[ctypes.CDLL]:
             # workers may race to compile the same library
             tmp = f"{so}.{os.getpid()}.tmp"
             # -ffp-contract=off: the chain DP's float32 cost arithmetic
-            # must round exactly like numpy's (no FMA contraction)
+            # must round exactly like numpy's (no FMA contraction).
+            # -std=gnu++20: the POA packed prefix-max left-shifts signed
+            # values; C++20 defines that as two's complement.
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-fopenmp-simd",
+                 "-std=gnu++20", "-fopenmp-simd",
                  "-shared", "-fPIC", "-o", tmp] + srcs,
                 check=True, capture_output=True, timeout=240)
             os.replace(tmp, so)
@@ -551,6 +553,9 @@ def native_poa_consensus(seqs, params) -> Optional[np.ndarray]:
         params.match, params.mismatch, params.gap_open, params.gap_extend,
         params.gap_open2, params.gap_extend2, params.band,
         1 if params.adaptive else 0, out.ctypes.data)
+    if n == -2:
+        raise ValueError("native POA engine: query longer than 2^24-2 "
+                         "bases (packed prefix-max key limit)")
     if n < 0:
         raise RuntimeError("native POA traceback lost (bug)")
     return out[:n].copy()
@@ -588,6 +593,9 @@ def native_poa_align(graph, q, params):
         params.match, params.mismatch, params.gap_open, params.gap_extend,
         params.gap_open2, params.gap_extend2, params.band,
         1 if params.adaptive else 0, steps.ctypes.data)
+    if k == -2:
+        raise ValueError("native POA engine: query longer than 2^24-2 "
+                         "bases (packed prefix-max key limit)")
     if k < 0:
         raise RuntimeError("native POA traceback lost (bug)")
     return [(int(qi), order[rk] if rk >= 0 else None)

@@ -148,6 +148,11 @@ static int64_t align_path(const Graph& g, const std::vector<int32_t>& order,
                           const std::vector<int32_t>& rank,
                           const uint8_t* q, int64_t L, const Params& pp,
                           DpState& st, int32_t* out_steps) {
+    // the packed insertion prefix-max key stores 0xFFFFFF-(jabs+1) in its
+    // low 24 bits; queries with L+1 >= 2^24 would wrap the index and
+    // silently corrupt key ordering — refuse loudly (realistic reads are
+    // ~1000x smaller)
+    if (L + 1 >= ((int64_t)1 << 24)) return -2;
     int64_t n = order.size();
     int32_t eff = pp.adaptive
         ? pp.band

@@ -157,9 +157,9 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
     offsets = scan_record_offsets(combined)
     n_reads = (len(offsets) if offsets is not None
                else sum(1 for _ in read_fastx(combined)))
-    # a few jobs per worker: balances load while bounding each worker's
-    # skip-parse of the records before its slice (inputs may be .gz, so
-    # record counts, not byte offsets, address the slices)
+    # a few jobs per worker: balances load; plain files address slices by
+    # byte offset (workers seek), .gz inputs fall back to record counts
+    # plus a worker-side islice skip-parse
     workers = _pool_size(cfg.threads, n_reads)
     chunk = max(cfg.align.batch_reads,
                 (n_reads + workers * 3 - 1) // (workers * 3))
