@@ -125,10 +125,17 @@ def _tunnel_stats():
             "d2h_MB_per_s": round(bw, 1)}
 
 
+LOADAVG = []  # 1-min load average sampled before each pipeline attempt
+
+
 def _run_times(tmp, out_name, cfg, n_reads, attempts):
     from mandalorion_tpu.pipeline.stages import run_pipeline
     times = []
     for attempt in range(attempts):
+        # box-weather context per attempt (VERDICT r4 weak #7): this VM
+        # shares 2 cores; cross-round artifact deltas need the load
+        # alongside the figure to separate code from neighbors
+        LOADAVG.append(round(os.getloadavg()[0], 2))
         out_dir = os.path.join(tmp, f"{out_name}{attempt}")
         t0 = time.time()
         with contextlib.redirect_stdout(sys.stderr):  # ONE json line
@@ -140,6 +147,18 @@ def _run_times(tmp, out_name, cfg, n_reads, attempts):
         quant = os.path.join(out_dir, "Isoforms.filtered.clean.quant")
         assert os.path.exists(quant) and os.path.getsize(quant) > 0
     return [n_reads / dt for dt in times]
+
+
+def _absorb_first_fetch_stall() -> float:
+    """Pay the axon tunnel's known first-fetch stall (hundreds of seconds
+    on some runs) OUTSIDE the timed attempts (VERDICT r4 #3): one
+    throwaway in-process dispatch+fetch; returns the seconds it absorbed."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    t0 = time.time()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.ones((8, 128), jnp.float32)))
+    return time.time() - t0
 
 
 def _poa_workload(n_iso=16, n_reads=20, length=2000):
@@ -162,10 +181,12 @@ def _poa_workload(n_iso=16, n_reads=20, length=2000):
     return sets, bases
 
 
-def _poa_bases_per_s(backend, n_iso=16, n_reads=20):
+def _poa_bases_per_s(backend, n_iso=16, n_reads=20, attempts=3):
     """Graph-engine POA bases/s through the FULL production path:
     prepare_consensus_jobs (subsample + orientation) +
-    resolve_consensus_jobs on the given backend."""
+    resolve_consensus_jobs on the given backend. Returns the per-attempt
+    list (median-of-3 with spread in the artifact, VERDICT r4 #4: a
+    slow-tunnel run must not silently halve the chip metric)."""
     import numpy as np
     from mandalorion_tpu.config import PoaConfig
     from mandalorion_tpu.poa.consensus import (prepare_consensus_jobs,
@@ -179,9 +200,28 @@ def _poa_bases_per_s(backend, n_iso=16, n_reads=20):
         resolve_consensus_jobs(jobs, backend=backend)
 
     run()  # warmup (native build / kernel compiles, same shapes)
-    t0 = time.time()
-    run()
-    return bases / (time.time() - t0)
+    out = []
+    for _a in range(attempts):
+        t0 = time.time()
+        run()
+        out.append(bases / (time.time() - t0))
+    return out
+
+
+def _fixture_status():
+    """Keep the real-tool validation gap LOUD in every artifact (VERDICT
+    r4 #9): count committed minimap2/abPOA fixtures; zero means the
+    aligner/POA have still never been compared against the real tools
+    (blocked on egress — tools/validate_against_real_tools.py generates
+    them the moment binaries are reachable)."""
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "real_tool_fixtures")
+    n = 0
+    if os.path.isdir(base):
+        n = sum(len(fs) for _d, _s, fs in os.walk(base))
+    return {"committed": n,
+            "note": ("validation against real minimap2/abPOA blocked on "
+                     "egress" if n == 0 else "fixtures present")}
 
 
 def main():
@@ -207,8 +247,10 @@ def main():
                     tmp, "star",
                     PipelineConfig(threads=threads,
                                    poa=PoaConfig(engine="star")),
-                    n_reads, attempts=2)
-            star = round(max(star_rps), 2)
+                    n_reads, attempts=3)
+            # median like every other figure (VERDICT r4 weak #4)
+            star = {"reads_per_s": round(statistics.median(star_rps), 2),
+                    "spread": [round(x, 2) for x in star_rps]}
         except BaseException as e:  # never lose the headline to a flake
             star = f"error: {str(e)[:120]}"
 
@@ -225,17 +267,32 @@ def main():
                 if not _device_ready():
                     raise TimeoutError("device backend init failing "
                                        "(tunnel down after retries)")
+                # the first in-process fetch pays the tunnel's known
+                # multi-hundred-second stall; absorb it before attempt 0
+                # so reads_per_s_cold measures the pipeline, not the
+                # tunnel's first-touch (VERDICT r4 #3)
+                stall = _absorb_first_fetch_stall()
                 rps = _run_times(dev_dir, "dev", dev_cfg, dev_reads,
                                  attempts=4)
+                # host path on the SAME workload: the comparison VERDICT
+                # r4 #1's done-bar asks for, embedded in the artifact
+                host_same = _run_times(dev_dir, "devhost",
+                                       PipelineConfig(threads=threads),
+                                       dev_reads, attempts=3)
                 tunnel = _tunnel_stats()
             device_path = {
                 "reads_per_s": round(statistics.median(rps[1:]), 2),
                 "reads_per_s_cold": round(rps[0], 2),
                 "cold_kind": ("warm-cache" if cache_before
                               else "first-ever"),
+                "stall_absorbed_s": round(stall, 2),
                 "warm_spread": [round(x, 2) for x in rps[1:]],
+                "host_same_workload": {
+                    "reads_per_s": round(statistics.median(host_same), 2),
+                    "spread": [round(x, 2) for x in host_same]},
                 "reads": dev_reads,
-                "backends": "chain=device dp=pallas",
+                "backends": "chain=device dp=pallas (native staging, "
+                            "2 fetches/batch)",
                 "tunnel": tunnel,
             }
         except BaseException as e:  # never lose the headline to a flake
@@ -245,14 +302,18 @@ def main():
                            "production path (subsample+orient+graph DP)"}
         try:
             with _Watchdog(900), contextlib.redirect_stdout(sys.stderr):
-                poa["bases_per_s_host"] = round(
-                    _poa_bases_per_s("native"), 1)
+                host_attempts = _poa_bases_per_s("native")
+            poa["bases_per_s_host"] = round(
+                statistics.median(host_attempts), 1)
+            poa["host_spread"] = [round(x, 1) for x in host_attempts]
         except BaseException as e:
             poa["bases_per_s_host"] = f"error: {str(e)[:120]}"
         try:
             with _Watchdog(1500), contextlib.redirect_stdout(sys.stderr):
-                poa["bases_per_s_device"] = round(
-                    _poa_bases_per_s("device"), 1)
+                dev_attempts = _poa_bases_per_s("device")
+            poa["bases_per_s_device"] = round(
+                statistics.median(dev_attempts), 1)
+            poa["device_spread"] = [round(x, 1) for x in dev_attempts]
         except BaseException as e:
             poa["bases_per_s_device"] = f"error: {str(e)[:120]}"
 
@@ -273,9 +334,11 @@ def main():
                      "note": "reference with free alignment+consensus "
                              "(replay stubs); vs_baseline uses the higher "
                              "r1 figure"},
-        "star_engine_reads_per_s": star,
+        "star_engine": star,
         "device_path": device_path,
         "poa": poa,
+        "loadavg_per_attempt": LOADAVG,
+        "real_tool_fixtures": _fixture_status(),
     }))
 
 

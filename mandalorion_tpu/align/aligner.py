@@ -492,6 +492,9 @@ class SpliceAligner:
                   ) -> List[PslRecord]:
         """Align a batch of (name, seq) reads; primary alignments only."""
         if getattr(self.cfg, "chain_backend", "native") == "device":
+            out = self._map_batch_device_staged(reads)
+            if out is not None:
+                return out
             picks = self._chain_batch_device(reads)
         else:
             backend = getattr(self.cfg, "dp_backend", "numpy")
@@ -518,6 +521,95 @@ class SpliceAligner:
         out: List[PslRecord] = []
         for pend in pendings:
             rec = self._emit(pend, results, modes)
+            if rec is not None:
+                out.append(rec)
+        return out
+
+    def _map_batch_device_staged(self, reads: Sequence[Tuple[str, str]]
+                                 ) -> Optional[List[PslRecord]]:
+        """Device-path map_batch with NATIVE staging (VERDICT r4 #1): the
+        three host phases between the two device dispatches — candidate
+        seeding, chain pick + gap fill, DP-result emission — run as
+        single batched C calls (stage_*_batch_c), so the device path
+        shares the fused host path's staging engine and the whole module
+        costs exactly TWO device fetch round trips per batch:
+
+            C seed -> [chain kernel, 1 fetch] -> C fill ->
+            [fused DP kernel, 1 fetch] -> C emit
+
+        Bit-identical to the Python-staged path (and therefore to the
+        host path): tests/test_stage_native.py byte-compares all three.
+        Returns None (caller falls back to the Python staging) when the
+        native library is missing, a mesh is installed (the sharded
+        dispatches need per-device batching), or the index is sharded.
+        Replaces minimap2 (Mando.py:316-319) on the device route."""
+        from mandalorion_tpu.native import (
+            load_native, native_stage_seed_batch, native_stage_fill_batch,
+            native_stage_emit_batch)
+        from mandalorion_tpu.parallel.mesh import pipeline_mesh
+        if load_native() is None or self._sharded is not None or \
+                self.index.bucket_lo is None or pipeline_mesh() is not None:
+            return None
+        cfg = self.cfg
+        dp_backend = getattr(cfg, "dp_backend", "numpy")
+        if dp_backend not in ("pallas", "rowscan"):
+            return None
+        code_list = [encode(seq) for _name, seq in reads]
+        read_off = np.zeros(len(reads) + 1, np.int64)
+        np.cumsum([len(c) for c in code_list], out=read_off[1:])
+        codes_all = (np.concatenate(code_list) if code_list
+                     else np.zeros(0, np.uint8))
+
+        seeded = native_stage_seed_batch(
+            codes_all, read_off, cfg.kmer, cfg.window, self.max_occ, 100,
+            self.index, cfg.max_intron)
+        if seeded is None:
+            return None
+        n_cand, c_read, c_strand, c_chrom, c_tbase, c_nseg, segs = seeded
+        if n_cand == 0:
+            return []
+
+        from mandalorion_tpu.align.chain_kernel import chain_batch_rows
+        rows = chain_batch_rows(
+            *segs, c_nseg, n_cand, min_intron=cfg.min_intron,
+            max_intron=cfg.max_intron)
+
+        strand, chrom, oriented, run_off, runs, probs = \
+            native_stage_fill_batch(
+                codes_all, read_off, n_cand, c_read, c_strand, c_chrom,
+                c_tbase, c_nseg, segs, rows, self.index,
+                cfg_min_len(cfg), cfg.min_intron, cfg.match, cfg.mismatch,
+                cfg.gap_open, cfg.gap_extend, cfg.end_bonus,
+                getattr(cfg, "zdrop", 0), cfg.band_width,
+                cfg.max_end_extend, cfg.splice_slack,
+                cfg.noncanonical_penalty)
+
+        from mandalorion_tpu.align.kernels import solve_dp_fused
+        meta, ks, buf, on_host = solve_dp_fused(
+            probs, oriented, read_off, self.index.seq_codes, cfg,
+            interpret=getattr(cfg, "pallas_interpret", False),
+            rowscan=dp_backend == "rowscan")
+
+        stats, blk_off, bs, bq, bt, cs_off, cs_raw = \
+            native_stage_emit_batch(
+                oriented, read_off, self.index.seq_codes, strand, run_off,
+                runs, probs, on_host, meta, ks, buf, cfg.match,
+                cfg.mismatch, cfg.gap_open, cfg.gap_extend, cfg.end_bonus,
+                getattr(cfg, "zdrop", 0))
+
+        out: List[PslRecord] = []
+        for ri, (name, seq) in enumerate(reads):
+            if strand[ri] < 0 or stats[ri, 7] == 0:
+                continue
+            b0, b1 = int(blk_off[ri]), int(blk_off[ri + 1])
+            pend = _Pending(
+                name, seq, "+" if strand[ri] == 0 else "-",
+                oriented[read_off[ri]:read_off[ri + 1]],
+                int(chrom[ri]), [], [])
+            rec = self._psl_record(
+                pend, stats[ri], bs[b0:b1].tolist(), bq[b0:b1].tolist(),
+                bt[b0:b1].tolist(),
+                cs_raw[cs_off[ri]:cs_off[ri + 1]].decode())
             if rec is not None:
                 out.append(rec)
         return out

@@ -97,6 +97,39 @@ def _unpack_chain(rows: np.ndarray, max_seg: int):
     return parent, best, best_score
 
 
+def chain_batch_rows(qs: np.ndarray, qe: np.ndarray, ts: np.ndarray,
+                     te: np.ndarray, cov: np.ndarray, n_seg: np.ndarray,
+                     n_cand: int, *, min_intron: int, max_intron: int,
+                     match: int = 1, intron_penalty: float = 12.0,
+                     indel_open: float = 4.0, indel_scale: float = 0.3
+                     ) -> np.ndarray:
+    """Dispatch PRE-PACKED candidate rows (native stage_seed_batch_c
+    output: prepare_segments already applied, t normalized, zero padding)
+    through the chain kernel and return the raw packed int16 rows
+    (parent table + best + score bits) for the native traceback
+    (stage_fill_batch_c). ONE dispatch, ONE fetch. The batch dim pads to
+    the same power-of-two buckets as chain_batch_jax, so both entries
+    share compiled kernels."""
+    Bp = 64
+    while Bp < n_cand:
+        Bp *= 2
+
+    def fit(a):
+        if a.shape[0] >= Bp:
+            return a[:Bp]
+        out = np.zeros((Bp,) + a.shape[1:], a.dtype)
+        out[:a.shape[0]] = a
+        return out
+
+    fn = _chain_fn(min_intron, max_intron, match, intron_penalty,
+                   indel_open, indel_scale, MAX_SEG)
+    rows = jax.device_get(
+        fn(jnp.asarray(fit(qs)), jnp.asarray(fit(qe)),
+           jnp.asarray(fit(ts)), jnp.asarray(fit(te)),
+           jnp.asarray(fit(cov)), jnp.asarray(fit(n_seg))))
+    return rows[:n_cand]
+
+
 def chain_batch_jax(per_read_segments: List[List[Segment]], *,
                     min_intron: int, max_intron: int, match: int = 1,
                     intron_penalty: float = 12.0, indel_open: float = 4.0,

@@ -650,3 +650,122 @@ def _solve_chunk(chunk_idx: List[int], N: int,
     for slot, qi, tj in starts:
         results[chunk_idx[slot]] = DpResult(
             _traceback(ptr[slot], qi, tj), qi, tj)
+
+
+# ---------------------------------------------------- staged device path
+
+@functools.lru_cache(maxsize=64)
+def _rowscan_fused_fn(match, mismatch, go, ge, end_bonus, zdrop, max_q,
+                      width):
+    """Rowscan twin of _pallas_fused_fn: DP + start-cell pick + traceback
+    in one jitted call with the same packed int8 output, so the staged
+    device path (and its CI run on CPU) shares the native emit phase."""
+    raw = _rowscan_fn(match, mismatch, go, ge, max_q, end_bonus, zdrop,
+                      width)
+    walk = _traceback_walk(max_q + width + 2)
+
+    def fused(q, t, qlen, tlen, is_global):
+        ptr, meta = raw(q, t, qlen[:, 0], tlen[:, 0])
+        qi = jnp.where(is_global, qlen[:, 0], meta[:, 0])
+        tj = jnp.where(is_global, tlen[:, 0], meta[:, 1])
+        dead = (~is_global) & (meta[:, 2] <= 0)
+        qi = jnp.where(dead, 0, qi)
+        tj = jnp.where(dead, 0, tj)
+        buf, ks = walk(jnp.transpose(ptr, (1, 0, 2)), qi, tj)
+        meta8 = jax.lax.bitcast_convert_type(
+            meta[:, :4].astype(jnp.int32), jnp.int8).reshape(
+            meta.shape[0], 16)
+        ks8 = jax.lax.bitcast_convert_type(ks[:, None].astype(jnp.int32),
+                                           jnp.int8).reshape(
+            meta.shape[0], 4)
+        return jnp.concatenate([meta8, ks8, buf], axis=1)
+
+    return jax.jit(fused)
+
+
+def solve_dp_fused(probs, oriented: np.ndarray, read_off: np.ndarray,
+                   genome: np.ndarray, cfg: AlignConfig,
+                   interpret: bool = False, rowscan: bool = False):
+    """Solve the staged device path's DP problem DESCRIPTORS
+    (stage_fill_batch_c output) on device, returning per-problem packed
+    fused results for the native emit phase:
+    (meta (n,4) int32, ks (n,) int32, buf (n,S) int8 reverse-order step
+    codes, on_host (n,) uint8). Device-ineligible problems get
+    on_host=1 and untouched rows — stage_emit_batch_c solves them inline
+    with the same bit-identical host solver. Bucketing, class promotion,
+    and fixed dispatch shapes are _solve_batched's (shared helpers), so
+    this entry adds no new compiled kernel shapes."""
+    prob_read, prob_mode, prob_q0, prob_t0, prob_nq, prob_nt = probs
+    n = len(prob_mode)
+    on_host = np.zeros(n, np.uint8)
+    buckets: dict = {}
+    for i in range(n):
+        nq, nt = int(prob_nq[i]), int(prob_nt[i])
+        if 0 < nq <= MAX_Q_DEVICE and 0 < nt <= MAX_T_DEVICE:
+            buckets.setdefault((_width_for(nt), _quant_q(nq)),
+                               []).append(i)
+        else:
+            on_host[i] = 1
+    meta = np.zeros((n, 4), np.int32)
+    ks = np.zeros(n, np.int32)
+    if not buckets:
+        return meta, ks, np.zeros((n, 1), np.int8), on_host
+    # dispatch-count-aware class promotion (see _solve_batched)
+    if len(buckets) > 1:
+        w_max = max(k[0] for k in buckets)
+        q_max = max(k[1] for k in buckets)
+        n_promo = _dispatch_tiles(w_max, q_max) * TILE
+        baseline = sum(
+            -(-len(v) // (_dispatch_tiles(w, q) * TILE))
+            for (w, q), v in buckets.items())
+        total = sum(len(v) for v in buckets.values())
+        if -(-total // n_promo) < baseline:
+            merged = [i for k in sorted(buckets) for i in buckets[k]]
+            buckets = {(w_max, q_max): merged}
+    S = max(mq + w + 2 for w, mq in buckets)
+    buf = np.zeros((n, S), np.int8)
+    for width, max_q in sorted(buckets):
+        fit_idx = buckets[(width, max_q)]
+        N = _dispatch_tiles(width, max_q) * TILE
+        for c0 in range(0, len(fit_idx), N):
+            chunk = fit_idx[c0:c0 + N]
+            q_arr = np.zeros((N, max_q), np.int32)
+            t_arr = np.full((N, width), 9, np.int32)
+            qlen = np.zeros((N, 1), np.int32)
+            tlen = np.zeros((N, 1), np.int32)
+            is_global = np.zeros(N, bool)
+            for slot, i in enumerate(chunk):
+                ri = int(prob_read[i])
+                q = oriented[read_off[ri]:read_off[ri + 1]]
+                mode = int(prob_mode[i])
+                q0, t0 = int(prob_q0[i]), int(prob_t0[i])
+                nq, nt = int(prob_nq[i]), int(prob_nt[i])
+                if mode == 2:  # extend_left: reversed arrays
+                    q_arr[slot, :nq] = q[q0 - nq:q0][::-1]
+                    t_arr[slot, 1:1 + nt] = genome[t0 - nt:t0][::-1]
+                else:
+                    q_arr[slot, :nq] = q[q0:q0 + nq]
+                    t_arr[slot, 1:1 + nt] = genome[t0:t0 + nt]
+                qlen[slot, 0] = nq
+                tlen[slot, 0] = nt
+                is_global[slot] = mode == 0
+            n_tiles = N // TILE
+            if rowscan:
+                fn = _rowscan_fused_fn(
+                    cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+                    cfg.end_bonus, getattr(cfg, "zdrop", 0), max_q, width)
+            else:
+                fn = _pallas_fused_fn(
+                    cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+                    cfg.end_bonus, getattr(cfg, "zdrop", 0), n_tiles,
+                    max_q, width, interpret)
+            rows = jax.device_get(
+                fn(jnp.asarray(q_arr), jnp.asarray(t_arr),
+                   jnp.asarray(qlen), jnp.asarray(tlen),
+                   jnp.asarray(is_global)))
+            m, k_arr, b = _unpack_fused(rows)
+            idx = np.asarray(chunk, np.int64)
+            meta[idx] = m[:len(chunk)]
+            ks[idx] = k_arr[:len(chunk)]
+            buf[idx, :b.shape[1]] = b[:len(chunk)]
+    return meta, ks, buf, on_host

@@ -118,6 +118,46 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,   # cs
             ctypes.c_int32] + [ctypes.c_void_p] * 4 + [          # runs mode
             ctypes.c_int64]                                      # runs cap
+        lib.stage_seed_batch_c.restype = ctypes.c_int64
+        lib.stage_seed_batch_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # codes,off,n
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,    # k w max_occ
+            ctypes.c_int32,                                    # merge_gap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,  # index
+            ctypes.c_void_p, ctypes.c_int32,                   # pos, u32
+            ctypes.c_void_p, ctypes.c_int64,                   # chroms
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,    # intr,seg,cap
+            ] + [ctypes.c_void_p] * 10
+        lib.stage_fill_batch_c.restype = ctypes.c_int64
+        lib.stage_fill_batch_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # codes,off,n
+            ctypes.c_int64] + [ctypes.c_void_p] * 5 + [        # candidates
+            ctypes.c_void_p] * 4 + [ctypes.c_int64,            # segs,maxseg
+            ctypes.c_void_p,                                   # chain rows
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # chroms
+            ctypes.c_void_p,                                   # genome
+            ctypes.c_float, ctypes.c_int64,                    # minsc,intron
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # dp m/mm/go
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # ge,eb,zdrop
+            ctypes.c_int32, ctypes.c_int64,                    # band,max_ext
+            ctypes.c_int32, ctypes.c_int32,                    # slack, ncp
+            ] + [ctypes.c_void_p] * 8 + [ctypes.c_int64] + [   # outs,runscap
+            ctypes.c_void_p] * 6 + [ctypes.c_int64,            # probs, cap
+            ctypes.c_void_p]                                   # counts
+        lib.stage_emit_batch_c.restype = ctypes.c_int64
+        lib.stage_emit_batch_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # or,off,n
+            ctypes.c_void_p, ctypes.c_void_p,                  # genome,strand
+            ] + [ctypes.c_void_p] * 5 + [                      # runs
+            ctypes.c_void_p] * 5 + [                           # probs
+            ctypes.c_void_p,                                   # on_host
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, # dp results
+            ctypes.c_int64,                                    # dp_stride
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # m/mm/go
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # ge,eb,zdrop
+            ] + [ctypes.c_void_p] * 5 + [ctypes.c_int64,       # stats..blkcap
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,  # cs
+            ctypes.c_void_p]                                   # needs
         lib.index_build_start.restype = ctypes.c_void_p
         lib.index_build_start.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -600,3 +640,169 @@ def native_poa_align(graph, q, params):
         raise RuntimeError("native POA traceback lost (bug)")
     return [(int(qi), order[rk] if rk >= 0 else None)
             for qi, rk in steps[:k]]
+
+
+# ----------------------------------------------------------------------
+# Device-path batch staging (VERDICT r4 #1): python wrappers for the three
+# stage_*_batch_c phases. See minimizers.cpp for the phase contracts; the
+# staged device path in align/aligner.py (_map_batch_device_staged) is the
+# only caller.
+
+
+def native_stage_seed_batch(codes_all: np.ndarray, read_off: np.ndarray,
+                            k: int, w: int, max_occ: int, merge_gap: int,
+                            index, max_intron: int,
+                            max_segments: int = 512):
+    """Phase A: seed + prepare every (read, orientation, chromosome)
+    candidate in one C call, packed straight into the chain kernel's
+    zero-padded (cap, max_segments) int32 input rows. Returns
+    (n_cand, cand_read, cand_strand, cand_chrom, cand_tbase, cand_nseg,
+    (qs, qe, ts, te, cov)) or None when the library is unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n_reads = len(read_off) - 1
+    pos_is_u32 = 1 if index.sorted_positions.dtype == np.uint32 else 0
+    cap = max(64, 2 * n_reads)
+    while True:
+        cand_read = np.zeros(cap, np.int32)
+        cand_strand = np.zeros(cap, np.int8)
+        cand_chrom = np.zeros(cap, np.int32)
+        cand_tbase = np.zeros(cap, np.int64)
+        cand_nseg = np.zeros(cap, np.int32)
+        segs = tuple(np.zeros((cap, max_segments), np.int32)
+                     for _ in range(5))
+        n = lib.stage_seed_batch_c(
+            codes_all.ctypes.data, read_off.ctypes.data, n_reads,
+            k, w, max_occ, merge_gap,
+            index.sorted_hashes.ctypes.data, index.bucket_lo.ctypes.data,
+            index.bucket_bits, index.sorted_positions.ctypes.data,
+            pos_is_u32, index.chrom_offsets.ctypes.data,
+            len(index.chrom_offsets), max_intron, max_segments, cap,
+            cand_read.ctypes.data, cand_strand.ctypes.data,
+            cand_chrom.ctypes.data, cand_tbase.ctypes.data,
+            cand_nseg.ctypes.data, *(s.ctypes.data for s in segs))
+        if n >= 0:
+            return (int(n), cand_read, cand_strand, cand_chrom,
+                    cand_tbase, cand_nseg, segs)
+        cap = -n + 16
+
+
+def native_stage_fill_batch(codes_all: np.ndarray, read_off: np.ndarray,
+                            n_cand: int, cand_read, cand_strand,
+                            cand_chrom, cand_tbase, cand_nseg, segs,
+                            chain_rows: np.ndarray, index,
+                            min_chain_score: float, min_intron: int,
+                            dp_match: int, dp_mismatch: int, gap_open: int,
+                            gap_extend: int, end_bonus: int, zdrop: int,
+                            band_width: int, max_end_extend: int,
+                            splice_slack: int, noncanonical_penalty: int,
+                            max_segments: int = 512):
+    """Phase B: chain pick per read + gap fill in collect mode. Returns
+    (strand, chrom, oriented, run_off, (runs_op, q0, t0, len),
+    (prob_read, mode, q0, t0, nq, nt)) — runs with op=4 are DP
+    placeholders whose len is the global problem index."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n_reads = len(read_off) - 1
+    qs, qe, ts, te, _cov = segs
+    chain_rows = np.ascontiguousarray(chain_rows, np.int16)
+    strand = np.empty(n_reads, np.int32)
+    chrom = np.empty(n_reads, np.int32)
+    oriented = np.empty(int(read_off[-1]), np.uint8)
+    run_off = np.empty(n_reads + 1, np.int64)
+    out_counts = np.zeros(2, np.int64)
+    total_seg = int(cand_nseg[:n_cand].sum())
+    runs_cap = 4 * total_seg + 8 * n_reads + 64
+    prob_cap = total_seg + 4 * n_reads + 64
+    while True:
+        runs_op = np.empty(runs_cap, np.int8)
+        runs_q0 = np.empty(runs_cap, np.int64)
+        runs_t0 = np.empty(runs_cap, np.int64)
+        runs_len = np.empty(runs_cap, np.int64)
+        prob_read = np.empty(prob_cap, np.int32)
+        prob_mode = np.empty(prob_cap, np.uint8)
+        prob_q0 = np.empty(prob_cap, np.int64)
+        prob_t0 = np.empty(prob_cap, np.int64)
+        prob_nq = np.empty(prob_cap, np.int64)
+        prob_nt = np.empty(prob_cap, np.int64)
+        rc = lib.stage_fill_batch_c(
+            codes_all.ctypes.data, read_off.ctypes.data, n_reads, n_cand,
+            cand_read.ctypes.data, cand_strand.ctypes.data,
+            cand_chrom.ctypes.data, cand_tbase.ctypes.data,
+            cand_nseg.ctypes.data,
+            qs.ctypes.data, qe.ctypes.data, ts.ctypes.data, te.ctypes.data,
+            max_segments, chain_rows.ctypes.data,
+            index.chrom_offsets.ctypes.data, index.chrom_sizes.ctypes.data,
+            len(index.chrom_offsets), index.seq_codes.ctypes.data,
+            min_chain_score, min_intron, dp_match, dp_mismatch, gap_open,
+            gap_extend, end_bonus, zdrop, band_width, max_end_extend,
+            splice_slack, noncanonical_penalty,
+            strand.ctypes.data, chrom.ctypes.data, oriented.ctypes.data,
+            run_off.ctypes.data, runs_op.ctypes.data, runs_q0.ctypes.data,
+            runs_t0.ctypes.data, runs_len.ctypes.data, runs_cap,
+            prob_read.ctypes.data, prob_mode.ctypes.data,
+            prob_q0.ctypes.data, prob_t0.ctypes.data, prob_nq.ctypes.data,
+            prob_nt.ctypes.data, prob_cap, out_counts.ctypes.data)
+        if rc == 0:
+            nr, npb = int(out_counts[0]), int(out_counts[1])
+            return (strand, chrom, oriented, run_off,
+                    (runs_op[:nr], runs_q0[:nr], runs_t0[:nr],
+                     runs_len[:nr]),
+                    (prob_read[:npb], prob_mode[:npb], prob_q0[:npb],
+                     prob_t0[:npb], prob_nq[:npb], prob_nt[:npb]))
+        runs_cap = int(out_counts[0]) + 64
+        prob_cap = int(out_counts[1]) + 64
+
+
+def native_stage_emit_batch(oriented: np.ndarray, read_off: np.ndarray,
+                            genome: np.ndarray, strand: np.ndarray,
+                            run_off: np.ndarray, runs, probs,
+                            on_host: np.ndarray, dp_meta: np.ndarray,
+                            dp_ks: np.ndarray, dp_buf: np.ndarray,
+                            match: int, mismatch: int, gap_open: int,
+                            gap_extend: int, end_bonus: int, zdrop: int):
+    """Phase C: resolve DP placeholders (device results or inline host
+    solver) and emit extended PSL per read. Returns (stats (n,8), blk_off,
+    blk_sizes, blk_q, blk_t, cs_off, cs_bytes)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n_reads = len(read_off) - 1
+    runs_op, runs_q0, runs_t0, runs_len = runs
+    prob_read, prob_mode, prob_q0, prob_t0, prob_nq, prob_nt = probs
+    dp_meta = np.ascontiguousarray(dp_meta, np.int32)
+    dp_ks = np.ascontiguousarray(dp_ks, np.int32)
+    dp_buf = np.ascontiguousarray(dp_buf, np.int8)
+    if dp_buf.size == 0:
+        dp_buf = np.zeros((max(len(prob_mode), 1), 1), np.int8)
+    stats = np.zeros((n_reads, 8), np.int64)
+    blk_off = np.zeros(n_reads + 1, np.int64)
+    cs_off = np.zeros(n_reads + 1, np.int64)
+    needs = np.zeros(2, np.int64)
+    blk_cap = len(runs_op) + 2 * n_reads + 64
+    cs_cap = 4 * int(read_off[-1]) + 64 * n_reads + 64
+    while True:
+        blk_sizes = np.empty(blk_cap, np.int64)
+        blk_q = np.empty(blk_cap, np.int64)
+        blk_t = np.empty(blk_cap, np.int64)
+        cs = ctypes.create_string_buffer(cs_cap)
+        rc = lib.stage_emit_batch_c(
+            oriented.ctypes.data, read_off.ctypes.data, n_reads,
+            genome.ctypes.data, strand.ctypes.data,
+            run_off.ctypes.data, runs_op.ctypes.data, runs_q0.ctypes.data,
+            runs_t0.ctypes.data, runs_len.ctypes.data,
+            prob_mode.ctypes.data, prob_q0.ctypes.data,
+            prob_t0.ctypes.data, prob_nq.ctypes.data, prob_nt.ctypes.data,
+            on_host.ctypes.data, dp_meta.ctypes.data, dp_ks.ctypes.data,
+            dp_buf.ctypes.data, dp_buf.shape[1] if dp_buf.ndim == 2 else 0,
+            match, mismatch, gap_open, gap_extend, end_bonus, zdrop,
+            stats.ctypes.data, blk_off.ctypes.data, blk_sizes.ctypes.data,
+            blk_q.ctypes.data, blk_t.ctypes.data, blk_cap,
+            cs_off.ctypes.data, cs, cs_cap, needs.ctypes.data)
+        if rc == 0:
+            return (stats, blk_off, blk_sizes, blk_q, blk_t, cs_off,
+                    cs.raw)
+        blk_cap = 2 * int(needs[0]) + 64
+        cs_cap = 2 * int(needs[1]) + 64

@@ -299,15 +299,12 @@ int64_t seed_segments_c(
 // arithmetic (same op order; built with -ffp-contract=off so no FMA
 // contraction diverges from numpy). Returns the chain length written to
 // chain_idx-trimmed outputs, and the chain score via *out_score.
-static int64_t chain_one(
-    std::vector<Seg>& segs, int64_t min_intron, int64_t max_intron,
-    int32_t match, float intron_penalty, float indel_open,
-    float indel_scale, int64_t max_segments,
-    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte,
-    float* out_score) {
-    *out_score = 0.0f;
-    if (segs.empty()) return 0;
-    // --- prepare_segments: singleton prefilter ---
+// prepare_segments' C++ twin (chain.py:80-105): singleton prefilter, cap
+// by length, sort by (q_start, t_start) — shared by the host chain DP
+// (chain_one) and the device-path candidate staging (stage_seed_batch_c).
+static void prepare_segs(std::vector<Seg>& segs, int64_t max_intron,
+                         int64_t max_segments) {
+    if (segs.empty()) return;
     int64_t n_multi = 0, covered = 0;
     int64_t span_lo = segs[0].qs, span_hi = segs[0].qe;
     for (const Seg& s : segs) {
@@ -347,6 +344,17 @@ static int64_t chain_one(
                          if (a.qs != b.qs) return a.qs < b.qs;
                          return a.ts < b.ts;
                      });
+}
+
+static int64_t chain_one(
+    std::vector<Seg>& segs, int64_t min_intron, int64_t max_intron,
+    int32_t match, float intron_penalty, float indel_open,
+    float indel_scale, int64_t max_segments,
+    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte,
+    float* out_score) {
+    *out_score = 0.0f;
+    if (segs.empty()) return 0;
+    prepare_segs(segs, max_intron, max_segments);
     // --- chain DP (float32, numpy op order) ---
     int64_t n = (int64_t)segs.size();
     std::vector<float> score(n);
@@ -755,91 +763,83 @@ int64_t seed_chain2_c(
 // small. out_strand: 0 '+', 1 '-', -1 none.
 struct Run { int8_t op; int64_t q0, t0, len; };
 
-int64_t align_read_c(
-    const uint8_t* codes, int64_t n,
-    int32_t k, int32_t w, int64_t max_occ, int32_t merge_gap,
-    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
-    int32_t bucket_bits,
-    const void* sorted_positions, int32_t pos_is_u32,
-    const int64_t* chrom_offsets, const int64_t* chrom_sizes,
-    int64_t n_chroms, const uint8_t* genome,
-    int64_t min_intron, int64_t max_intron, int32_t chain_match,
-    float intron_penalty, float indel_open, float indel_scale,
-    int64_t max_segments, float min_chain_score,
+// A deferred DP gap fill (device-path staging): the problem geometry the
+// Python layer needs to pack the device DP batch. mode: 0 global,
+// 1 extend_right, 2 extend_left (reversed arrays, aligner._fill's
+// convention: q covers [q0-nq, q0) reversed, t covers [t0-nt, t0)
+// reversed).
+struct DpDesc { uint8_t mode; int64_t q0, t0, nq, nt; };
+
+// Append one resolved DP fill's merged (op, dq, dt) runs at (q0, t0) —
+// the shared expansion used by the inline solver (align_read_c) and the
+// device-result resolver (stage_emit_batch_c); twin of
+// aligner._build_runs' DP branch.
+static void expand_ops_into_runs(
+    int mode, int64_t q0, int64_t t0, int64_t qlen, int64_t tlen,
+    const std::vector<int8_t>& mop, const std::vector<int32_t>& mdq,
+    const std::vector<int32_t>& mdt, std::vector<Run>& runs) {
+    auto push = [&](int8_t op, int64_t q, int64_t t, int64_t ln) {
+        if (ln > 0) runs.push_back({op, q, t, ln});
+    };
+    if (mop.empty()) return;
+    if (mode == 2) {  // extend_left: reversed arrays, reversed ops
+        int64_t qq = q0 - qlen, tt = t0 - tlen;
+        for (int64_t i = (int64_t)mop.size() - 1; i >= 0; i--) {
+            int8_t op = mop[i];
+            push(op, qq, tt, op != 2 ? mdq[i] : mdt[i]);
+            qq += mdq[i];
+            tt += mdt[i];
+        }
+    } else {
+        int64_t qq = q0, tt = t0;
+        for (size_t i = 0; i < mop.size(); i++) {
+            int8_t op = mop[i];
+            push(op, qq, tt, op != 2 ? mdq[i] : mdt[i]);
+            qq += mdq[i];
+            tt += mdt[i];
+        }
+    }
+}
+
+// Gap fill for one picked chain: splice slack + splice-point search +
+// structural runs + DP gap fills — the body of align_read_c between
+// chaining and emission, factored so the device-path staging can COLLECT
+// the DP problems (collect != nullptr: each DP site becomes a
+// placeholder run {op=4, q0, t0, len=desc index} plus a DpDesc) instead
+// of solving them inline. Identical control flow either way; the chain
+// arrays are modified in place (slack pass). Runs are appended UNSORTED
+// (align_read_c's final stable sort happens after resolution).
+static void fill_runs(
+    const uint8_t* q, int64_t n, const uint8_t* g,
+    int64_t chrom_off, int64_t chrom_end, int32_t strand,
+    int64_t* cq0, int64_t* cqe, int64_t* ct0, int64_t* cte, int64_t nseg,
+    int64_t min_intron,
     int32_t dp_match, int32_t dp_mismatch, int32_t go_, int32_t ge_,
     int32_t end_bonus, int32_t zdrop, int32_t band_width,
-    int64_t max_end_extend,
-    int32_t splice_slack, int32_t noncanonical_penalty,
-    int32_t* out_strand, int32_t* out_chrom,
-    int64_t* stats, int64_t* blk_sizes, int64_t* blk_q, int64_t* blk_t,
-    char* cs, int64_t cs_cap,
-    int32_t runs_mode, int8_t* runs_op, int64_t* runs_q0,
-    int64_t* runs_t0, int64_t* runs_len, int64_t runs_cap) {
-    std::vector<int64_t> cq0(max_segments), cqe(max_segments),
-        ct0(max_segments), cte(max_segments);
-    float score;
-    int32_t chrom, strand;
-    int64_t nseg = seed_chain2_c(
-        codes, n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
-        bucket_bits, sorted_positions, pos_is_u32, chrom_offsets,
-        n_chroms, min_intron,
-        max_intron, chain_match, intron_penalty, indel_open, indel_scale,
-        max_segments, cq0.data(), cqe.data(), ct0.data(), cte.data(),
-        &score, &chrom, &strand);
-    *out_strand = -1;
-    *out_chrom = -1;
-    if (nseg == 0 || strand < 0) return 0;
-    int64_t total_len = 0;
-    for (int64_t i = 0; i < nseg; i++) total_len += cqe[i] - cq0[i];
-    if ((float)total_len < min_chain_score) return 0;
-
-    // oriented query (map_batch aligns the reverse complement for '-')
-    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
-    std::vector<uint8_t> qbuf;
-    const uint8_t* q = codes;
-    if (strand == 1) {
-        qbuf.resize(n);
-        for (int64_t i = 0; i < n; i++) qbuf[i] = COMP[codes[n - 1 - i]];
-        q = qbuf.data();
-    }
-    const uint8_t* g = genome;
-    int64_t chrom_off = chrom_offsets[chrom];
-    int64_t chrom_end = chrom_off + chrom_sizes[chrom];
-
-    std::vector<Run> runs;
+    int64_t max_end_extend, int32_t splice_slack,
+    int32_t noncanonical_penalty,
+    std::vector<Run>& runs, std::vector<DpDesc>* collect) {
     auto push = [&](int8_t op, int64_t q0, int64_t t0, int64_t ln) {
         if (ln > 0) runs.push_back({op, q0, t0, ln});
     };
     std::vector<int8_t> mop;
     std::vector<int32_t> mdq, mdt;
     std::vector<uint8_t> ra, rb;
-    // resolve one DP fill directly into runs (what _build_runs does with
-    // the batched results; the native solver is sequential anyway)
-    auto solve_into_runs = [&](int64_t q0, int64_t t0, const uint8_t* qs,
-                               int64_t nq, const uint8_t* ts, int64_t nt,
-                               int mode /*0 global 1 ext 2 ext_left*/) {
+    // resolve one DP fill: solve inline (host path) or defer (device)
+    auto add_dp = [&](int64_t q0, int64_t t0, const uint8_t* qs,
+                      int64_t nq, const uint8_t* ts, int64_t nt,
+                      int mode /*0 global 1 ext 2 ext_left*/) {
+        if (collect) {
+            runs.push_back({4, q0, t0, (int64_t)collect->size()});
+            collect->push_back({(uint8_t)mode, q0, t0, nq, nt});
+            return;
+        }
         int64_t qlen, tlen;
         solve_one_dp(qs, nq, ts, nt, mode == 0, dp_match, dp_mismatch,
                      go_, ge_, end_bonus, zdrop, &qlen, &tlen, mop, mdq,
                      mdt);
-        if (mop.empty()) return;
-        if (mode == 2) {  // extend_left: reversed arrays, reversed ops
-            int64_t qq = q0 - qlen, tt = t0 - tlen;
-            for (int64_t i = (int64_t)mop.size() - 1; i >= 0; i--) {
-                int8_t op = mop[i];
-                push(op, qq, tt, op != 2 ? mdq[i] : mdt[i]);
-                qq += mdq[i];
-                tt += mdt[i];
-            }
-        } else {
-            int64_t qq = q0, tt = t0;
-            for (size_t i = 0; i < mop.size(); i++) {
-                int8_t op = mop[i];
-                push(op, qq, tt, op != 2 ? mdq[i] : mdt[i]);
-                qq += mdq[i];
-                tt += mdt[i];
-            }
-        }
+        expand_ops_into_runs(mode, q0, t0, qlen, tlen, mop, mdq, mdt,
+                             runs);
     };
 
     // left end extension (reversed problem); never cross the chrom start
@@ -847,11 +847,15 @@ int64_t align_read_c(
     if (lq > 0) {
         int64_t lt = ct0[0] - chrom_off;
         if (lt > lq + band_width) lt = lq + band_width;
-        ra.assign(lq, 0);
-        rb.assign(lt, 0);
-        for (int64_t i = 0; i < lq; i++) ra[i] = q[cq0[0] - 1 - i];
-        for (int64_t i = 0; i < lt; i++) rb[i] = g[ct0[0] - 1 - i];
-        solve_into_runs(cq0[0], ct0[0], ra.data(), lq, rb.data(), lt, 2);
+        if (collect) {
+            add_dp(cq0[0], ct0[0], nullptr, lq, nullptr, lt, 2);
+        } else {
+            ra.assign(lq, 0);
+            rb.assign(lt, 0);
+            for (int64_t i = 0; i < lq; i++) ra[i] = q[cq0[0] - 1 - i];
+            for (int64_t i = 0; i < lt; i++) rb[i] = g[ct0[0] - 1 - i];
+            add_dp(cq0[0], ct0[0], ra.data(), lq, rb.data(), lt, 2);
+        }
     }
 
     // splice slack: pull intron-gap flanks back so the splice-point
@@ -916,7 +920,7 @@ int64_t align_read_c(
             } else if (dt == 0) {
                 push(1, pqe, pte, dq);
             } else if (dq * dt <= 4000000) {
-                solve_into_runs(pqe, pte, q + pqe, dq, g + pte, dt, 0);
+                add_dp(pqe, pte, q + pqe, dq, g + pte, dt, 0);
             } else {  // degenerate huge gap: crude I+D fill
                 push(1, pqe, pte, dq);
                 push(2, cq0[i], pte, dt);
@@ -931,9 +935,68 @@ int64_t align_read_c(
     if (rq > 0) {
         int64_t rt = chrom_end - cte[nseg - 1];
         if (rt > rq + band_width) rt = rq + band_width;
-        solve_into_runs(cqe[nseg - 1], cte[nseg - 1], q + cqe[nseg - 1],
-                        rq, g + cte[nseg - 1], rt, 1);
+        add_dp(cqe[nseg - 1], cte[nseg - 1], q + cqe[nseg - 1], rq,
+               g + cte[nseg - 1], rt, 1);
     }
+}
+
+int64_t align_read_c(
+    const uint8_t* codes, int64_t n,
+    int32_t k, int32_t w, int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits,
+    const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, const int64_t* chrom_sizes,
+    int64_t n_chroms, const uint8_t* genome,
+    int64_t min_intron, int64_t max_intron, int32_t chain_match,
+    float intron_penalty, float indel_open, float indel_scale,
+    int64_t max_segments, float min_chain_score,
+    int32_t dp_match, int32_t dp_mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus, int32_t zdrop, int32_t band_width,
+    int64_t max_end_extend,
+    int32_t splice_slack, int32_t noncanonical_penalty,
+    int32_t* out_strand, int32_t* out_chrom,
+    int64_t* stats, int64_t* blk_sizes, int64_t* blk_q, int64_t* blk_t,
+    char* cs, int64_t cs_cap,
+    int32_t runs_mode, int8_t* runs_op, int64_t* runs_q0,
+    int64_t* runs_t0, int64_t* runs_len, int64_t runs_cap) {
+    std::vector<int64_t> cq0(max_segments), cqe(max_segments),
+        ct0(max_segments), cte(max_segments);
+    float score;
+    int32_t chrom, strand;
+    int64_t nseg = seed_chain2_c(
+        codes, n, k, w, max_occ, merge_gap, sorted_hashes, bucket_lo,
+        bucket_bits, sorted_positions, pos_is_u32, chrom_offsets,
+        n_chroms, min_intron,
+        max_intron, chain_match, intron_penalty, indel_open, indel_scale,
+        max_segments, cq0.data(), cqe.data(), ct0.data(), cte.data(),
+        &score, &chrom, &strand);
+    *out_strand = -1;
+    *out_chrom = -1;
+    if (nseg == 0 || strand < 0) return 0;
+    int64_t total_len = 0;
+    for (int64_t i = 0; i < nseg; i++) total_len += cqe[i] - cq0[i];
+    if ((float)total_len < min_chain_score) return 0;
+
+    // oriented query (map_batch aligns the reverse complement for '-')
+    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
+    std::vector<uint8_t> qbuf;
+    const uint8_t* q = codes;
+    if (strand == 1) {
+        qbuf.resize(n);
+        for (int64_t i = 0; i < n; i++) qbuf[i] = COMP[codes[n - 1 - i]];
+        q = qbuf.data();
+    }
+    const uint8_t* g = genome;
+    int64_t chrom_off = chrom_offsets[chrom];
+    int64_t chrom_end = chrom_off + chrom_sizes[chrom];
+
+    std::vector<Run> runs;
+    fill_runs(q, n, g, chrom_off, chrom_end, strand,
+              cq0.data(), cqe.data(), ct0.data(), cte.data(), nseg,
+              min_intron, dp_match, dp_mismatch, go_, ge_, end_bonus,
+              zdrop, band_width, max_end_extend, splice_slack,
+              noncanonical_penalty, runs, nullptr);
 
     std::stable_sort(runs.begin(), runs.end(),
                      [](const Run& a, const Run& b) {
@@ -1329,6 +1392,407 @@ void lookup_ranges_c(const uint64_t* sorted_hashes, const int64_t* bucket_lo,
         out_lo[qi] = first;
         out_hi[qi] = l;
     }
+}
+
+// ---------------------------------------------------------------------
+// Device-path batch staging (VERDICT r4 #1): the three host phases of the
+// chain=device + dp=pallas module-A path — candidate seeding, chain
+// pick + gap fill, and DP-result emission — as single batched C calls, so
+// the device path shares the native staging the fused host path
+// (align_read_c) already has. Each call is bit-identical to the Python
+// staging it replaces (aligner._chain_batch_device / _fill / _build_runs
+// + emit; tests/test_stage_native.py asserts end-to-end byte equality).
+// Replaces minimap2's role at Mando.py:316-319 on the device route.
+
+// Phase A — seed every (read, orientation, chromosome) candidate and pack
+// prepared segments straight into the chain kernel's (cap, max_segments)
+// int32 input rows (prepare_segments applied, t normalized per candidate
+// to its min t_start). Candidate order matches _chain_batch_device: read
+// -> '+','-' -> chromosome ascending. Caller provides ZEROED seg arrays
+// (padding rows must stay zero for the jit cache). Returns the candidate
+// count, or -needed when cap is too small.
+int64_t stage_seed_batch_c(
+    const uint8_t* codes_all, const int64_t* read_off, int64_t n_reads,
+    int32_t k, int32_t w, int64_t max_occ, int32_t merge_gap,
+    const uint64_t* sorted_hashes, const int64_t* bucket_lo,
+    int32_t bucket_bits, const void* sorted_positions, int32_t pos_is_u32,
+    const int64_t* chrom_offsets, int64_t n_chroms,
+    int64_t max_intron, int64_t max_segments, int64_t cap,
+    int32_t* cand_read, int8_t* cand_strand, int32_t* cand_chrom,
+    int64_t* cand_tbase, int32_t* cand_nseg,
+    int32_t* seg_qs, int32_t* seg_qe, int32_t* seg_ts, int32_t* seg_te,
+    int32_t* seg_cov) {
+    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
+    std::vector<uint8_t> rc;
+    std::vector<Seg> segs, group;
+    int64_t nc = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        const uint8_t* codes = codes_all + read_off[r];
+        int64_t n = read_off[r + 1] - read_off[r];
+        for (int32_t strand = 0; strand < 2; strand++) {
+            const uint8_t* qc = codes;
+            if (strand == 1) {
+                rc.resize(n);
+                for (int64_t i = 0; i < n; i++)
+                    rc[i] = COMP[codes[n - 1 - i]];
+                qc = rc.data();
+            }
+            build_segments(qc, n, k, w, max_occ, merge_gap, sorted_hashes,
+                           bucket_lo, bucket_bits, sorted_positions,
+                           pos_is_u32, chrom_offsets, n_chroms, segs);
+            size_t at = 0;
+            while (at < segs.size()) {
+                int32_t c = segs[at].chrom;
+                group.clear();
+                while (at < segs.size() && segs[at].chrom == c)
+                    group.push_back(segs[at++]);
+                prepare_segs(group, max_intron, max_segments);
+                if (group.empty()) continue;  // cannot happen (prepare
+                // never empties a non-empty group); defensive only
+                if (nc < cap) {
+                    int64_t tbase = group[0].ts;
+                    for (const Seg& s : group)
+                        tbase = s.ts < tbase ? s.ts : tbase;
+                    cand_read[nc] = (int32_t)r;
+                    cand_strand[nc] = (int8_t)strand;
+                    cand_chrom[nc] = c;
+                    cand_tbase[nc] = tbase;
+                    cand_nseg[nc] = (int32_t)group.size();
+                    int32_t* qs = seg_qs + nc * max_segments;
+                    int32_t* qe = seg_qe + nc * max_segments;
+                    int32_t* ts = seg_ts + nc * max_segments;
+                    int32_t* te = seg_te + nc * max_segments;
+                    int32_t* cv = seg_cov + nc * max_segments;
+                    for (size_t i = 0; i < group.size(); i++) {
+                        const Seg& s = group[i];
+                        qs[i] = (int32_t)s.qs;
+                        qe[i] = (int32_t)s.qe;
+                        ts[i] = (int32_t)(s.ts - tbase);
+                        te[i] = (int32_t)(s.te - tbase);
+                        // score_len: anchor-covered length, span when
+                        // unknown (Segment.score_len)
+                        cv[i] = (int32_t)(s.cov > 0 ? s.cov : s.qe - s.qs);
+                    }
+                }
+                nc++;
+            }
+        }
+    }
+    return nc <= cap ? nc : -nc;
+}
+
+// Phase B — per-candidate chain traceback from the packed device rows
+// ((n_cand, max_segments+3) int16: parent table, best index, float32
+// score bits), best-candidate pick per read (strict > in candidate
+// order, chain_batch_jax + _chain_batch_device semantics), min-chain
+// gate, oriented-query materialization, and the gap fill in COLLECT mode
+// (structural runs + DP problem descriptors). Returns 0, or -1 when
+// runs_cap/prob_cap are too small (needed counts in out_counts).
+int64_t stage_fill_batch_c(
+    const uint8_t* codes_all, const int64_t* read_off, int64_t n_reads,
+    int64_t n_cand, const int32_t* cand_read, const int8_t* cand_strand,
+    const int32_t* cand_chrom, const int64_t* cand_tbase,
+    const int32_t* cand_nseg,
+    const int32_t* seg_qs, const int32_t* seg_qe, const int32_t* seg_ts,
+    const int32_t* seg_te, int64_t max_segments,
+    const int16_t* chain_rows,
+    const int64_t* chrom_offsets, const int64_t* chrom_sizes,
+    int64_t n_chroms, const uint8_t* genome,
+    float min_chain_score, int64_t min_intron,
+    int32_t dp_match, int32_t dp_mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus, int32_t zdrop, int32_t band_width,
+    int64_t max_end_extend, int32_t splice_slack,
+    int32_t noncanonical_penalty,
+    int32_t* out_strand, int32_t* out_chrom, uint8_t* oriented,
+    int64_t* run_off, int8_t* runs_op, int64_t* runs_q0, int64_t* runs_t0,
+    int64_t* runs_len, int64_t runs_cap,
+    int32_t* prob_read, uint8_t* prob_mode, int64_t* prob_q0,
+    int64_t* prob_t0, int64_t* prob_nq, int64_t* prob_nt,
+    int64_t prob_cap, int64_t* out_counts) {
+    static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
+    const int64_t row_w = max_segments + 3;
+    // pick the best candidate per read: strict > over candidates in
+    // order, traceback+trim per winner (only the winner's chain is kept)
+    std::vector<int64_t> best_cand(n_reads, -1);
+    std::vector<float> best_score(n_reads, 0.0f);
+    std::vector<int32_t> tb;
+    for (int64_t ci = 0; ci < n_cand; ci++) {
+        int64_t ri = cand_read[ci];
+        if (cand_nseg[ci] == 0) continue;
+        const int16_t* row = chain_rows + ci * row_w;
+        uint32_t bits = (uint16_t)row[max_segments + 1]
+            | ((uint32_t)(uint16_t)row[max_segments + 2] << 16);
+        float score;
+        memcpy(&score, &bits, 4);
+        if (!(score > best_score[ri])) continue;
+        // chain non-empty after trim? walk it (cheap: chain length <=
+        // segments) — an all-trimmed chain must not win the pick
+        // (chain_batch_jax returns [] and map_batch skips falsy chains)
+        int64_t best = row[max_segments];
+        tb.clear();
+        for (int64_t at = best; at >= 0; at = row[at]) tb.push_back((int32_t)at);
+        int64_t prev_q = -1, prev_t = -1, kept = 0;
+        const int32_t* qs = seg_qs + ci * max_segments;
+        const int32_t* qe = seg_qe + ci * max_segments;
+        const int32_t* ts = seg_ts + ci * max_segments;
+        const int32_t* te = seg_te + ci * max_segments;
+        for (int64_t i = (int64_t)tb.size() - 1; i >= 0; i--) {
+            int32_t s = tb[i];
+            int64_t trim = prev_q - qs[s];
+            if (prev_t - ts[s] > trim) trim = prev_t - ts[s];
+            if (trim < 0) trim = 0;
+            if (qs[s] + trim >= qe[s] || ts[s] + trim >= te[s]) continue;
+            kept++;
+            prev_q = qe[s];
+            prev_t = te[s];
+        }
+        if (kept == 0) continue;
+        best_score[ri] = score;
+        best_cand[ri] = ci;
+    }
+
+    std::vector<Run> runs;
+    std::vector<DpDesc> descs;
+    std::vector<int64_t> cq0, cqe, ct0, cte;
+    int64_t total_runs = 0, total_probs = 0;
+    bool overflow = false;
+    run_off[0] = 0;
+    for (int64_t ri = 0; ri < n_reads; ri++) {
+        out_strand[ri] = -1;
+        out_chrom[ri] = -1;
+        run_off[ri + 1] = total_runs;
+        int64_t ci = best_cand[ri];
+        if (ci < 0) continue;
+        const int16_t* row = chain_rows + ci * row_w;
+        const int32_t* qs = seg_qs + ci * max_segments;
+        const int32_t* qe = seg_qe + ci * max_segments;
+        const int32_t* ts = seg_ts + ci * max_segments;
+        const int32_t* te = seg_te + ci * max_segments;
+        int64_t tbase = cand_tbase[ci];
+        tb.clear();
+        for (int64_t at = row[max_segments]; at >= 0; at = row[at])
+            tb.push_back((int32_t)at);
+        cq0.clear(); cqe.clear(); ct0.clear(); cte.clear();
+        int64_t prev_q = -1, prev_t = -1;
+        for (int64_t i = (int64_t)tb.size() - 1; i >= 0; i--) {
+            int32_t s = tb[i];
+            int64_t trim = prev_q - qs[s];
+            if (prev_t - ts[s] > trim) trim = prev_t - ts[s];
+            if (trim < 0) trim = 0;
+            int64_t q0 = qs[s] + trim, t0 = ts[s] + trim;
+            if (q0 >= qe[s] || t0 >= te[s]) continue;
+            cq0.push_back(q0);
+            cqe.push_back(qe[s]);
+            ct0.push_back(t0 + tbase);
+            cte.push_back(te[s] + tbase);
+            prev_q = qe[s];
+            prev_t = te[s];
+        }
+        int64_t nseg = (int64_t)cq0.size();
+        if (nseg == 0) continue;
+        int64_t total_len = 0;
+        for (int64_t i = 0; i < nseg; i++) total_len += cqe[i] - cq0[i];
+        if ((float)total_len < min_chain_score) continue;
+
+        // oriented query codes for this read (the DP packing and the
+        // emit phase both read from here)
+        const uint8_t* codes = codes_all + read_off[ri];
+        int64_t n = read_off[ri + 1] - read_off[ri];
+        uint8_t* oq = oriented + read_off[ri];
+        int32_t strand = cand_strand[ci];
+        if (strand == 1)
+            for (int64_t i = 0; i < n; i++) oq[i] = COMP[codes[n - 1 - i]];
+        else
+            memcpy(oq, codes, n);
+
+        int32_t chrom = cand_chrom[ci];
+        int64_t chrom_off = chrom_offsets[chrom];
+        int64_t chrom_end = chrom_off + chrom_sizes[chrom];
+        runs.clear();
+        size_t d0 = descs.size();
+        fill_runs(oq, n, genome, chrom_off, chrom_end, strand,
+                  cq0.data(), cqe.data(), ct0.data(), cte.data(), nseg,
+                  min_intron, dp_match, dp_mismatch, go_, ge_, end_bonus,
+                  zdrop, band_width, max_end_extend, splice_slack,
+                  noncanonical_penalty, runs, &descs);
+        out_strand[ri] = strand;
+        out_chrom[ri] = chrom;
+        for (const Run& rn : runs) {
+            if (total_runs < runs_cap) {
+                runs_op[total_runs] = rn.op;
+                runs_q0[total_runs] = rn.q0;
+                runs_t0[total_runs] = rn.t0;
+                // placeholder runs already carry the GLOBAL problem
+                // index (fill_runs appends to the shared descs vector)
+                runs_len[total_runs] = rn.len;
+            } else {
+                overflow = true;
+            }
+            total_runs++;
+        }
+        run_off[ri + 1] = total_runs;
+        for (size_t di = d0; di < descs.size(); di++) {
+            if (total_probs < prob_cap) {
+                prob_read[total_probs] = (int32_t)ri;
+                prob_mode[total_probs] = descs[di].mode;
+                prob_q0[total_probs] = descs[di].q0;
+                prob_t0[total_probs] = descs[di].t0;
+                prob_nq[total_probs] = descs[di].nq;
+                prob_nt[total_probs] = descs[di].nt;
+            } else {
+                overflow = true;
+            }
+            total_probs++;
+        }
+    }
+    out_counts[0] = total_runs;
+    out_counts[1] = total_probs;
+    return overflow ? -1 : 0;
+}
+
+// Phase C — resolve DP placeholders with the device results (fused
+// packed format: meta (n,4) int32, ks int32, reverse-order step codes)
+// or the inline host solver (on_host problems: device-ineligible
+// shapes), stable-sort each read's runs, and emit extended PSL per read
+// (emit_psl_c). Returns 0, or -1 when blk/cs caps are too small
+// (needed totals in out_needs).
+int64_t stage_emit_batch_c(
+    const uint8_t* oriented, const int64_t* read_off, int64_t n_reads,
+    const uint8_t* genome,
+    const int32_t* in_strand,
+    const int64_t* run_off, const int8_t* runs_op, const int64_t* runs_q0,
+    const int64_t* runs_t0, const int64_t* runs_len,
+    const uint8_t* prob_mode, const int64_t* prob_q0,
+    const int64_t* prob_t0, const int64_t* prob_nq, const int64_t* prob_nt,
+    const uint8_t* on_host,
+    const int32_t* dp_meta, const int32_t* dp_ks, const int8_t* dp_buf,
+    int64_t dp_stride,
+    int32_t match, int32_t mismatch, int32_t go_, int32_t ge_,
+    int32_t end_bonus, int32_t zdrop,
+    int64_t* stats, int64_t* blk_off, int64_t* blk_sizes, int64_t* blk_q,
+    int64_t* blk_t, int64_t blk_cap, int64_t* cs_off, char* cs,
+    int64_t cs_cap, int64_t* out_needs) {
+    std::vector<Run> runs;
+    std::vector<int8_t> mop;
+    std::vector<int32_t> mdq, mdt;
+    std::vector<uint8_t> ra, rb;
+    int64_t blk_at = 0, cs_at = 0;
+    bool overflow = false;
+    int64_t need_blk = 0, need_cs = 0;
+    blk_off[0] = 0;
+    cs_off[0] = 0;
+    for (int64_t ri = 0; ri < n_reads; ri++) {
+        int64_t* st = stats + ri * 8;
+        for (int i = 0; i < 8; i++) st[i] = 0;
+        blk_off[ri + 1] = blk_at;
+        cs_off[ri + 1] = cs_at;
+        if (in_strand[ri] < 0) continue;
+        const uint8_t* q = oriented + read_off[ri];
+        runs.clear();
+        for (int64_t k = run_off[ri]; k < run_off[ri + 1]; k++) {
+            if (runs_op[k] != 4) {
+                runs.push_back({runs_op[k], runs_q0[k], runs_t0[k],
+                                runs_len[k]});
+                continue;
+            }
+            int64_t pi = runs_len[k];
+            int mode = prob_mode[pi];
+            int64_t q0 = prob_q0[pi], t0 = prob_t0[pi];
+            int64_t nq = prob_nq[pi], nt = prob_nt[pi];
+            if (on_host[pi]) {
+                int64_t qlen, tlen;
+                const uint8_t *qs, *ts;
+                if (mode == 2) {
+                    ra.assign(nq, 0);
+                    rb.assign(nt, 0);
+                    for (int64_t i = 0; i < nq; i++) ra[i] = q[q0 - 1 - i];
+                    for (int64_t i = 0; i < nt; i++)
+                        rb[i] = genome[t0 - 1 - i];
+                    qs = ra.data();
+                    ts = rb.data();
+                } else {
+                    qs = q + q0;
+                    ts = genome + t0;
+                }
+                solve_one_dp(qs, nq, ts, nt, mode == 0, match, mismatch,
+                             go_, ge_, end_bonus, zdrop, &qlen, &tlen,
+                             mop, mdq, mdt);
+                expand_ops_into_runs(mode, q0, t0, qlen, tlen, mop, mdq,
+                                     mdt, runs);
+                continue;
+            }
+            // device result: meta = (best_i, best_j, best_score, final);
+            // extension problems with best_score <= 0 emit nothing
+            // (_solve_chunk's dead handling); global starts at (nq, nt)
+            const int32_t* meta = dp_meta + pi * 4;
+            int64_t qlen, tlen;
+            if (mode == 0) { qlen = nq; tlen = nt; }
+            else if (meta[2] <= 0) continue;
+            else { qlen = meta[0]; tlen = meta[1]; }
+            // merge reverse-order step codes (1 M, 2 I, 3 D) into
+            // (op, dq, dt) runs — _merge_steps' contract
+            mop.clear(); mdq.clear(); mdt.clear();
+            const int8_t* buf = dp_buf + pi * dp_stride;
+            for (int64_t i = (int64_t)dp_ks[pi] - 1; i >= 0; i--) {
+                int8_t op = (int8_t)(buf[i] - 1);  // 0 M, 1 I, 2 D
+                int32_t dq = op == 2 ? 0 : 1, dt = op == 1 ? 0 : 1;
+                if (!mop.empty() && mop.back() == op) {
+                    mdq.back() += dq;
+                    mdt.back() += dt;
+                } else {
+                    mop.push_back(op);
+                    mdq.push_back(dq);
+                    mdt.push_back(dt);
+                }
+            }
+            expand_ops_into_runs(mode, q0, t0, qlen, tlen, mop, mdq, mdt,
+                                 runs);
+        }
+        if (runs.empty()) continue;
+        std::stable_sort(runs.begin(), runs.end(),
+                         [](const Run& a, const Run& b) {
+                             if (a.q0 != b.q0) return a.q0 < b.q0;
+                             return a.t0 < b.t0;
+                         });
+        std::vector<int8_t> r_op(runs.size());
+        std::vector<int64_t> r_q(runs.size()), r_t(runs.size()),
+            r_l(runs.size());
+        for (size_t i = 0; i < runs.size(); i++) {
+            r_op[i] = runs[i].op;
+            r_q[i] = runs[i].q0;
+            r_t[i] = runs[i].t0;
+            r_l[i] = runs[i].len;
+        }
+        // worst case one block per run — reserve before emitting
+        if (blk_at + (int64_t)runs.size() > blk_cap
+            || cs_at >= cs_cap) {
+            overflow = true;
+            need_blk += (int64_t)runs.size();
+            need_cs += 16 * (int64_t)(read_off[ri + 1] - read_off[ri]);
+            continue;
+        }
+        int64_t cl = emit_psl_c(q, genome, r_op.data(), r_q.data(),
+                                r_t.data(), r_l.data(),
+                                (int64_t)runs.size(), st,
+                                blk_sizes + blk_at, blk_q + blk_at,
+                                blk_t + blk_at, cs + cs_at,
+                                cs_cap - cs_at);
+        if (cl < 0) {
+            overflow = true;
+            need_cs += -cl;
+            for (int i = 0; i < 8; i++) st[i] = 0;
+            continue;
+        }
+        blk_at += st[7];
+        cs_at += cl;
+        blk_off[ri + 1] = blk_at;
+        cs_off[ri + 1] = cs_at;
+        need_blk += st[7];
+        need_cs += cl;
+    }
+    out_needs[0] = need_blk;
+    out_needs[1] = need_cs;
+    return overflow ? -1 : 0;
 }
 
 }  // extern "C"

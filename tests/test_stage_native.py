@@ -1,0 +1,90 @@
+"""Native device-path staging (stage_*_batch_c) parity.
+
+The staged device path (aligner._map_batch_device_staged: C seed ->
+chain kernel -> C fill -> fused DP kernel -> C emit, two fetches total)
+must be byte-identical to the Python-staged device path AND to the host
+path — the same invariant the backend-parity tests enforce pairwise
+(VERDICT r4 #1: both paths share the native staging engine).
+"""
+
+import os
+
+import pytest
+
+from mandalorion_tpu.config import AlignConfig
+from mandalorion_tpu.align.aligner import SpliceAligner
+from mandalorion_tpu.native import load_native
+
+pytestmark = pytest.mark.skipif(load_native() is None,
+                                reason="native library unavailable")
+
+
+def _dataset(tmp_path, seed=0, n_genes=3, reads_per_gene=20):
+    from mandalorion_tpu.utils.simulate import make_dataset
+    from mandalorion_tpu.io.fastx import read_fastx, fastx_to_dict
+    d = str(tmp_path / f"ds{seed}")
+    make_dataset(d, n_genes=n_genes, n_reads_per_gene=reads_per_gene,
+                 genome_len=30_000 * n_genes, seed=seed)
+    genome = fastx_to_dict(os.path.join(d, "genome.fasta"))
+    reads = [(nm, sq) for nm, sq, _q in
+             read_fastx(os.path.join(d, "reads.fasta"))]
+    return genome, reads
+
+
+def test_staged_matches_python_and_host(tmp_path):
+    genome, reads = _dataset(tmp_path)
+    host = SpliceAligner(genome, AlignConfig())
+    dev = SpliceAligner(genome, AlignConfig(chain_backend="device",
+                                            dp_backend="rowscan"))
+    out_host = [str(r) for r in host.map_batch(reads)]
+    staged = dev._map_batch_device_staged(reads)
+    assert staged is not None, "staged path unexpectedly unavailable"
+    out_staged = [str(r) for r in staged]
+    # the python-staged device path (bypassing the native staging)
+    picks = dev._chain_batch_device(reads)
+    from mandalorion_tpu.align.aligner import cfg_min_len
+    from mandalorion_tpu.align.extend import DpProblem
+    problems, pendings = [], []
+    for (name, seq), picked in zip(reads, picks):
+        if picked is None:
+            continue
+        chain, strand, ci, q_codes = picked
+        if float(sum(s.length for s in chain)) < cfg_min_len(dev.cfg):
+            continue
+        pend = dev._fill(name, seq, strand, q_codes, chain, ci, problems)
+        if pend is not None:
+            pendings.append(pend)
+    modes = [p.mode for p in problems]
+    results = dev.dp_backend(problems, dev.cfg)
+    out_py = []
+    for pend in pendings:
+        rec = dev._emit(pend, results, modes)
+        if rec is not None:
+            out_py.append(str(rec))
+
+    assert out_staged == out_py, "staged != python-staged device path"
+    assert out_staged == out_host, "staged device path != host path"
+
+
+def test_staged_handles_unalignable_and_empty(tmp_path):
+    genome, reads = _dataset(tmp_path, seed=1, n_genes=2, reads_per_gene=5)
+    dev = SpliceAligner(genome, AlignConfig(chain_backend="device",
+                                            dp_backend="rowscan"))
+    # junk reads seed no candidates; an empty batch returns []
+    junk = [("junk1", "ACGT" * 8), ("junk2", "TTTTGGGGCCCCAAAA")]
+    out = dev._map_batch_device_staged(reads + junk)
+    host = SpliceAligner(genome, AlignConfig())
+    assert [str(r) for r in out] == \
+        [str(r) for r in host.map_batch(reads + junk)]
+    assert dev._map_batch_device_staged([]) == []
+
+
+def test_staged_via_public_map_batch(tmp_path):
+    """map_batch routes chain_backend='device' through the staged path
+    (same records, public surface)."""
+    genome, reads = _dataset(tmp_path, seed=2)
+    host = SpliceAligner(genome, AlignConfig())
+    dev = SpliceAligner(genome, AlignConfig(chain_backend="device",
+                                            dp_backend="rowscan"))
+    assert [str(r) for r in dev.map_batch(reads)] == \
+        [str(r) for r in host.map_batch(reads)]
