@@ -94,42 +94,52 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
                     row0_scr,
                     *, match, mismatch, o1, e1, o2, e2, band, W, K,
                     p_cap):
+    """Cross-problem vectorized row step (VERDICT r4 #2): only the
+    genuinely per-problem work — the dynamic predecessor-window reads and
+    the adaptive band-center scalars — runs in the serial TILE loop; the
+    H pass, both convex insertion prefix-max scans, the band masks, and
+    every matrix/ring store run ONCE on stacked (TILE, W) arrays, so the
+    heavy tail of each row uses all 8 sublanes instead of 1. The rings
+    are slot-major ((K*TILE, W), row = slot*TILE + t) so the three ring
+    updates are one dynamic-leading store each."""
     i = pl.program_id(0)                      # batch tile
     j = pl.program_id(1)                      # matrix row (0 = boundary)
     n_hi = meta_ref[0, 2]                     # batch-max node count
     cidx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     neg_row = jnp.full((1, W), NEG, jnp.int32)
-    kzero = jnp.zeros((1, K), jnp.int32)
+    neg_tile = jnp.full((TILE, W), NEG, jnp.int32)
+    qlen_col = meta_ref[pl.ds(i * TILE, TILE), :][:, 1:2]   # (TILE, 1)
 
     @pl.when(j == 0)
     def _init():
-        for t in range(TILE):
-            qlen = meta_ref[pl.ds(i * TILE + t, 1), :][0, 1]
-            g0 = -jnp.minimum(o1 + e1 * cidx, o2 + e2 * cidx)
-            g0 = jnp.where(cidx == 0, 0, g0)
-            g0 = jnp.where(cidx > jnp.minimum(qlen, band), NEG, g0)
-            score_ref[0, t, :] = g0[0]
-            d1_ref[0, t, :] = neg_row[0]
-            d2_ref[0, t, :] = neg_row[0]
-            op_ref[0, t, :] = jnp.full((W,), 1, jnp.int32)
-            op0_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            node0_ref[0, t, :] = jnp.full((W,), -2, jnp.int32)
-            orig1_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            orig2_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            offsb_ref[0, t, :] = jnp.zeros((LANE,), jnp.int32)
-            row0_scr[t, :] = g0[0]
-            h_ring[t * K, :] = g0[0]
-            d1_ring[t * K, :] = neg_row[0]
-            d2_ring[t * K, :] = neg_row[0]
-            offs_ring[t, :] = kzero[0]
-            bestc_ring[t, :] = kzero[0]
+        g0 = -jnp.minimum(o1 + e1 * cidx, o2 + e2 * cidx)   # (1, W)
+        g0 = jnp.where(cidx == 0, 0, g0)
+        g0 = jnp.where(cidx > jnp.minimum(qlen_col, band), NEG,
+                       g0)                                   # (TILE, W)
+        score_ref[0] = g0
+        d1_ref[0] = neg_tile
+        d2_ref[0] = neg_tile
+        op_ref[0] = jnp.ones((TILE, W), jnp.int32)
+        op0_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        node0_ref[0] = jnp.full((TILE, W), -2, jnp.int32)
+        orig1_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        orig2_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        offsb_ref[0] = jnp.zeros((TILE, LANE), jnp.int32)
+        row0_scr[:, :] = g0
+        h_ring[0:TILE, :] = g0                # slot 0 rows
+        d1_ring[0:TILE, :] = neg_tile
+        d2_ring[0:TILE, :] = neg_tile
+        offs_ring[:, :] = jnp.zeros((TILE, K), jnp.int32)
+        bestc_ring[:, :] = jnp.zeros((TILE, K), jnp.int32)
 
     @pl.when((j > 0) & (j <= n_hi))
     def _row():
         slot = j & (K - 1)
         kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        off_l, center_l, sub_l, diag_l, rank_l, d1_l, d2_l = \
+            [], [], [], [], [], [], []
         for t in range(TILE):
-            qlen = meta_ref[pl.ds(i * TILE + t, 1), :][0, 1]
+            qlen = qlen_col[t, 0]
             base_v = rowdata_ref[0, t, p_cap]
 
             # ---- adaptive band center: best pred row's first-max col + 1
@@ -145,24 +155,22 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
             center = c + 1
             off = jnp.clip(center - band, 0,
                            jnp.maximum(0, qlen + 1 - W))
-            jabs = off + cidx
-            j0 = jnp.maximum(0, center - band)
-            j1 = jnp.minimum(qlen, center + band)
-            masked = (jabs < j0) | (jabs > j1)
+            off_l.append(jnp.reshape(off, (1, 1)))
+            center_l.append(jnp.reshape(center, (1, 1)))
 
             # query window: qm1[e] = q[jabs[e] - 1] via q_ext roll
             q_row = q_ref[pl.ds(i * TILE + t, 1), :]
             LQ = q_row.shape[1]
             qm1 = pltpu.roll(q_row, shift=jnp.mod(-off, LQ),
                              axis=1)[:, :W]
-            sub = jnp.where(qm1 == base_v, match, -mismatch
-                            ).astype(jnp.int32)
+            sub_l.append(jnp.where(qm1 == base_v, match, -mismatch
+                                   ).astype(jnp.int32))
 
-            # ---- predecessor reads
-            best_diag = jnp.full((1, W), NEG, jnp.int32)
+            # ---- predecessor reads (per-problem dynamic windows)
+            best_diag = neg_row
             rank_diag = jnp.full((1, W), -2, jnp.int32)
-            d1_row = jnp.full((1, W), NEG, jnp.int32)
-            d2_row = jnp.full((1, W), NEG, jnp.int32)
+            d1_row = neg_row
+            d2_row = neg_row
             for p in range(p_cap):
                 pr = rowdata_ref[0, t, p]
                 prc = jnp.maximum(pr, 0)
@@ -176,13 +184,13 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
                 is0 = prc == 0
                 h_row = jnp.where(
                     is0, row0_scr[t:t + 1, :],
-                    h_ring[pl.ds(t * K + pslot, 1), :])
+                    h_ring[pl.ds(pslot * TILE + t, 1), :])
                 d1p_row = jnp.where(
                     is0, neg_row,
-                    d1_ring[pl.ds(t * K + pslot, 1), :])
+                    d1_ring[pl.ds(pslot * TILE + t, 1), :])
                 d2p_row = jnp.where(
                     is0, neg_row,
-                    d2_ring[pl.ds(t * K + pslot, 1), :])
+                    d2_ring[pl.ds(pslot * TILE + t, 1), :])
 
                 ext_h = jnp.concatenate([h_row, neg_row, neg_row], axis=1)
                 ext_d1 = jnp.concatenate([d1p_row, neg_row, neg_row],
@@ -190,20 +198,22 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
                 ext_d2 = jnp.concatenate([d2p_row, neg_row, neg_row],
                                          axis=1)
 
-                # diag window: value at stored lane rel0 + e  (abs col
-                # off-1+e); next window: rel0 + 1 + e (abs col off+e)
+                # one roll serves BOTH windows: the diag window starts at
+                # rel0 (static slice [:W]) and the next window at rel0+1
+                # (static slice [1:W+1]) of the same rolled row
                 eabs_d = (off - 1) + cidx
                 ok_d = ((pr >= 0) & (rel0 + cidx >= 0)
                         & (rel0 + cidx < W) & (eabs_d >= 0))
                 ok_n = ((pr >= 0) & (rel0 + 1 + cidx >= 0)
                         & (rel0 + 1 + cidx < W))
-                w_diag = jnp.where(ok_d, _dyn_window(ext_h, rel0, W), NEG)
-                w_h = jnp.where(ok_n, _dyn_window(ext_h, rel0 + 1, W),
-                                NEG)
-                w_d1 = jnp.where(ok_n, _dyn_window(ext_d1, rel0 + 1, W),
-                                 NEG)
-                w_d2 = jnp.where(ok_n, _dyn_window(ext_d2, rel0 + 1, W),
-                                 NEG)
+                sh = jnp.mod(-rel0, 3 * W)
+                roll_h = pltpu.roll(ext_h, shift=sh, axis=1)
+                roll_d1 = pltpu.roll(ext_d1, shift=sh, axis=1)
+                roll_d2 = pltpu.roll(ext_d2, shift=sh, axis=1)
+                w_diag = jnp.where(ok_d, roll_h[:, :W], NEG)
+                w_h = jnp.where(ok_n, roll_h[:, 1:W + 1], NEG)
+                w_d1 = jnp.where(ok_n, roll_d1[:, 1:W + 1], NEG)
+                w_d2 = jnp.where(ok_n, roll_d2[:, 1:W + 1], NEG)
 
                 better = w_diag > best_diag
                 best_diag = jnp.where(better, w_diag, best_diag)
@@ -212,83 +222,101 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
                     d1_row, jnp.maximum(w_h - (o1 + e1), w_d1 - e1))
                 d2_row = jnp.maximum(
                     d2_row, jnp.maximum(w_h - (o2 + e2), w_d2 - e2))
-            d1_row = jnp.where(masked, NEG, d1_row)
-            d2_row = jnp.where(masked, NEG, d2_row)
+            diag_l.append(best_diag)
+            rank_l.append(rank_diag)
+            d1_l.append(d1_row)
+            d2_l.append(d2_row)
 
-            # ---- H pre-insertion: diag >= D1 >= D2 on ties
-            row = jnp.where(jabs == 0, NEG, best_diag + sub)
-            rowo = jnp.zeros((1, W), jnp.int32)
-            rown = jnp.where(jabs == 0, -2, rank_diag)
-            m = d1_row > row
-            row = jnp.where(m, d1_row, row)
-            rowo = jnp.where(m, 2, rowo)
-            m = d2_row > row
-            row = jnp.where(m, d2_row, row)
-            rowo = jnp.where(m, 4, rowo)
-            row = jnp.where(masked, NEG, row)
+        # ---- stacked (TILE, W): everything below runs once per row
+        off_col = jnp.concatenate(off_l, axis=0)        # (TILE, 1)
+        center_col = jnp.concatenate(center_l, axis=0)  # (TILE, 1)
+        sub = jnp.concatenate(sub_l, axis=0)
+        best_diag = jnp.concatenate(diag_l, axis=0)
+        rank_diag = jnp.concatenate(rank_l, axis=0)
+        d1_row = jnp.concatenate(d1_l, axis=0)
+        d2_row = jnp.concatenate(d2_l, axis=0)
+        jabs = off_col + cidx
+        j0 = jnp.maximum(0, center_col - band)
+        j1 = jnp.minimum(qlen_col, center_col + band)
+        masked = (jabs < j0) | (jabs > j1)
+        d1_row = jnp.where(masked, NEG, d1_row)
+        d2_row = jnp.where(masked, NEG, d2_row)
 
-            # ---- convex insertions via prefix-max scans
-            fin = row
-            fino = rowo
-            org_out = []
-            for oo, ee, code in ((o1, e1, 1), (o2, e2, 3)):
-                vals = row + ee * jabs
-                acc_c = jnp.where(off > 0, NEG + ee * (off - 1),
-                                  jnp.int32(NEG - 1))
-                if ee > 0:
-                    org_c = jnp.where(off > 0, off - 1, -1)
-                else:
-                    org_c = jnp.where(off > 0, 0, -1)
-                acc = jnp.maximum(_cummax_lane(vals), acc_c)
-                prev_acc = _shift_right_fill(acc, acc_c)
-                is_new = vals > prev_acc
-                org = jnp.maximum(
-                    _cummax_lane(jnp.where(is_new, jabs, -1)), org_c)
-                ins = acc - oo - ee * jabs
-                m = ins > fin
-                fin = jnp.where(m, ins, fin)
-                fino = jnp.where(m, code, fino)
-                org_out.append(jnp.where(m, org, 0))
-            fin = jnp.where(masked, NEG, fin)
+        # ---- H pre-insertion: diag >= D1 >= D2 on ties
+        row = jnp.where(jabs == 0, NEG, best_diag + sub)
+        rowo = jnp.zeros((TILE, W), jnp.int32)
+        rown = jnp.where(jabs == 0, -2, rank_diag)
+        m = d1_row > row
+        row = jnp.where(m, d1_row, row)
+        rowo = jnp.where(m, 2, rowo)
+        m = d2_row > row
+        row = jnp.where(m, d2_row, row)
+        rowo = jnp.where(m, 4, rowo)
+        row = jnp.where(masked, NEG, row)
 
-            # ---- stream the row out + update rings
-            score_ref[0, t, :] = fin[0]
-            d1_ref[0, t, :] = d1_row[0]
-            d2_ref[0, t, :] = d2_row[0]
-            op_ref[0, t, :] = fino[0]
-            op0_ref[0, t, :] = rowo[0]
-            node0_ref[0, t, :] = rown[0]
-            orig1_ref[0, t, :] = org_out[0][0]
-            orig2_ref[0, t, :] = org_out[1][0]
-            lidx = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-            offsb_ref[0, t, :] = jnp.where(lidx == 0, off, 0)[0]
+        # ---- convex insertions via prefix-max scans
+        fin = row
+        fino = rowo
+        org_out = []
+        for oo, ee, code in ((o1, e1, 1), (o2, e2, 3)):
+            vals = row + ee * jabs
+            acc_c = jnp.where(off_col > 0, NEG + ee * (off_col - 1),
+                              jnp.int32(NEG - 1))
+            if ee > 0:
+                org_c = jnp.where(off_col > 0, off_col - 1, -1)
+            else:
+                org_c = jnp.where(off_col > 0, 0, -1)
+            acc = jnp.maximum(_cummax_lane(vals), acc_c)
+            prev_acc = _shift_right_fill(acc, acc_c)
+            is_new = vals > prev_acc
+            org = jnp.maximum(
+                _cummax_lane(jnp.where(is_new, jabs, -1)), org_c)
+            ins = acc - oo - ee * jabs
+            m = ins > fin
+            fin = jnp.where(m, ins, fin)
+            fino = jnp.where(m, code, fino)
+            org_out.append(jnp.where(m, org, 0))
+        fin = jnp.where(masked, NEG, fin)
 
-            h_ring[pl.ds(t * K + slot, 1), :] = fin
-            d1_ring[pl.ds(t * K + slot, 1), :] = d1_row
-            d2_ring[pl.ds(t * K + slot, 1), :] = d2_row
-            offs_ring[t, :] = jnp.where(kidx == slot, off,
+        # ---- stream the row out + update rings (one store each)
+        score_ref[0] = fin
+        d1_ref[0] = d1_row
+        d2_ref[0] = d2_row
+        op_ref[0] = fino
+        op0_ref[0] = rowo
+        node0_ref[0] = rown
+        orig1_ref[0] = org_out[0]
+        orig2_ref[0] = org_out[1]
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANE), 1)
+        offsb_ref[0] = jnp.where(lidx == 0, off_col, 0)
+
+        h_ring[pl.ds(slot * TILE, TILE), :] = fin
+        d1_ring[pl.ds(slot * TILE, TILE), :] = d1_row
+        d2_ring[pl.ds(slot * TILE, TILE), :] = d2_row
+        row_best = jnp.max(fin, axis=1, keepdims=True)      # (TILE, 1)
+        bcol = jnp.where(
+            row_best <= NEG, 0,
+            off_col + jnp.min(jnp.where(fin == row_best, cidx, W),
+                              axis=1, keepdims=True))
+        for t in range(TILE):
+            offs_ring[t, :] = jnp.where(kidx == slot, off_col[t, 0],
                                         offs_ring[t:t + 1, :])[0]
-            row_best = jnp.max(fin)
-            bcol = jnp.where(
-                row_best <= NEG, 0,
-                off + jnp.min(jnp.where(fin == row_best, cidx, W)))
-            bestc_ring[t, :] = jnp.where(kidx == slot, bcol,
+            bestc_ring[t, :] = jnp.where(kidx == slot, bcol[t, 0],
                                          bestc_ring[t:t + 1, :])[0]
 
     @pl.when(j > n_hi)
     def _inert():
         # rows past the batch's max node count keep init-pattern values
         # (the XLA path never writes them either)
-        for t in range(TILE):
-            score_ref[0, t, :] = neg_row[0]
-            d1_ref[0, t, :] = neg_row[0]
-            d2_ref[0, t, :] = neg_row[0]
-            op_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            op0_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            node0_ref[0, t, :] = jnp.full((W,), -2, jnp.int32)
-            orig1_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            orig2_ref[0, t, :] = jnp.zeros((W,), jnp.int32)
-            offsb_ref[0, t, :] = jnp.zeros((LANE,), jnp.int32)
+        score_ref[0] = neg_tile
+        d1_ref[0] = neg_tile
+        d2_ref[0] = neg_tile
+        op_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        op0_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        node0_ref[0] = jnp.full((TILE, W), -2, jnp.int32)
+        orig1_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        orig2_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        offsb_ref[0] = jnp.zeros((TILE, LANE), jnp.int32)
 
 
 @functools.lru_cache(maxsize=32)

@@ -245,9 +245,14 @@ def evaluate_adversarial(out_dir: str, truth: dict) -> dict:
 def make_dataset(out_dir: str, n_genes: int = 8, n_reads_per_gene: int = 250,
                  genome_len: int = 200_000, sub_rate: float = 0.01,
                  seed: int = 0,
-                 exons_per_gene: Optional[Tuple[int, int]] = (2, 5)) -> int:
+                 exons_per_gene: Optional[Tuple[int, int]] = (2, 5),
+                 exon_len: Tuple[int, int] = (300, 800),
+                 strand: Optional[str] = None) -> int:
     """Write genome.fasta / reads.fasta / ann.gtf for a config-1-style
-    multi-gene workload into out_dir; returns the read count."""
+    multi-gene workload into out_dir; returns the read count. `strand`
+    pins every gene to one strand (default: alternate); `exon_len` sizes
+    exons (larger values build the >=8 kb isoforms that exercise abPOA's
+    -S path in tools/validate_against_real_tools.py)."""
     from mandalorion_tpu.io.fastx import revcomp, write_fasta
 
     rng = np.random.default_rng(seed)
@@ -259,12 +264,12 @@ def make_dataset(out_dir: str, n_genes: int = 8, n_reads_per_gene: int = 250,
         exons = []
         pos = base
         for _ in range(int(rng.integers(*exons_per_gene))):
-            length = int(rng.integers(300, 800))
+            length = int(rng.integers(*exon_len))
             exons.append((pos, pos + length))
             pos += length + int(rng.integers(200, 2000))
-        strand = "+" if g % 2 == 0 else "-"
-        genome = plant_introns(genome, exons, strand=strand)
-        genes.append((exons, strand))
+        g_strand = strand or ("+" if g % 2 == 0 else "-")
+        genome = plant_introns(genome, exons, strand=g_strand)
+        genes.append((exons, g_strand))
 
     reads = []
     gtf = []

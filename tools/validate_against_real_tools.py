@@ -63,6 +63,21 @@ def make_datasets(base):
     n2 = make_dataset(d2, n_genes=4, n_reads_per_gene=100,
                       genome_len=120_000, sub_rate=0.05)
     sets["high_error"] = (d2, n2)
+    # >=8 kb isoforms: the consensus comparison feeds these through
+    # abPOA's -S adaptive-band path (median read length >= 8000 triggers
+    # -S below), the one consensus mode config1 never reaches
+    d3 = os.path.join(base, "long_isoform")
+    n3 = make_dataset(d3, n_genes=2, n_reads_per_gene=40,
+                      genome_len=150_000, exons_per_gene=(4, 6),
+                      exon_len=(1800, 2600))
+    sets["long_isoform"] = (d3, n3)
+    # every gene minus-strand and multi-exon: a decisive strand/splice
+    # case for the module A comparison (minimap2 -uf + ts flipping)
+    d4 = os.path.join(base, "minus_multiexon")
+    n4 = make_dataset(d4, n_genes=4, n_reads_per_gene=60,
+                      genome_len=120_000, exons_per_gene=(3, 6),
+                      strand="-")
+    sets["minus_multiexon"] = (d4, n4)
     return sets
 
 
