@@ -179,6 +179,25 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64] + [ctypes.c_int32] * 8 + [ctypes.c_void_p]
+        lib.poa_graph_new_c.restype = ctypes.c_void_p
+        lib.poa_graph_new_c.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.poa_graph_free_c.restype = None
+        lib.poa_graph_free_c.argtypes = [ctypes.c_void_p]
+        lib.poa_graph_nodes_c.restype = ctypes.c_int64
+        lib.poa_graph_nodes_c.argtypes = [ctypes.c_void_p]
+        lib.poa_graph_maxp_c.restype = ctypes.c_int64
+        lib.poa_graph_maxp_c.argtypes = [ctypes.c_void_p]
+        lib.poa_graph_arrays_c.restype = ctypes.c_int64
+        lib.poa_graph_arrays_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.poa_graph_apply_c.restype = None
+        lib.poa_graph_apply_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.poa_graph_consensus_handle_c.restype = ctypes.c_int64
+        lib.poa_graph_consensus_handle_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
     except (subprocess.SubprocessError, OSError,
             AttributeError) as exc:

@@ -578,6 +578,91 @@ int64_t poa_consensus_c(const uint8_t* seqs, const int64_t* seq_lens,
     return consensus(g, out);
 }
 
+// ---------------------------------------------------------------------
+// Handle-based graph API for the DEVICE consensus path (poa/kernels.py
+// poa_consensus_batch): the device kernel does the DP, but the per-round
+// host staging — topo order, rank-space arrays, applying the traceback
+// path, the final heaviest-bundle consensus — was Python-loop-bound
+// (~40% of the device path's wall). These wrappers keep the growing
+// graph in C++ between rounds; graph semantics are the same Graph/
+// apply_path/consensus used by poa_consensus_c (bit-identical to
+// PoaGraph, tests/test_poa.py).
+
+struct GraphHandle {
+    Graph g;
+    std::vector<int32_t> order;   // topo order of the LAST arrays call
+    GraphHandle(const uint8_t* seq, int64_t n) : g(seq, n) {}
+};
+
+void* poa_graph_new_c(const uint8_t* seq, int64_t n) {
+    return new GraphHandle(seq, n);
+}
+
+void poa_graph_free_c(void* h) { delete (GraphHandle*)h; }
+
+int64_t poa_graph_nodes_c(void* h) {
+    return (int64_t)((GraphHandle*)h)->g.base.size();
+}
+
+int64_t poa_graph_maxp_c(void* h) {
+    const Graph& g = ((GraphHandle*)h)->g;
+    size_t m = 1;
+    for (const auto& ps : g.preds) m = ps.size() > m ? ps.size() : m;
+    return (int64_t)m;
+}
+
+// Rank-space arrays for the device kernel (kernels.graph_arrays' C twin):
+// out_base (n_cap) int32, out_preds (n_cap, p_cap) int32 holding pred
+// rank + 1 (0 = virtual source; caller pre-fills -1 padding), out_ends
+// (n_cap) uint8. Caches the topo order for poa_graph_apply_c. Returns
+// the node count, or -1 when n_cap/p_cap are too small.
+int64_t poa_graph_arrays_c(void* h, int64_t n_cap, int64_t p_cap,
+                           int32_t* out_base, int32_t* out_preds,
+                           uint8_t* out_ends) {
+    GraphHandle* gh = (GraphHandle*)h;
+    gh->g.topo_order(gh->order);
+    const auto& order = gh->order;
+    int64_t n = (int64_t)order.size();
+    if (n > n_cap) return -1;
+    std::vector<int32_t> rank(gh->g.base.size());
+    for (int64_t r = 0; r < n; r++) rank[order[r]] = (int32_t)r;
+    for (int64_t r = 0; r < n; r++) {
+        int32_t v = order[r];
+        out_base[r] = gh->g.base[v];
+        const auto& ps = gh->g.preds[v];
+        if ((int64_t)ps.size() > p_cap) return -1;
+        int32_t* row = out_preds + r * p_cap;
+        if (ps.empty()) {
+            row[0] = 0;
+        } else {
+            for (size_t c = 0; c < ps.size(); c++)
+                row[c] = rank[ps[c]] + 1;
+        }
+        out_ends[r] = gh->g.succs[v].empty() ? 1 : 0;
+    }
+    return n;
+}
+
+// Apply a device traceback to the graph: buf holds (qi, rank) int32
+// pairs in REVERSE order (the kernel's emission order), first k entries;
+// ranks resolve through the topo order cached by the LAST
+// poa_graph_arrays_c call (the same order the kernel consumed).
+void poa_graph_apply_c(void* h, const uint8_t* q, const int32_t* buf,
+                       int64_t k) {
+    GraphHandle* gh = (GraphHandle*)h;
+    std::vector<int32_t> steps(2 * k);
+    for (int64_t i = 0; i < k; i++) {
+        steps[2 * i] = buf[2 * (k - 1 - i)];
+        int32_t rk = buf[2 * (k - 1 - i) + 1];
+        steps[2 * i + 1] = rk >= 0 ? gh->order[rk] : -1;
+    }
+    apply_path(gh->g, q, steps.data(), k);
+}
+
+int64_t poa_graph_consensus_handle_c(void* h, uint8_t* out) {
+    return consensus(((GraphHandle*)h)->g, out);
+}
+
 // Single alignment against an externally-described graph (rank space:
 // base codes per rank, CSR predecessor ranks+1 with 0 = virtual source,
 // is_end flags) — the parity-test entry. Writes forward-order

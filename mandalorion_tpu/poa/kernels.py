@@ -112,6 +112,12 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     node0m = jnp.full((n_cap + 1, W), -2, jnp.int32)
     orig1m = jnp.zeros((n_cap + 1, W), jnp.int32)
     orig2m = jnp.zeros((n_cap + 1, W), jnp.int32)
+    # D backpointers: packed (pred_row << 1) | took_extension per cell —
+    # the first-max pred in declared order (strict > updates), so the
+    # traceback follows them instead of re-deriving the pred via 2*p_cap
+    # score/d gathers per deletion step (the walk's former hot cost)
+    d1pm = jnp.zeros((n_cap + 1, W), jnp.int32)
+    d2pm = jnp.zeros((n_cap + 1, W), jnp.int32)
     offs0 = jnp.zeros(n_cap + 1, jnp.int32)
     bestc0 = jnp.zeros(n_cap + 1, jnp.int32)  # first-max col per H row
 
@@ -126,7 +132,7 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     neg_pad = jnp.full(W + 1, NEG, jnp.int32)
 
     def body(r, carry):
-        (score, d1, d2, op, op0, node0, orig1, orig2, offs,
+        (score, d1, d2, op, op0, node0, orig1, orig2, d1pt, d2pt, offs,
          bestc) = carry
         base_v = base_r[r - 1]
         if adaptive:
@@ -164,6 +170,8 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
         best_rank = jnp.full(W + 1, -2, jnp.int32)
         d1_row = jnp.full(W, NEG, jnp.int32)
         d2_row = jnp.full(W, NEG, jnp.int32)
+        d1_ptr = jnp.zeros(W, jnp.int32)
+        d2_ptr = jnp.zeros(W, jnp.int32)
         for p in range(p_cap):
             pr = preds_r[r - 1, p]
             prc = jnp.maximum(pr, 0)
@@ -185,10 +193,20 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
             better = row_p > best_prev
             best_prev = jnp.where(better, row_p, best_prev)
             best_rank = jnp.where(better, pr, best_rank)
-            d1_row = jnp.maximum(
-                d1_row, jnp.maximum(row_p[1:] - (o1 + e1), d1_p[1:] - e1))
-            d2_row = jnp.maximum(
-                d2_row, jnp.maximum(row_p[1:] - (o2 + e2), d2_p[1:] - e2))
+            c1_open = row_p[1:] - (o1 + e1)
+            c1_ext = d1_p[1:] - e1
+            c1 = jnp.maximum(c1_open, c1_ext)
+            b1 = c1 > d1_row
+            d1_ptr = jnp.where(
+                b1, (prc << 1) | (c1_ext > c1_open), d1_ptr)
+            d1_row = jnp.where(b1, c1, d1_row)
+            c2_open = row_p[1:] - (o2 + e2)
+            c2_ext = d2_p[1:] - e2
+            c2 = jnp.maximum(c2_open, c2_ext)
+            b2 = c2 > d2_row
+            d2_ptr = jnp.where(
+                b2, (prc << 1) | (c2_ext > c2_open), d2_ptr)
+            d2_row = jnp.where(b2, c2, d2_row)
         d1_row = jnp.where(masked, NEG, d1_row)
         d2_row = jnp.where(masked, NEG, d2_row)
 
@@ -244,22 +262,25 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
                                              (r, 0))
         orig2 = jax.lax.dynamic_update_slice(orig2, org_out[1][None],
                                              (r, 0))
+        d1pt = jax.lax.dynamic_update_slice(d1pt, d1_ptr[None], (r, 0))
+        d2pt = jax.lax.dynamic_update_slice(d2pt, d2_ptr[None], (r, 0))
         # first-max column of the stored row (all-NEG rows pin to 0),
         # matching PoaGraph.align's best_col rule for the adaptive band
         row_best = jnp.max(fin)
         bcol = jnp.where(row_best <= NEG, 0,
                          off + jnp.argmax(fin).astype(jnp.int32))
         bestc = bestc.at[r].set(bcol)
-        return (score, d1, d2, op, op0, node0, orig1, orig2, offs, bestc)
+        return (score, d1, d2, op, op0, node0, orig1, orig2, d1pt, d2pt,
+                offs, bestc)
 
     # n_hi: the batch's actual max node count (traced scalar — rows past
     # any item's own n are computed but never read; rows past n_hi are
     # skipped entirely, which matters when padding rounds n_cap up)
     out = jax.lax.fori_loop(
         1, n_hi + 1, body,
-        (score0, d1m, d2m, op_m, op0m, node0m, orig1m, orig2m, offs0,
-         bestc0))
-    return out[:8] + (out[8],)  # state matrices + per-row offsets
+        (score0, d1m, d2m, op_m, op0m, node0m, orig1m, orig2m, d1pm,
+         d2pm, offs0, bestc0))
+    return out[:10] + (out[10],)  # state matrices + per-row offsets
 
 
 def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
@@ -271,24 +292,40 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
     (O(nodes + query) ints) are returned:
     (steps[k] = (qi, rank), n_steps), written in reverse order.
     qi == -1: node deleted; rank == -1: query base inserted."""
-    score, d1, d2, op, op0, node0, orig1, orig2, offs = _align_rows(
+    (score, d1, d2, op, op0, node0, orig1, orig2, d1p, d2p,
+     offs) = _align_rows(
         base_r, preds_r, n_nodes, q, qlen, n_hi,
         match, mismatch, o1, e1, o2, e2, band, W, adaptive)
     return _traceback_from_mats(
         preds_r, n_nodes, is_end_r, qlen, score, d1, d2, op, op0, node0,
-        orig1, orig2, offs, o1, e1, o2, e2, W, q.shape[0])
+        orig1, orig2, d1p, d2p, offs, o1, e1, o2, e2, W, q.shape[0])
 
 
 def _traceback_from_mats(preds_r, n_nodes, is_end_r, qlen,
                          score, d1, d2, op, op0, node0, orig1, orig2,
-                         offs, o1, e1, o2, e2, W, l_cap):
+                         d1p, d2p, offs, o1, e1, o2, e2, W, l_cap):
     """The on-device pointer walk over precomputed state matrices (shared
     by the XLA forward pass above and the Pallas one in
-    poa/pallas_kernel.py — both produce the same matrix contract)."""
+    poa/pallas_kernel.py — both produce the same matrix contract).
+
+    Every per-cell decision the walk needs is packed into THREE int32
+    mats read with one gather each (hpack: op | op0 | node0; opack:
+    orig1 | orig2; d1p/d2p: forward-stored deletion backpointers), and
+    the state machine is branchless selects instead of vmapped
+    cond/switch — under vmap every branch of a cond executes for the
+    whole batch, so the former per-step cost was ~25 gathers (d_case
+    alone re-derived its predecessor from 2*p_cap score/d reads); it is
+    now 4. Semantics are step-for-step identical to the r4 walk."""
     n_cap = preds_r.shape[0]
 
+    # orig1/orig2 fit 16-bit halves whenever the query cap does; beyond
+    # that (>=64k-base reads) fall back to a sign-safe 2-gather read
+    pack_orig = l_cap < (1 << 16)
+    hpack = op | (op0 << 3) | ((node0 + 2) << 6)
+    opack = (orig1 | (orig2 << 16)) if pack_orig else None
+
     def cell(mat, t, j, fill=NEG):
-        """mat value at matrix row t, ABSOLUTE column j (NEG-fill outside
+        """mat value at matrix row t, ABSOLUTE column j (fill outside
         the stored window — exactly the band-local masked value)."""
         rel = j - offs[t]
         ok = (rel >= 0) & (rel < W)
@@ -313,79 +350,60 @@ def _traceback_from_mats(preds_r, n_nodes, is_end_r, qlen,
         st, r, j, tgt, k, _ = c
         return ((r > 0) | (j > 0)) & (r >= 0) & (k < max_steps)
 
-    def emit(buf, k, qi, rank):
-        return jax.lax.dynamic_update_slice(
-            buf, jnp.stack([qi, rank])[None].astype(jnp.int32), (k, 0))
-
     def step(c):
         st, r, j, tgt, k, buf = c
+        hv = cell(hpack, r, j, 0)
+        if pack_orig:
+            ov = cell(opack, r, j, 0)
+            orig1v = ov & 0xFFFF
+            orig2v = ov >> 16
+        else:
+            orig1v = cell(orig1, r, j, 0)
+            orig2v = cell(orig2, r, j, 0)
+        dptr = jnp.where(st == 2, cell(d1p, r, j, 0), cell(d2p, r, j, 0))
 
-        def at_cell(mat):
-            return cell(mat, r, j)
+        h_active = (st == 0) | (st == 1)
+        d_active = (st == 2) | (st == 3)
+        at_row0 = r == 0
+        opv = jnp.where(st == 1, (hv >> 3) & 7, hv & 7)
+        node0v = (hv >> 6) - 2
+        h_is_diag = (~at_row0) & (opv == 0)
+        h_is_ins = (~at_row0) & ((opv == 1) | (opv == 3))
+        ins_t = jnp.where(opv == 1, orig1v, orig2v)
+        d_pr = dptr >> 1
+        d_ext = (dptr & 1) == 1
 
-        def h_case(use0):
-            # r == 0: boundary insertion run to column 0
-            def row0_case():
-                return (jnp.int32(0), r, j - 1, tgt, k + 1,
-                        emit(buf, k, j - 1, -1))
+        # emissions (an H deletion transition emits nothing; the slot at
+        # k is overwritten by the next emitting step, and k bounds reads)
+        emit_diag = h_active & h_is_diag
+        emit_ins = (st == 4) | (h_active & (at_row0 | h_is_ins))
+        do_emit = emit_diag | emit_ins | d_active
+        qi_e = jnp.where(d_active, -1, j - 1)
+        rk_e = jnp.where(emit_diag | d_active, r - 1, -1)
+        buf = jax.lax.dynamic_update_slice(
+            buf, jnp.stack([qi_e, rk_e])[None].astype(jnp.int32), (k, 0))
+        k = k + do_emit.astype(jnp.int32)
 
-            def node_case():
-                opv = jnp.where(use0, at_cell(op0), at_cell(op))
+        # next state per source state (same transitions as the r4 walk)
+        st_h = jnp.where(
+            at_row0, 0,
+            jnp.where(h_is_diag, 0,
+                      jnp.where(h_is_ins,
+                                jnp.where(j - 1 > ins_t, 4, 1),
+                                jnp.where(opv == 2, 2, 3))))
+        r_h = jnp.where(h_is_diag, node0v, r)
+        j_h = jnp.where(at_row0 | h_is_diag | h_is_ins, j - 1, j)
+        tgt_h = jnp.where(h_is_ins, ins_t, tgt)
+        st_i = jnp.where(j - 1 > tgt, 4, 1)
 
-                def diag_case():
-                    return (jnp.int32(0), at_cell(node0), j - 1, tgt,
-                            k + 1, emit(buf, k, j - 1, r - 1))
-
-                def ins_case():
-                    t = jnp.where(opv == 1, at_cell(orig1),
-                                  at_cell(orig2))
-                    nst = jnp.where(j - 1 > t, jnp.int32(4), jnp.int32(1))
-                    return (nst, r, j - 1, t, k + 1,
-                            emit(buf, k, j - 1, -1))
-
-                def del_case():
-                    return (jnp.where(opv == 2, jnp.int32(2),
-                                      jnp.int32(3)), r, j, tgt, k, buf)
-
-                is_diag = opv == 0
-                is_ins = (opv == 1) | (opv == 3)
-                return jax.lax.cond(
-                    is_diag, diag_case,
-                    lambda: jax.lax.cond(is_ins, ins_case, del_case))
-
-            return jax.lax.cond(r == 0, row0_case, node_case)
-
-        def ins_run_case():
-            nst = jnp.where(j - 1 > tgt, jnp.int32(4), jnp.int32(1))
-            return (nst, r, j - 1, tgt, k + 1, emit(buf, k, j - 1, -1))
-
-        def d_case(dmat, oo, ee, st_code):
-            target = cell(dmat, r, j)
-            best_p = jnp.int32(preds_r.shape[1])
-            best_ext = jnp.bool_(False)
-            best_pr = jnp.int32(-2)
-            for p in reversed(range(preds_r.shape[1])):
-                pr = preds_r[r - 1, p]
-                prc = jnp.maximum(pr, 0)
-                c_open = cell(score, prc, j) - (oo + ee)
-                c_ext = cell(dmat, prc, j) - ee
-                cand = jnp.maximum(c_open, c_ext)
-                hit = (pr >= 0) & (cand == target)
-                # iterate high->low so the LAST hit standing is the first
-                # predecessor in declared order (forward-pass first max)
-                best_p = jnp.where(hit, p, best_p)
-                best_ext = jnp.where(hit, c_ext > c_open, best_ext)
-                best_pr = jnp.where(hit, pr, best_pr)
-            nst = jnp.where(best_ext, st_code, jnp.int32(0))
-            return (nst, best_pr, j, tgt, k + 1, emit(buf, k, -1, r - 1))
-
-        return jax.lax.switch(
-            st,
-            [lambda: h_case(jnp.bool_(False)),
-             lambda: h_case(jnp.bool_(True)),
-             lambda: d_case(d1, o1, e1, jnp.int32(2)),
-             lambda: d_case(d2, o2, e2, jnp.int32(3)),
-             ins_run_case])
+        st_n = jnp.where(h_active, st_h,
+                         jnp.where(d_active,
+                                   jnp.where(d_ext, st, 0), st_i))
+        r_n = jnp.where(h_active, r_h, jnp.where(d_active, d_pr, r))
+        j_n = jnp.where(h_active, j_h, jnp.where(d_active, j, j - 1))
+        tgt_n = jnp.where(h_active, tgt_h, tgt)
+        return (st_n.astype(jnp.int32), r_n.astype(jnp.int32),
+                j_n.astype(jnp.int32), tgt_n.astype(jnp.int32), k, buf)
 
     _, _, _, _, k, buf = jax.lax.while_loop(
         cond, step,
@@ -404,7 +422,7 @@ _align_traceback_batch = jax.jit(
 # offs (n_cap+1, B): batch axis 1 — vmapping there avoids a 2 GB transpose
 _traceback_from_mats_batch = jax.jit(
     jax.vmap(_traceback_from_mats,
-             in_axes=(0, 0, 0, 0) + (1,) * 9 + (None,) * 6),
+             in_axes=(0, 0, 0, 0) + (1,) * 11 + (None,) * 6),
     static_argnames=("o1", "e1", "o2", "e2", "W", "l_cap"))
 
 
@@ -493,6 +511,45 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     return paths  # type: ignore[return-value]
 
 
+def _dispatch_chunk(base, preds, nn, ends, qq, ql, W, l_cap, pp):
+    """The device part of one chunk dispatch (mesh / Pallas / XLA): packed
+    rank-space arrays in, host (buf, ks) reverse-order step arrays out."""
+    from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        # the per-locus isoform axis shards over the mesh ('loci'):
+        # each device aligns its shard of (graph, query) problems;
+        # zero-padded rows (n_nodes=0, qlen=0) produce empty paths
+        # and are sliced off
+        from mandalorion_tpu.parallel.mesh import fetch_global
+        args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
+        buf, ks = _align_traceback_batch(
+            *args, jnp.int32(int(nn.max())),
+            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+            pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
+        return fetch_global(buf)[:b], fetch_global(ks)[:b]
+    interpret = _poa_pallas_mode(pp, preds, nn, W)
+    if interpret is not None:
+        # Pallas forward pass (the whole row loop compiled into one
+        # Mosaic program) + the shared XLA traceback walk
+        from mandalorion_tpu.poa.pallas_kernel import poa_forward_pallas
+        mats = poa_forward_pallas(
+            base, preds, nn, qq, ql, int(nn.max()),
+            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+            pp.gap_open2, pp.gap_extend2, pp.band, W,
+            interpret=interpret)
+        buf, ks = _traceback_from_mats_batch(
+            preds, nn, ends, ql, *mats,
+            pp.gap_open, pp.gap_extend, pp.gap_open2, pp.gap_extend2,
+            W, l_cap)
+    else:
+        buf, ks = _align_traceback_batch(
+            base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
+            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
+            pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
+    return np.asarray(buf), np.asarray(ks)
+
+
 def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
                      W, params, paths) -> None:
     """Dispatch one chunk of (graph, query) problems; write each problem's
@@ -515,50 +572,123 @@ def _run_graph_chunk(batch, graphs, queries, orders, n_cap, l_cap, p_cap,
         q = queries[gi]
         qq[bi, :len(q)] = q
         ql[bi] = len(q)
-    from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
-    mesh = pipeline_mesh()
-    pp = params
-    if mesh is not None:
-        # the per-locus isoform axis shards over the mesh ('loci'):
-        # each device aligns its shard of (graph, query) problems;
-        # zero-padded rows (n_nodes=0, qlen=0) produce empty paths
-        # and are sliced off
-        from mandalorion_tpu.parallel.mesh import fetch_global
-        args, b = shard_batch(mesh, [base, preds, nn, ends, qq, ql])
-        buf, ks = _align_traceback_batch(
-            *args, jnp.int32(int(nn.max())),
-            pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-            pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
-        buf = fetch_global(buf)[:b]
-        ks = fetch_global(ks)[:b]
-    else:
-        interpret = _poa_pallas_mode(pp, preds, nn, W)
-        if interpret is not None:
-            # Pallas forward pass (the whole row loop compiled into one
-            # Mosaic program) + the shared XLA traceback walk
-            from mandalorion_tpu.poa.pallas_kernel import \
-                poa_forward_pallas
-            mats = poa_forward_pallas(
-                base, preds, nn, qq, ql, int(nn.max()),
-                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-                pp.gap_open2, pp.gap_extend2, pp.band, W,
-                interpret=interpret)
-            buf, ks = _traceback_from_mats_batch(
-                preds, nn, ends, ql, *mats,
-                pp.gap_open, pp.gap_extend, pp.gap_open2, pp.gap_extend2,
-                W, l_cap)
-        else:
-            buf, ks = _align_traceback_batch(
-                base, preds, nn, ends, qq, ql, jnp.int32(int(nn.max())),
-                pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
-                pp.gap_open2, pp.gap_extend2, pp.band, W, pp.adaptive)
-        buf = np.asarray(buf)
-        ks = np.asarray(ks)
+    buf, ks = _dispatch_chunk(base, preds, nn, ends, qq, ql, W, l_cap,
+                              params)
     for bi, gi in enumerate(batch):
         order = orders[gi]
         steps = buf[bi, :ks[bi]][::-1]
         paths[gi] = [(int(qi), order[rank] if rank >= 0 else None)
                      for qi, rank in steps]
+
+
+class NativePoaGraph:
+    """A POA graph held in C++ between device rounds (native/poa.cpp
+    GraphHandle) — the device consensus path's host staging (topo order,
+    rank-space arrays, applying the traceback, the consensus walk) runs
+    natively instead of through PoaGraph's Python adjacency loops, which
+    were ~40% of the device path's wall time. Same graph semantics as
+    PoaGraph/poa_consensus_c (bit-identical, tests/test_poa.py)."""
+
+    def __init__(self, seq_codes: np.ndarray):
+        from mandalorion_tpu.native import load_native
+        self._lib = load_native()
+        seq = np.ascontiguousarray(seq_codes, np.uint8)
+        self._h = self._lib.poa_graph_new_c(seq.ctypes.data, len(seq))
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.poa_graph_free_c(self._h)
+            self._h = None
+
+    __del__ = close
+
+    def n_nodes(self) -> int:
+        return int(self._lib.poa_graph_nodes_c(self._h))
+
+    def max_preds(self) -> int:
+        return int(self._lib.poa_graph_maxp_c(self._h))
+
+    def fill_arrays(self, base_row: np.ndarray, preds_row: np.ndarray,
+                    ends_row: np.ndarray) -> int:
+        """Write this graph's rank-space arrays into the given batch-row
+        slices (preds pre-filled -1); caches the topo order for
+        apply_steps. Returns the node count."""
+        n = self._lib.poa_graph_arrays_c(
+            self._h, base_row.shape[0], preds_row.shape[1],
+            base_row.ctypes.data, preds_row.ctypes.data,
+            ends_row.ctypes.data)
+        if n < 0:
+            raise ValueError("poa_graph_arrays_c: caps too small")
+        return int(n)
+
+    def apply_steps(self, q: np.ndarray, buf_rows: np.ndarray,
+                    k: int) -> None:
+        """Thread query q along the device walk's reverse-order (qi,
+        rank) steps (ranks resolve via the last fill_arrays order)."""
+        qa = np.ascontiguousarray(q, np.uint8)
+        b = np.ascontiguousarray(buf_rows[:k], np.int32)
+        self._lib.poa_graph_apply_c(self._h, qa.ctypes.data,
+                                    b.ctypes.data, int(k))
+
+    def consensus(self) -> np.ndarray:
+        out = np.empty(self.n_nodes() + 1, np.uint8)
+        n = self._lib.poa_graph_consensus_handle_c(self._h,
+                                                   out.ctypes.data)
+        return out[:n].copy()
+
+
+def _poa_consensus_batch_native(seq_sets, params) -> List[np.ndarray]:
+    """poa_consensus_batch with C++-held graphs: same lockstep rounds and
+    the same chunked device dispatches (_dispatch_chunk), but the
+    per-round topo/array staging and path application never touch Python
+    adjacency lists, and the walk's steps go straight to C."""
+    graphs = [NativePoaGraph(s[0]) for s in seq_sets]
+    max_reads = max((len(s) for s in seq_sets), default=0)
+    for k in range(1, max_reads):
+        live = [i for i, s in enumerate(seq_sets) if k < len(s)]
+        if not live:
+            break
+        queries = [seq_sets[i][k] for i in live]
+        nodes = [graphs[i].n_nodes() for i in live]
+        n_max = max(nodes)
+        n_cap = (_pow2_at_least(n_max) if n_max <= 1024
+                 else -(-n_max // 512) * 512)
+        l_cap = _pow2_at_least(max(len(q) for q in queries))
+        p_cap = _pow2_at_least(
+            max(graphs[i].max_preds() for i in live), floor=4)
+        by_width: dict = {}
+        for pos, i in enumerate(live):
+            w = _item_width(nodes[pos], len(queries[pos]), params.band,
+                            l_cap, params.adaptive)
+            by_width.setdefault(w, []).append(pos)
+        for W in sorted(by_width):
+            idxs = by_width[W]
+            per_item = (n_cap + 1) * W
+            chunk = max(1, MAX_CELLS_PER_DISPATCH // per_item)
+            for c0 in range(0, len(idxs), chunk):
+                batch = idxs[c0:c0 + chunk]
+                Bp = _pow2_at_least(len(batch), floor=8)
+                base = np.zeros((Bp, n_cap), np.int32)
+                preds = np.full((Bp, n_cap, p_cap), -1, np.int32)
+                ends = np.zeros((Bp, n_cap), bool)
+                nn = np.zeros(Bp, np.int32)
+                qq = np.zeros((Bp, l_cap), np.int32)
+                ql = np.zeros(Bp, np.int32)
+                for bi, pos in enumerate(batch):
+                    g = graphs[live[pos]]
+                    nn[bi] = g.fill_arrays(base[bi], preds[bi], ends[bi])
+                    q = queries[pos]
+                    qq[bi, :len(q)] = q
+                    ql[bi] = len(q)
+                buf, ks = _dispatch_chunk(base, preds, nn, ends, qq, ql,
+                                          W, l_cap, params)
+                for bi, pos in enumerate(batch):
+                    graphs[live[pos]].apply_steps(queries[pos], buf[bi],
+                                                  int(ks[bi]))
+    out = [g.consensus() for g in graphs]
+    for g in graphs:
+        g.close()
+    return out
 
 
 def poa_consensus_batch(seq_sets: Sequence[List[np.ndarray]],
@@ -567,8 +697,14 @@ def poa_consensus_batch(seq_sets: Sequence[List[np.ndarray]],
     """Graph-POA consensus of many isoforms at once: reads are threaded in
     lockstep rounds — round k aligns the k-th read of every still-growing
     graph in one batched dispatch (the per-locus isoform axis, mirroring
-    the reference's one-abpoa-process-per-isoform at SDC.py:915-919)."""
+    the reference's one-abpoa-process-per-isoform at SDC.py:915-919).
+    Graphs live in C++ between rounds when the native library is present
+    (NativePoaGraph); the pure-Python PoaGraph path is the fallback and
+    the parity oracle."""
     params = params or PoaParams()
+    from mandalorion_tpu.native import load_native
+    if load_native() is not None:
+        return _poa_consensus_batch_native(seq_sets, params)
     graphs = [PoaGraph(s[0]) for s in seq_sets]
     max_reads = max((len(s) for s in seq_sets), default=0)
     for k in range(1, max_reads):

@@ -60,6 +60,19 @@ def ring_depth(W: int) -> int:
     return k
 
 
+def _row_slot(p_cap: int) -> int:
+    """Lanes per problem in the packed rowdata block: p_cap preds + the
+    base code, pow2 so a TILE of problems tiles the 128-lane dim exactly
+    (16 lanes x 8 problems for the common p_cap <= 15). The former
+    (n_cap+1, B, 128) layout spent 128 lanes on p_cap+1 values and its
+    ~21 MB host->device transfer per round dominated the forward's wall
+    time through the tunnel."""
+    s = 16
+    while s < p_cap + 1:
+        s *= 2
+    return s
+
+
 def _cummax_lane(x):
     """Inclusive prefix max along the lane axis (doubling rolls)."""
     n = x.shape[-1]
@@ -89,7 +102,8 @@ def _dyn_window(row_ext, rel0, W):
 
 def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
                     score_ref, d1_ref, d2_ref, op_ref, op0_ref,
-                    node0_ref, orig1_ref, orig2_ref, offsb_ref,
+                    node0_ref, orig1_ref, orig2_ref, d1p_ref, d2p_ref,
+                    offsb_ref,
                     h_ring, d1_ring, d2_ring, offs_ring, bestc_ring,
                     row0_scr,
                     *, match, mismatch, o1, e1, o2, e2, band, W, K,
@@ -109,6 +123,7 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
     neg_row = jnp.full((1, W), NEG, jnp.int32)
     neg_tile = jnp.full((TILE, W), NEG, jnp.int32)
     qlen_col = meta_ref[pl.ds(i * TILE, TILE), :][:, 1:2]   # (TILE, 1)
+    SLOT = _row_slot(p_cap)   # lanes per problem in the packed rowdata
 
     @pl.when(j == 0)
     def _init():
@@ -124,6 +139,8 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
         node0_ref[0] = jnp.full((TILE, W), -2, jnp.int32)
         orig1_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         orig2_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        d1p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        d2p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         offsb_ref[0] = jnp.zeros((TILE, LANE), jnp.int32)
         row0_scr[:, :] = g0
         h_ring[0:TILE, :] = g0                # slot 0 rows
@@ -138,14 +155,15 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
         kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         off_l, center_l, sub_l, diag_l, rank_l, d1_l, d2_l = \
             [], [], [], [], [], [], []
+        d1p_l, d2p_l = [], []
         for t in range(TILE):
             qlen = qlen_col[t, 0]
-            base_v = rowdata_ref[0, t, p_cap]
+            base_v = rowdata_ref[0, i, t * SLOT + p_cap]
 
             # ---- adaptive band center: best pred row's first-max col + 1
             c = jnp.int32(NEG)
             for p in range(p_cap):
-                pr = rowdata_ref[0, t, p]
+                pr = rowdata_ref[0, i, t * SLOT + p]
                 prc = jnp.maximum(pr, 0)
                 bc_row = bestc_ring[t:t + 1, :]
                 bc = pltpu.roll(bc_row, shift=jnp.mod(
@@ -171,8 +189,10 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
             rank_diag = jnp.full((1, W), -2, jnp.int32)
             d1_row = neg_row
             d2_row = neg_row
+            d1_ptr = jnp.zeros((1, W), jnp.int32)
+            d2_ptr = jnp.zeros((1, W), jnp.int32)
             for p in range(p_cap):
-                pr = rowdata_ref[0, t, p]
+                pr = rowdata_ref[0, i, t * SLOT + p]
                 prc = jnp.maximum(pr, 0)
                 pslot = prc & (K - 1)
                 off_row = offs_ring[t:t + 1, :]
@@ -218,14 +238,28 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
                 better = w_diag > best_diag
                 best_diag = jnp.where(better, w_diag, best_diag)
                 rank_diag = jnp.where(better, pr, rank_diag)
-                d1_row = jnp.maximum(
-                    d1_row, jnp.maximum(w_h - (o1 + e1), w_d1 - e1))
-                d2_row = jnp.maximum(
-                    d2_row, jnp.maximum(w_h - (o2 + e2), w_d2 - e2))
+                # D backpointers: (first-max pred row << 1) | ext, same
+                # strict-> rule as the XLA forward (_align_rows)
+                c1_open = w_h - (o1 + e1)
+                c1_ext = w_d1 - e1
+                c1 = jnp.maximum(c1_open, c1_ext)
+                b1 = c1 > d1_row
+                d1_ptr = jnp.where(
+                    b1, (pr << 1) | (c1_ext > c1_open), d1_ptr)
+                d1_row = jnp.where(b1, c1, d1_row)
+                c2_open = w_h - (o2 + e2)
+                c2_ext = w_d2 - e2
+                c2 = jnp.maximum(c2_open, c2_ext)
+                b2 = c2 > d2_row
+                d2_ptr = jnp.where(
+                    b2, (pr << 1) | (c2_ext > c2_open), d2_ptr)
+                d2_row = jnp.where(b2, c2, d2_row)
             diag_l.append(best_diag)
             rank_l.append(rank_diag)
             d1_l.append(d1_row)
             d2_l.append(d2_row)
+            d1p_l.append(d1_ptr)
+            d2p_l.append(d2_ptr)
 
         # ---- stacked (TILE, W): everything below runs once per row
         off_col = jnp.concatenate(off_l, axis=0)        # (TILE, 1)
@@ -235,6 +269,8 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
         rank_diag = jnp.concatenate(rank_l, axis=0)
         d1_row = jnp.concatenate(d1_l, axis=0)
         d2_row = jnp.concatenate(d2_l, axis=0)
+        d1_ptr = jnp.concatenate(d1p_l, axis=0)
+        d2_ptr = jnp.concatenate(d2p_l, axis=0)
         jabs = off_col + cidx
         j0 = jnp.maximum(0, center_col - band)
         j1 = jnp.minimum(qlen_col, center_col + band)
@@ -287,6 +323,8 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
         node0_ref[0] = rown
         orig1_ref[0] = org_out[0]
         orig2_ref[0] = org_out[1]
+        d1p_ref[0] = d1_ptr
+        d2p_ref[0] = d2_ptr
         lidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANE), 1)
         offsb_ref[0] = jnp.where(lidx == 0, off_col, 0)
 
@@ -316,6 +354,8 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
         node0_ref[0] = jnp.full((TILE, W), -2, jnp.int32)
         orig1_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         orig2_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        d1p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        d2p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         offsb_ref[0] = jnp.zeros((TILE, LANE), jnp.int32)
 
 
@@ -328,23 +368,25 @@ def _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, B, n_cap,
         _poa_fwd_kernel, match=match, mismatch=mismatch, o1=o1, e1=e1,
         o2=o2, e2=e2, band=band, W=W, K=K, p_cap=p_cap)
     mats = [jax.ShapeDtypeStruct((n_cap + 1, B, W), jnp.int32)
-            for _ in range(8)]
+            for _ in range(10)]
     fn = pl.pallas_call(
         kernel,
         grid=(B // TILE, n_cap + 1),
         in_specs=[
             pl.BlockSpec((B, LANE), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),          # meta
-            pl.BlockSpec((1, TILE, LANE), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, B // TILE, TILE * _row_slot(p_cap)),
+                         lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),          # rowdata
                          # (host shifts rowdata one row down: block j
-                         # holds graph row j-1; row 0 is a dummy)
+                         # holds graph row j-1; row 0 is a dummy; lanes
+                         # pack TILE problems x _row_slot values)
             pl.BlockSpec((B, lq), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),          # q_ext
         ],
         out_specs=[pl.BlockSpec((1, TILE, W), lambda i, j: (j, i, 0),
                                 memory_space=pltpu.VMEM)
-                   for _ in range(8)]
+                   for _ in range(10)]
         + [pl.BlockSpec((1, TILE, LANE), lambda i, j: (j, i, 0),
                         memory_space=pltpu.VMEM)],
         out_shape=mats + [jax.ShapeDtypeStruct((n_cap + 1, B, LANE),
@@ -376,9 +418,10 @@ def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
                        match, mismatch, o1, e1, o2, e2, band, W,
                        interpret: bool = False):
     """Batched forward pass. Inputs: base (B, n_cap), preds (B, n_cap,
-    p_cap), nn (B,), qq (B, l_cap), ql (B,). Returns the 8 state matrices
-    in ROW-major layout (n_cap+1, B, W) + offs (n_cap+1, B) — the same
-    values as vmapped `_align_rows` with the batch axis second."""
+    p_cap), nn (B,), qq (B, l_cap), ql (B,). Returns the 10 state
+    matrices (incl. the d1p/d2p deletion backpointers) in ROW-major
+    layout (n_cap+1, B, W) + offs (n_cap+1, B) — the same values as
+    vmapped `_align_rows` with the batch axis second."""
     B, n_cap = base.shape
     p_cap = preds.shape[2]
     l_cap = qq.shape[1]
@@ -397,11 +440,17 @@ def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
     meta[:, 1] = ql
     meta[:, 2] = n_hi
     # rowdata: per-row preds + base in one streamed block, shifted one
-    # row down so grid row j reads graph row j-1 with an identity
-    # index map (row 0 is a dummy)
-    rowdata = np.full((n_cap + 1, Bp, LANE), -1, np.int32)
-    rowdata[1:, :, :p_cap] = preds.transpose(1, 0, 2)
-    rowdata[1:, :, p_cap] = base.T
+    # row down so grid row j reads graph row j-1 with an identity index
+    # map (row 0 is a dummy). TILE problems pack the lane dim (_row_slot
+    # lanes each) so the per-round transfer is ~8x smaller than one
+    # 128-lane row per problem
+    SLOT = _row_slot(p_cap)
+    G = Bp // TILE
+    rowdata = np.full((n_cap + 1, G, TILE * SLOT), -1, np.int32)
+    rd = rowdata[1:].reshape(n_cap, G, TILE, SLOT)
+    rd[:, :, :, :p_cap] = preds.transpose(1, 0, 2).reshape(
+        n_cap, G, TILE, p_cap)
+    rd[:, :, :, p_cap] = base.T.reshape(n_cap, G, TILE)
     # q_ext: [boundary 0, q, zeros]; width W + 128-aligned
     LQ = -(-(l_cap + 1 + W) // LANE) * LANE
     q_ext = np.zeros((Bp, LQ), np.int32)
@@ -409,6 +458,6 @@ def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
     fn = _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, Bp, n_cap,
                      p_cap, LQ, interpret)
     outs = fn(jnp.asarray(meta), jnp.asarray(rowdata), jnp.asarray(q_ext))
-    mats = [o[:, :B] for o in outs[:8]]
-    offs = outs[8][:, :B, 0]
+    mats = [o[:, :B] for o in outs[:10]]
+    offs = outs[10][:, :B, 0]
     return tuple(mats) + (offs,)
