@@ -207,6 +207,194 @@ def clean_sort_split(psl_path: str, clean_path: str, sorted_path: str,
     return read_to_root
 
 
+def _shard_ranges(path: str, n: int) -> List[Tuple[int, int]]:
+    """Split a file into up to n line-aligned byte ranges."""
+    import os
+    size = os.path.getsize(path)
+    if size == 0:
+        return []
+    cuts = [0]
+    with open(path, "rb") as fh:
+        for k in range(1, n):
+            pos = size * k // n
+            if pos <= cuts[-1]:
+                continue
+            fh.seek(pos)
+            fh.readline()
+            p = fh.tell()
+            if cuts[-1] < p < size:
+                cuts.append(p)
+    cuts.append(size)
+    return list(zip(cuts, cuts[1:]))
+
+
+def _clean_shard_worker(job):
+    """Fork-pool worker: parse + clean the lines in one byte range of the
+    input PSL (all in bytes — int() accepts ASCII bytes, so no decode),
+    write them as a cleaned shard file, and return the per-line sort keys
+    (chrom, tStart, tEnd, name, shard byte offset/length) the parent
+    needs for the global sort and locus split."""
+    import numpy as np
+    psl_path, lo, hi, shard_path, mis = job
+    with open(psl_path, "rb") as fh:
+        fh.seek(lo)
+        data = fh.read(hi - lo)
+    out_parts: List[bytes] = []
+    names: List[bytes] = []
+    chroms: List[bytes] = []
+    tstarts: List[int] = []
+    tends: List[int] = []
+    lens: List[int] = []
+    for ln in data.split(b"\n"):
+        if not ln.strip():
+            continue
+        a = ln.split(b"\t", 21)
+        sizes = [int(x) for x in a[18].split(b",")[:-1]]
+        starts = [int(x) for x in a[20].split(b",")[:-1]]
+        ns, nq, nt = merge_small_gaps(sizes, starts, int(a[15]),
+                                      int(a[11]), mis)
+        a[17] = b"%d" % len(ns)
+        a[18] = b",".join(b"%d" % x for x in ns) + b","
+        a[19] = b",".join(b"%d" % x for x in nq) + b","
+        a[20] = b",".join(b"%d" % x for x in nt) + b","
+        out = b"\t".join(a) + b"\n"
+        out_parts.append(out)
+        names.append(a[9])
+        chroms.append(a[13])
+        tstarts.append(int(a[15]))
+        tends.append(int(a[16]))
+        lens.append(len(out))
+    blob = b"".join(out_parts)
+    with open(shard_path, "wb") as fh:
+        fh.write(blob)
+    lens_a = np.array(lens, np.int64)
+    offs = np.zeros(len(lens), np.int64)
+    np.cumsum(lens_a[:-1], out=offs[1:])
+    return (shard_path, names, chroms, np.array(tstarts, np.int64),
+            np.array(tends, np.int64), offs, lens_a)
+
+
+def clean_sort_split_parallel(psl_path: str, clean_path: str,
+                              sorted_path: str, out_dir: str,
+                              minimum_intron_size: int = 10,
+                              threads: int = 2) -> Dict[str, str]:
+    """clean_sort_split with the PARSE sharded over a fork pool (module
+    A's byte-range pattern): workers clean disjoint line-aligned byte
+    ranges and return compact sort keys; the parent concatenates shard
+    files into clean.psl, numpy-lexsorts (chrom, tStart) with the GNU
+    last-resort whole-line tie-break applied only inside equal-key runs,
+    and writes the sorted + per-locus artifacts as byte slices — no line
+    is parsed twice anywhere. Byte-identical to clean_sort_split at any
+    worker count (tests/test_core_parity.py). The serial path remains
+    the fallback (and handles the primary-dedup case: duplicate read
+    names can only come from external PSL/SAM input, never module A)."""
+    import os
+    import multiprocessing as mp
+
+    import numpy as np
+
+    ranges = _shard_ranges(psl_path, max(threads, 1) * 2)
+    if len(ranges) < 2:
+        return clean_sort_split(psl_path, clean_path, sorted_path,
+                                out_dir, minimum_intron_size)
+    jobs = [(psl_path, lo, hi, f"{clean_path}.shard{k}",
+             minimum_intron_size)
+            for k, (lo, hi) in enumerate(ranges)]
+    ctx = mp.get_context("fork")
+    with ctx.Pool(min(threads, len(jobs))) as pool:
+        shards = pool.map(_clean_shard_worker, jobs)
+
+    all_names: List[bytes] = []
+    for sh in shards:
+        all_names.extend(sh[1])
+    if len(set(all_names)) != len(all_names):
+        # primary-only dedup needs global first-seen order: rare
+        # (external input only) — use the serial reference path
+        for sh in shards:
+            os.remove(sh[0])
+        return clean_sort_split(psl_path, clean_path, sorted_path,
+                                out_dir, minimum_intron_size)
+
+    # clean.psl: shard files concatenated in input order; the cleaned
+    # bytes stay in memory for the sorted/locus writes below
+    blobs: List[bytes] = []
+    with open(clean_path, "wb") as out:
+        for sh in shards:
+            with open(sh[0], "rb") as pf:
+                blob = pf.read()
+            out.write(blob)
+            blobs.append(blob)
+            os.remove(sh[0])
+
+    chroms = [c for sh in shards for c in sh[2]]
+    tstart = np.concatenate([sh[3] for sh in shards]) \
+        if shards else np.zeros(0, np.int64)
+    tend = np.concatenate([sh[4] for sh in shards])
+    shard_id = np.concatenate(
+        [np.full(len(sh[1]), si, np.int32)
+         for si, sh in enumerate(shards)])
+    off = np.concatenate([sh[5] for sh in shards])
+    ln = np.concatenate([sh[6] for sh in shards])
+    vocab = sorted(set(chroms))
+    cid_of = {c: i for i, c in enumerate(vocab)}
+    cid = np.fromiter((cid_of[c] for c in chroms), np.int32,
+                      len(chroms))
+
+    def line_at(i: int) -> bytes:
+        return blobs[shard_id[i]][off[i]:off[i] + ln[i]]
+
+    # stable (chrom, tStart) sort, then the whole-line last-resort
+    # tie-break inside equal-key runs only (decorate-sort-undecorate's
+    # third tuple element, applied lazily)
+    order = np.lexsort((np.arange(len(cid)), tstart, cid))
+    k0 = 0
+    n = len(order)
+    while k0 < n:
+        k1 = k0 + 1
+        i0 = order[k0]
+        while k1 < n and cid[order[k1]] == cid[i0] \
+                and tstart[order[k1]] == tstart[i0]:
+            k1 += 1
+        if k1 - k0 > 1:
+            run = sorted(order[k0:k1].tolist(), key=line_at)
+            order[k0:k1] = run
+        k0 = k1
+
+    with open(sorted_path, "wb") as out:
+        buf: List[bytes] = []
+        for i in order:
+            buf.append(line_at(i))
+            if len(buf) == 4096:
+                out.write(b"".join(buf))
+                buf = []
+        out.write(b"".join(buf))
+
+    os.makedirs(out_dir, exist_ok=True)
+    read_to_root: Dict[str, str] = {}
+    names = all_names
+    k0 = 0
+    while k0 < n:
+        i0 = order[k0]
+        chrom_b = chroms[i0]
+        start = int(tstart[i0])
+        end = int(tend[i0])
+        k1 = k0 + 1
+        while k1 < n:
+            i1 = order[k1]
+            if chroms[i1] != chrom_b or int(tstart[i1]) > end:
+                break
+            e2 = int(tend[i1])
+            end = e2 if e2 > end else end
+            k1 += 1
+        root = f"{chrom_b.decode()}~{start}~{end}"
+        with open(os.path.join(out_dir, root + ".psl"), "wb") as out:
+            out.write(b"".join(line_at(order[k]) for k in range(k0, k1)))
+        for k in range(k0, k1):
+            read_to_root[names[order[k]].decode()] = root
+        k0 = k1
+    return read_to_root
+
+
 def discover_loci(out_dir: str) -> List[str]:
     """Re-discover locus roots from a tmp_SS directory, sorted by
     (chrom, start) like `defineIsoforms.py:126`."""

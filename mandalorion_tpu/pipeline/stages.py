@@ -222,10 +222,19 @@ def module_p(paths: Paths, cfg: PipelineConfig) -> None:
     print("\tcleaning, sorting and splitting psl (one pass)")
     if os.path.isdir(paths.tmp_ss):
         shutil.rmtree(paths.tmp_ss)
-    from mandalorion_tpu.core.cleanpsl import clean_sort_split
-    clean_sort_split(psl, paths.t("mm2Alignments.clean.psl"),
-                     paths.t("mm2Alignments.clean.sorted.psl"),
-                     paths.tmp_ss, cfg.minimum_intron_size)
+    if cfg.threads > 1 and _fork_safe():
+        # sharded parse (module A's byte-range pattern): byte-identical
+        # to the serial path at any worker count
+        from mandalorion_tpu.core.cleanpsl import clean_sort_split_parallel
+        clean_sort_split_parallel(
+            psl, paths.t("mm2Alignments.clean.psl"),
+            paths.t("mm2Alignments.clean.sorted.psl"),
+            paths.tmp_ss, cfg.minimum_intron_size, threads=cfg.threads)
+    else:
+        from mandalorion_tpu.core.cleanpsl import clean_sort_split
+        clean_sort_split(psl, paths.t("mm2Alignments.clean.psl"),
+                         paths.t("mm2Alignments.clean.sorted.psl"),
+                         paths.tmp_ss, cfg.minimum_intron_size)
 
 
 # ------------------------------------------------------------- module D

@@ -388,3 +388,65 @@ def test_junction_grouping_parity_noisy(tmp_path, sdc):
     my_groups = {k: sorted(reads.names[i] for i in g.read_indices)
                  for k, g in iso_mine.items()}
     assert my_groups == ref_groups
+
+
+def test_clean_sort_split_parallel_byte_identical(tmp_path):
+    """The sharded module P (clean_sort_split_parallel) must produce
+    byte-identical artifacts to the serial path at any worker count,
+    including the GNU last-resort whole-line tie-break on lines sharing
+    (chrom, tStart) and cross-shard locus chains."""
+    import os
+    from mandalorion_tpu.core.cleanpsl import (clean_sort_split,
+                                               clean_sort_split_parallel)
+
+    def psl_line(name, chrom, t_start, sizes_starts, tail="x"):
+        sizes, starts = zip(*sizes_starts)
+        q_starts = []
+        q = 0
+        for s in sizes:
+            q_starts.append(q)
+            q += s
+        t_end = starts[-1] + sizes[-1]
+        cols = ["10", "0", "0", "0", "0", "0", "0", "0", "+", name,
+                str(q), "0", str(q), chrom, "100000", str(t_start),
+                str(t_end), str(len(sizes)),
+                ",".join(map(str, sizes)) + ",",
+                ",".join(map(str, q_starts)) + ",",
+                ",".join(map(str, starts)) + ",",
+                "0.99", f"=ACGT{tail}", "ACGT"]
+        return "\t".join(cols) + "\n"
+
+    lines = []
+    # chrom ties at the same tStart differing only late in the line (the
+    # last-resort byte compare decides), gaps below/above the intron
+    # threshold, several loci and chromosomes, in scrambled input order
+    lines.append(psl_line("r1", "chr2", 500, [(50, 500), (50, 600)]))
+    lines.append(psl_line("r2", "chr1", 100, [(30, 100), (20, 135)]))
+    lines.append(psl_line("r3", "chr1", 100, [(30, 100), (20, 135)],
+                          tail="a"))
+    lines.append(psl_line("r4", "chr1", 100, [(30, 100), (20, 135)],
+                          tail="b"))
+    lines.append(psl_line("r5", "chr1", 2000, [(40, 2000)]))
+    lines.append(psl_line("r6", "chr1", 130, [(10, 130), (10, 240)]))
+    lines.append(psl_line("r7", "chr3", 10, [(25, 10), (25, 40)]))
+    for k in range(40):  # bulk so shards split mid-locus
+        lines.append(psl_line(f"b{k}", "chr2", 1000 + 3 * k,
+                              [(60, 1000 + 3 * k)]))
+    psl = tmp_path / "in.psl"
+    psl.write_text("".join(lines))
+
+    def run(fn, tag, **kw):
+        d = tmp_path / tag
+        d.mkdir()
+        fn(str(psl), str(d / "clean.psl"), str(d / "sorted.psl"),
+           str(d / "ss"), 10, **kw)
+        arts = {p: (d / p).read_bytes()
+                for p in ("clean.psl", "sorted.psl")}
+        for f in sorted(os.listdir(d / "ss")):
+            arts[f"ss/{f}"] = (d / "ss" / f).read_bytes()
+        return arts
+
+    ref = run(clean_sort_split, "serial")
+    for nw in (2, 5):
+        got = run(clean_sort_split_parallel, f"par{nw}", threads=nw)
+        assert got == ref, f"parallel (threads={nw}) != serial"
