@@ -230,12 +230,16 @@ def _shard_ranges(path: str, n: int) -> List[Tuple[int, int]]:
 
 def _clean_shard_worker(job):
     """Fork-pool worker: parse + clean the lines in one byte range of the
-    input PSL (all in bytes — int() accepts ASCII bytes, so no decode),
-    write them as a cleaned shard file, and return the per-line sort keys
-    (chrom, tStart, tEnd, name, shard byte offset/length) the parent
-    needs for the global sort and locus split."""
+    input PSL (all in bytes — int() accepts ASCII bytes, so no decode)
+    and return the cleaned blob plus the per-line sort keys (chrom,
+    tStart, tEnd, name, blob offset/length) the parent needs for the
+    global sort and locus split. The blob travels via a SharedMemory
+    segment — shard files doubled the stage's disk traffic, and pool
+    pipes move ~600 MB of pickle at single-digit-GB/s through a single
+    result queue."""
     import numpy as np
-    psl_path, lo, hi, shard_path, mis = job
+    from multiprocessing import shared_memory, resource_tracker
+    psl_path, lo, hi, mis = job
     with open(psl_path, "rb") as fh:
         fh.seek(lo)
         data = fh.read(hi - lo)
@@ -265,19 +269,28 @@ def _clean_shard_worker(job):
         tends.append(int(a[16]))
         lens.append(len(out))
     blob = b"".join(out_parts)
-    with open(shard_path, "wb") as fh:
-        fh.write(blob)
+    shm = shared_memory.SharedMemory(create=True,
+                                     size=max(len(blob), 1))
+    shm.buf[:len(blob)] = blob
+    # the PARENT owns cleanup (it unlinks after writing the artifacts);
+    # unregister here so this process's resource tracker doesn't reclaim
+    # or warn about a segment it no longer owns
+    resource_tracker.unregister(shm._name, "shared_memory")
+    name = shm.name
+    size = len(blob)
+    shm.close()
     lens_a = np.array(lens, np.int64)
     offs = np.zeros(len(lens), np.int64)
     np.cumsum(lens_a[:-1], out=offs[1:])
-    return (shard_path, names, chroms, np.array(tstarts, np.int64),
+    return ((name, size), names, chroms, np.array(tstarts, np.int64),
             np.array(tends, np.int64), offs, lens_a)
 
 
 def clean_sort_split_parallel(psl_path: str, clean_path: str,
                               sorted_path: str, out_dir: str,
                               minimum_intron_size: int = 10,
-                              threads: int = 2) -> Dict[str, str]:
+                              threads: int = 2,
+                              defer_checkpoints: bool = False):
     """clean_sort_split with the PARSE sharded over a fork pool (module
     A's byte-range pattern): workers clean disjoint line-aligned byte
     ranges and return compact sort keys; the parent concatenates shard
@@ -297,34 +310,44 @@ def clean_sort_split_parallel(psl_path: str, clean_path: str,
     if len(ranges) < 2:
         return clean_sort_split(psl_path, clean_path, sorted_path,
                                 out_dir, minimum_intron_size)
-    jobs = [(psl_path, lo, hi, f"{clean_path}.shard{k}",
-             minimum_intron_size)
-            for k, (lo, hi) in enumerate(ranges)]
+    jobs = [(psl_path, lo, hi, minimum_intron_size)
+            for lo, hi in ranges]
+    from multiprocessing import shared_memory
     ctx = mp.get_context("fork")
     with ctx.Pool(min(threads, len(jobs))) as pool:
         shards = pool.map(_clean_shard_worker, jobs)
+    segs = []
+    for sh in shards:
+        name, size = sh[0]
+        seg = shared_memory.SharedMemory(name=name)
+        segs.append((seg, size))
+    try:
+        return _finish_parallel(shards, segs, psl_path, clean_path,
+                                sorted_path, out_dir,
+                                minimum_intron_size, defer_checkpoints)
+    finally:
+        for seg, _size in segs:
+            seg.close()
+            seg.unlink()
 
+
+def _finish_parallel(shards, segs, psl_path, clean_path, sorted_path,
+                     out_dir, minimum_intron_size, defer):
+    import os
+    import numpy as np
     all_names: List[bytes] = []
     for sh in shards:
         all_names.extend(sh[1])
     if len(set(all_names)) != len(all_names):
         # primary-only dedup needs global first-seen order: rare
         # (external input only) — use the serial reference path
-        for sh in shards:
-            os.remove(sh[0])
-        return clean_sort_split(psl_path, clean_path, sorted_path,
-                                out_dir, minimum_intron_size)
+        d = clean_sort_split(psl_path, clean_path, sorted_path,
+                             out_dir, minimum_intron_size)
+        return (d, None) if defer else d
 
-    # clean.psl: shard files concatenated in input order; the cleaned
-    # bytes stay in memory for the sorted/locus writes below
-    blobs: List[bytes] = []
-    with open(clean_path, "wb") as out:
-        for sh in shards:
-            with open(sh[0], "rb") as pf:
-                blob = pf.read()
-            out.write(blob)
-            blobs.append(blob)
-            os.remove(sh[0])
+    # one memcpy out of shared memory (so the segments can be closed
+    # without exported-pointer bookkeeping); the bytes serve every write
+    blobs = [bytes(seg.buf[:size]) for seg, size in segs]
 
     chroms = [c for sh in shards for c in sh[2]]
     tstart = np.concatenate([sh[3] for sh in shards]) \
@@ -360,14 +383,21 @@ def clean_sort_split_parallel(psl_path: str, clean_path: str,
             order[k0:k1] = run
         k0 = k1
 
-    with open(sorted_path, "wb") as out:
-        buf: List[bytes] = []
-        for i in order:
-            buf.append(line_at(i))
-            if len(buf) == 4096:
-                out.write(b"".join(buf))
-                buf = []
-        out.write(b"".join(buf))
+    def write_checkpoints():
+        # clean.psl (input order) + clean.sorted.psl: -M resume
+        # checkpoints no stage reads during the run — with defer=True
+        # they write in a background fork (overlapping module D)
+        with open(clean_path, "wb") as out:
+            for blob in blobs:
+                out.write(blob)
+        with open(sorted_path, "wb") as out:
+            buf: List[bytes] = []
+            for i in order:
+                buf.append(line_at(i))
+                if len(buf) == 4096:
+                    out.write(b"".join(buf))
+                    buf = []
+            out.write(b"".join(buf))
 
     os.makedirs(out_dir, exist_ok=True)
     read_to_root: Dict[str, str] = {}
@@ -392,6 +422,12 @@ def clean_sort_split_parallel(psl_path: str, clean_path: str,
         for k in range(k0, k1):
             read_to_root[names[order[k]].decode()] = root
         k0 = k1
+    if defer:
+        import multiprocessing as mp
+        proc = mp.get_context("fork").Process(target=write_checkpoints)
+        proc.start()
+        return read_to_root, proc
+    write_checkpoints()
     return read_to_root
 
 

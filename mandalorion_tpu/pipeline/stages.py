@@ -207,7 +207,14 @@ def module_a(paths: Paths, cfg: PipelineConfig, fasta_files: str,
 
 # ------------------------------------------------------------- module P
 
-def module_p(paths: Paths, cfg: PipelineConfig) -> None:
+def module_p(paths: Paths, cfg: PipelineConfig,
+             defer_checkpoints: bool = False):
+    """Clean + sort + locus-split. With defer_checkpoints=True (the
+    in-process pipeline driver) the clean.psl / clean.sorted.psl resume
+    checkpoints write in a background fork overlapped with module D, and
+    the returned process handle must be joined before the run ends —
+    only the locus files (what D consumes) are written synchronously.
+    Returns the writer handle or None."""
     _banner("Module P - psl cleaning, sorting, locus split")
     psl = paths.t("mm2Alignments.psl")
     sam = paths.t("mm2Alignments.sam")
@@ -218,7 +225,7 @@ def module_p(paths: Paths, cfg: PipelineConfig) -> None:
                        threads=cfg.threads if _fork_safe() else 1)
         else:
             print("\tno alignments found; skipping")
-            return
+            return None
     print("\tcleaning, sorting and splitting psl (one pass)")
     if os.path.isdir(paths.tmp_ss):
         shutil.rmtree(paths.tmp_ss)
@@ -226,15 +233,19 @@ def module_p(paths: Paths, cfg: PipelineConfig) -> None:
         # sharded parse (module A's byte-range pattern): byte-identical
         # to the serial path at any worker count
         from mandalorion_tpu.core.cleanpsl import clean_sort_split_parallel
-        clean_sort_split_parallel(
+        res = clean_sort_split_parallel(
             psl, paths.t("mm2Alignments.clean.psl"),
             paths.t("mm2Alignments.clean.sorted.psl"),
-            paths.tmp_ss, cfg.minimum_intron_size, threads=cfg.threads)
+            paths.tmp_ss, cfg.minimum_intron_size, threads=cfg.threads,
+            defer_checkpoints=defer_checkpoints)
+        if isinstance(res, tuple):
+            return res[1]
     else:
         from mandalorion_tpu.core.cleanpsl import clean_sort_split
         clean_sort_split(psl, paths.t("mm2Alignments.clean.psl"),
                          paths.t("mm2Alignments.clean.sorted.psl"),
                          paths.tmp_ss, cfg.minimum_intron_size)
+    return None
 
 
 # ------------------------------------------------------------- module D
@@ -297,10 +308,16 @@ def process_locus(locus_psl: str, chrom: str, left_bounds: Dict[str, List[int]],
     return determine_consensus_batch(read_sets, cfg.poa, rng)
 
 
-def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str) -> None:
+def module_d(paths: Paths, cfg: PipelineConfig, annotation_path: str,
+             sorted_psl_pending: bool = False) -> None:
     _banner("Module D - defining isoforms")
     sorted_psl = paths.t("mm2Alignments.clean.sorted.psl")
-    if not os.path.exists(sorted_psl) or os.path.getsize(sorted_psl) == 0:
+    # sorted_psl_pending: the in-process driver just ran module P with
+    # the checkpoint writer still in flight — the gate's purpose (catch
+    # an alignment-less resume) is already answered
+    if not sorted_psl_pending and (
+            not os.path.exists(sorted_psl)
+            or os.path.getsize(sorted_psl) == 0):
         print("\tclean sorted psl file missing or empty")
         return
     whitelist_on = "0" not in cfg.white_list_polyA
@@ -496,12 +513,20 @@ def run_pipeline(out_path: str, genome_path: str, annotation_path: str,
     if "A" in cfg.modules:
         with timer.stage("A_alignment"):
             module_a(paths, cfg, fasta_files, genome_path, aligner)
-    if "P" in cfg.modules:
-        with timer.stage("P_parsing"):
-            module_p(paths, cfg)
-    if "D" in cfg.modules:
-        with timer.stage("D_define"):
-            module_d(paths, cfg, annotation_path)
+    p_writer = None
+    try:
+        if "P" in cfg.modules:
+            with timer.stage("P_parsing"):
+                p_writer = module_p(paths, cfg, defer_checkpoints=True)
+        if "D" in cfg.modules:
+            with timer.stage("D_define"):
+                module_d(paths, cfg, annotation_path,
+                         sorted_psl_pending=p_writer is not None)
+    finally:
+        if p_writer is not None:
+            # the -M checkpoint writer overlapped module D; it must be
+            # on disk before the run is considered complete
+            p_writer.join()
     if "F" in cfg.modules:
         with timer.stage("F_filter"):
             module_f(paths, cfg, genome_path, annotation_path, aligner)

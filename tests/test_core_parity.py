@@ -390,11 +390,16 @@ def test_junction_grouping_parity_noisy(tmp_path, sdc):
     assert my_groups == ref_groups
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning",
+                            "ignore::DeprecationWarning")
 def test_clean_sort_split_parallel_byte_identical(tmp_path):
     """The sharded module P (clean_sort_split_parallel) must produce
     byte-identical artifacts to the serial path at any worker count,
     including the GNU last-resort whole-line tie-break on lines sharing
-    (chrom, tStart) and cross-shard locus chains."""
+    (chrom, tStart) and cross-shard locus chains. (The fork warnings
+    this filter drops come from calling the fork pool directly under
+    the test process's live JAX backend; production gates the parallel
+    path on _fork_safe.)"""
     import os
     from mandalorion_tpu.core.cleanpsl import (clean_sort_split,
                                                clean_sort_split_parallel)
