@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from mandalorion_tpu.poa.graph import NEG, PoaGraph, PoaParams
 
 # one batched DP dispatch is chunked to stay under this many DP cells
-# (8 int32 state matrices = 32 bytes/cell: 64M cells ~ 2 GB, well inside a
-# v5e's 16 GB HBM while leaving room for donation copies)
+# (4 packed traceback matrices + the in-flight DP state ~ 16-32 bytes per
+# cell: 64M cells ~ 1-2 GB, well inside a v5e's 16 GB HBM)
 MAX_CELLS_PER_DISPATCH = 64 * 1024 * 1024
 
 
@@ -91,9 +91,10 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     r holds only the W-wide window starting at offs[r] (absolute column j
     lives at stored column j - offs[r]; static mode: _off_row's diagonal
     formula, adaptive mode: the score-following -S band, bit-identical to
-    PoaGraph.align). Returns the windowed state matrices (score H, d1,
-    d2, op, op0, node0, orig1, orig2), each (N+1, W) int32, plus the
-    per-row window offsets. Vmapped over the batch axis by the caller."""
+    PoaGraph.align). Returns the traceback's packed windowed inputs —
+    (hpack, opack, d1p, d2p), each (N+1, W) int32, plus the per-row
+    window offsets and the per-row H value at column qlen (endcol).
+    Vmapped over the batch axis by the caller."""
     n_cap = base_r.shape[0]
     cidx = jnp.arange(W, dtype=jnp.int32)
 
@@ -107,11 +108,12 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     score0 = jnp.full((n_cap + 1, W), NEG, jnp.int32).at[0].set(g0)
     d1m = jnp.full((n_cap + 1, W), NEG, jnp.int32)
     d2m = jnp.full((n_cap + 1, W), NEG, jnp.int32)
-    op_m = jnp.zeros((n_cap + 1, W), jnp.int32).at[0].set(1)
-    op0m = jnp.zeros((n_cap + 1, W), jnp.int32)
-    node0m = jnp.full((n_cap + 1, W), -2, jnp.int32)
-    orig1m = jnp.zeros((n_cap + 1, W), jnp.int32)
-    orig2m = jnp.zeros((n_cap + 1, W), jnp.int32)
+    # the traceback's per-cell decisions, PACKED at the source (the walk
+    # reads one mat per state instead of five):
+    #   hpack = op | op0 << 3 | (node0 + 2) << 6     (row 0: op=1 -> 1)
+    #   opack = orig1 | orig2 << 16                   (qlen < 2^16 gate)
+    hpackm = jnp.zeros((n_cap + 1, W), jnp.int32).at[0].set(1)
+    opackm = jnp.zeros((n_cap + 1, W), jnp.int32)
     # D backpointers: packed (pred_row << 1) | took_extension per cell —
     # the first-max pred in declared order (strict > updates), so the
     # traceback follows them instead of re-deriving the pred via 2*p_cap
@@ -120,6 +122,11 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     d2pm = jnp.zeros((n_cap + 1, W), jnp.int32)
     offs0 = jnp.zeros(n_cap + 1, jnp.int32)
     bestc0 = jnp.zeros(n_cap + 1, jnp.int32)  # first-max col per H row
+    # per-row H value at absolute column qlen (NEG outside the window):
+    # the walk's end-rank selection needs ONLY this column, so the full
+    # score matrix never streams out
+    endc0 = jnp.full(n_cap + 1, NEG, jnp.int32).at[0].set(
+        jnp.max(jnp.where(cidx == qlen, g0, NEG)))
 
     p_cap = preds_r.shape[1]
 
@@ -132,8 +139,7 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
     neg_pad = jnp.full(W + 1, NEG, jnp.int32)
 
     def body(r, carry):
-        (score, d1, d2, op, op0, node0, orig1, orig2, d1pt, d2pt, offs,
-         bestc) = carry
+        (score, d1, d2, hpk, opk, d1pt, d2pt, offs, bestc, endc) = carry
         base_v = base_r[r - 1]
         if adaptive:
             # -S band: one past the first-max column of the best pred row
@@ -255,32 +261,31 @@ def _align_rows(base_r, preds_r, n_nodes, q, qlen, n_hi,
         score = jax.lax.dynamic_update_slice(score, fin[None], (r, 0))
         d1 = jax.lax.dynamic_update_slice(d1, d1_row[None], (r, 0))
         d2 = jax.lax.dynamic_update_slice(d2, d2_row[None], (r, 0))
-        op = jax.lax.dynamic_update_slice(op, fino[None], (r, 0))
-        op0 = jax.lax.dynamic_update_slice(op0, rowo[None], (r, 0))
-        node0 = jax.lax.dynamic_update_slice(node0, rown[None], (r, 0))
-        orig1 = jax.lax.dynamic_update_slice(orig1, org_out[0][None],
-                                             (r, 0))
-        orig2 = jax.lax.dynamic_update_slice(orig2, org_out[1][None],
-                                             (r, 0))
+        hrow = fino | (rowo << 3) | ((rown + 2) << 6)
+        orow = org_out[0] | (org_out[1] << 16)
+        hpk = jax.lax.dynamic_update_slice(hpk, hrow[None], (r, 0))
+        opk = jax.lax.dynamic_update_slice(opk, orow[None], (r, 0))
         d1pt = jax.lax.dynamic_update_slice(d1pt, d1_ptr[None], (r, 0))
         d2pt = jax.lax.dynamic_update_slice(d2pt, d2_ptr[None], (r, 0))
+        endc = endc.at[r].set(
+            jnp.max(jnp.where(jabs == qlen, fin, NEG)))
         # first-max column of the stored row (all-NEG rows pin to 0),
         # matching PoaGraph.align's best_col rule for the adaptive band
         row_best = jnp.max(fin)
         bcol = jnp.where(row_best <= NEG, 0,
                          off + jnp.argmax(fin).astype(jnp.int32))
         bestc = bestc.at[r].set(bcol)
-        return (score, d1, d2, op, op0, node0, orig1, orig2, d1pt, d2pt,
-                offs, bestc)
+        return (score, d1, d2, hpk, opk, d1pt, d2pt, offs, bestc, endc)
 
     # n_hi: the batch's actual max node count (traced scalar — rows past
     # any item's own n are computed but never read; rows past n_hi are
     # skipped entirely, which matters when padding rounds n_cap up)
     out = jax.lax.fori_loop(
         1, n_hi + 1, body,
-        (score0, d1m, d2m, op_m, op0m, node0m, orig1m, orig2m, d1pm,
-         d2pm, offs0, bestc0))
-    return out[:10] + (out[10],)  # state matrices + per-row offsets
+        (score0, d1m, d2m, hpackm, opackm, d1pm, d2pm, offs0, bestc0,
+         endc0))
+    # walk inputs only: hpack, opack, d1p, d2p, offs, endcol
+    return out[3], out[4], out[5], out[6], out[7], out[9]
 
 
 def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
@@ -292,37 +297,33 @@ def _align_traceback(base_r, preds_r, n_nodes, is_end_r, q, qlen, n_hi,
     (O(nodes + query) ints) are returned:
     (steps[k] = (qi, rank), n_steps), written in reverse order.
     qi == -1: node deleted; rank == -1: query base inserted."""
-    (score, d1, d2, op, op0, node0, orig1, orig2, d1p, d2p,
-     offs) = _align_rows(
+    (hpack, opack, d1p, d2p, offs, endcol) = _align_rows(
         base_r, preds_r, n_nodes, q, qlen, n_hi,
         match, mismatch, o1, e1, o2, e2, band, W, adaptive)
     return _traceback_from_mats(
-        preds_r, n_nodes, is_end_r, qlen, score, d1, d2, op, op0, node0,
-        orig1, orig2, d1p, d2p, offs, o1, e1, o2, e2, W, q.shape[0])
+        preds_r, n_nodes, is_end_r, qlen, hpack, opack, d1p, d2p,
+        offs, endcol, o1, e1, o2, e2, W, q.shape[0])
 
 
 def _traceback_from_mats(preds_r, n_nodes, is_end_r, qlen,
-                         score, d1, d2, op, op0, node0, orig1, orig2,
-                         d1p, d2p, offs, o1, e1, o2, e2, W, l_cap):
-    """The on-device pointer walk over precomputed state matrices (shared
-    by the XLA forward pass above and the Pallas one in
-    poa/pallas_kernel.py — both produce the same matrix contract).
+                         hpack, opack, d1p, d2p, offs, endcol,
+                         o1, e1, o2, e2, W, l_cap):
+    """The on-device pointer walk over the forward pass's packed
+    traceback matrices (shared by the XLA forward above and the Pallas
+    one in poa/pallas_kernel.py — both produce the same contract).
 
-    Every per-cell decision the walk needs is packed into THREE int32
-    mats read with one gather each (hpack: op | op0 | node0; opack:
-    orig1 | orig2; d1p/d2p: forward-stored deletion backpointers), and
-    the state machine is branchless selects instead of vmapped
-    cond/switch — under vmap every branch of a cond executes for the
-    whole batch, so the former per-step cost was ~25 gathers (d_case
-    alone re-derived its predecessor from 2*p_cap score/d reads); it is
-    now 4. Semantics are step-for-step identical to the r4 walk."""
+    Every per-cell decision is packed AT THE SOURCE into three int32
+    mats read with one gather each (hpack: op | op0<<3 | (node0+2)<<6;
+    opack: orig1 | orig2<<16; d1p/d2p: deletion backpointers
+    (pred_row << 1) | ext), and the state machine is branchless selects
+    instead of vmapped cond/switch — under vmap every branch of a cond
+    executes for the whole batch, so the r4 per-step cost was ~25
+    gathers (d_case alone re-derived its predecessor from 2*p_cap
+    score/d reads); it is now 4. The end-rank selection reads the
+    per-row `endcol` vector (H at absolute column qlen), so the score
+    matrix never streams out of the forward at all. Semantics are
+    step-for-step identical to the r4 walk."""
     n_cap = preds_r.shape[0]
-
-    # orig1/orig2 fit 16-bit halves whenever the query cap does; beyond
-    # that (>=64k-base reads) fall back to a sign-safe 2-gather read
-    pack_orig = l_cap < (1 << 16)
-    hpack = op | (op0 << 3) | ((node0 + 2) << 6)
-    opack = (orig1 | (orig2 << 16)) if pack_orig else None
 
     def cell(mat, t, j, fill=NEG):
         """mat value at matrix row t, ABSOLUTE column j (fill outside
@@ -331,15 +332,12 @@ def _traceback_from_mats(preds_r, n_nodes, is_end_r, qlen,
         ok = (rel >= 0) & (rel < W)
         return jnp.where(ok, mat[t, jnp.clip(rel, 0, W - 1)], fill)
 
-    # end rank: first max of score[r, qlen] over real end ranks — argmax's
+    # end rank: first max of H[r, qlen] over real end ranks — argmax's
     # first-occurrence rule IS PoaGraph.align's ascending-order tie-break
-    rel = qlen - offs
-    col = jnp.take_along_axis(
-        score, jnp.clip(rel, 0, W - 1)[:, None], axis=1)[:, 0]
-    col = jnp.where((rel >= 0) & (rel < W), col, NEG)
     end_mask = jnp.concatenate([jnp.zeros(1, bool), is_end_r])
     end_mask &= jnp.arange(n_cap + 1) <= n_nodes
-    br = jnp.argmax(jnp.where(end_mask, col, NEG - 1)).astype(jnp.int32)
+    br = jnp.argmax(jnp.where(end_mask, endcol, NEG - 1)).astype(
+        jnp.int32)
 
     max_steps = n_cap + l_cap + 2
     buf0 = jnp.zeros((max_steps, 2), jnp.int32)
@@ -353,13 +351,9 @@ def _traceback_from_mats(preds_r, n_nodes, is_end_r, qlen,
     def step(c):
         st, r, j, tgt, k, buf = c
         hv = cell(hpack, r, j, 0)
-        if pack_orig:
-            ov = cell(opack, r, j, 0)
-            orig1v = ov & 0xFFFF
-            orig2v = ov >> 16
-        else:
-            orig1v = cell(orig1, r, j, 0)
-            orig2v = cell(orig2, r, j, 0)
+        ov = cell(opack, r, j, 0)
+        orig1v = ov & 0xFFFF
+        orig2v = ov >> 16
         dptr = jnp.where(st == 2, cell(d1p, r, j, 0), cell(d2p, r, j, 0))
 
         h_active = (st == 0) | (st == 1)
@@ -419,10 +413,11 @@ _align_traceback_batch = jax.jit(
                      "W", "adaptive"))
 
 # matrices from the Pallas forward pass are row-major (n_cap+1, B, W) and
-# offs (n_cap+1, B): batch axis 1 — vmapping there avoids a 2 GB transpose
+# offs/endcol (n_cap+1, B): batch axis 1 — vmapping there avoids a 2 GB
+# transpose
 _traceback_from_mats_batch = jax.jit(
     jax.vmap(_traceback_from_mats,
-             in_axes=(0, 0, 0, 0) + (1,) * 11 + (None,) * 6),
+             in_axes=(0, 0, 0, 0) + (1,) * 6 + (None,) * 6),
     static_argnames=("o1", "e1", "o2", "e2", "W", "l_cap"))
 
 
@@ -487,6 +482,12 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     n_max = max(len(o) for o in orders)
     n_cap = (_pow2_at_least(n_max) if n_max <= 1024
              else -(-n_max // 512) * 512)
+    if max(len(q) for q in queries) >= (1 << 16):
+        # the packed traceback mats hold insertion origins in 16-bit
+        # halves; reads this long are far outside the consensus regime —
+        # the host C++ engine (the production default) has no such limit
+        raise ValueError("device POA path: query >= 65536 bases "
+                         "unsupported (use the host engine)")
     l_cap = _pow2_at_least(max(len(q) for q in queries))
     p_max = max(1, max((len(g.preds[v]) for g in graphs
                         for v in range(len(g.base))), default=1))
@@ -653,6 +654,9 @@ def _poa_consensus_batch_native(seq_sets, params) -> List[np.ndarray]:
         n_max = max(nodes)
         n_cap = (_pow2_at_least(n_max) if n_max <= 1024
                  else -(-n_max // 512) * 512)
+        if max(len(q) for q in queries) >= (1 << 16):
+            raise ValueError("device POA path: query >= 65536 bases "
+                             "unsupported (use the host engine)")
         l_cap = _pow2_at_least(max(len(q) for q in queries))
         p_cap = _pow2_at_least(
             max(graphs[i].max_preds() for i in live), floor=4)

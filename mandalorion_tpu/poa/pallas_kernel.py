@@ -7,8 +7,9 @@ pure per-iteration overhead, and it does NOT amortize with batch size
 (measured r4: B=16 -> 3.8 s, B=61 -> 14.5 s for one 4096-row round).
 This kernel compiles the whole row loop into one Mosaic program, exactly
 like the aligner's Pallas DP (align/kernels.py): grid = (batch tiles,
-rank rows), DP state in VMEM scratch, every row's matrices streamed
-straight to HBM for the (unchanged) XLA traceback to walk.
+rank rows), DP state in VMEM scratch, each row's PACKED traceback inputs
+(hpack/opack/d1p/d2p + offs/endcol — score/d1/d2 never leave the chip)
+streamed to HBM for the (shared) XLA traceback to walk.
 
 Graph-DP-specific parts:
 - predecessor rows live in a K-deep circular VMEM window per problem
@@ -26,7 +27,7 @@ Graph-DP-specific parts:
   predecessor row: per-row `bestc`/`offs` scalars live in K-lane rings
   read by small rolls.
 
-Bit-identical contract: produces the same eight windowed state matrices,
+Bit-identical contract: produces the same packed traceback matrices,
 offsets, and therefore the same traceback paths as `_align_rows`
 (tests/test_poa_pallas.py asserts consensus equality on randomized graphs
 via interpret mode; the TPU build is additionally spot-checked on
@@ -101,9 +102,7 @@ def _dyn_window(row_ext, rel0, W):
 
 
 def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
-                    score_ref, d1_ref, d2_ref, op_ref, op0_ref,
-                    node0_ref, orig1_ref, orig2_ref, d1p_ref, d2p_ref,
-                    offsb_ref,
+                    hpack_ref, opack_ref, d1p_ref, d2p_ref, offsb_ref,
                     h_ring, d1_ring, d2_ring, offs_ring, bestc_ring,
                     row0_scr,
                     *, match, mismatch, o1, e1, o2, e2, band, W, K,
@@ -131,17 +130,15 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
         g0 = jnp.where(cidx == 0, 0, g0)
         g0 = jnp.where(cidx > jnp.minimum(qlen_col, band), NEG,
                        g0)                                   # (TILE, W)
-        score_ref[0] = g0
-        d1_ref[0] = neg_tile
-        d2_ref[0] = neg_tile
-        op_ref[0] = jnp.ones((TILE, W), jnp.int32)
-        op0_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        node0_ref[0] = jnp.full((TILE, W), -2, jnp.int32)
-        orig1_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        orig2_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        # row 0 packed: op=1, op0=0, node0=-2 -> hpack 1; origs 0
+        hpack_ref[0] = jnp.ones((TILE, W), jnp.int32)
+        opack_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         d1p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         d2p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        offsb_ref[0] = jnp.zeros((TILE, LANE), jnp.int32)
+        lidx0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANE), 1)
+        end0 = jnp.max(jnp.where(cidx == qlen_col, g0, NEG), axis=1,
+                       keepdims=True)
+        offsb_ref[0] = jnp.where(lidx0 == 1, end0, 0)
         row0_scr[:, :] = g0
         h_ring[0:TILE, :] = g0                # slot 0 rows
         d1_ring[0:TILE, :] = neg_tile
@@ -314,19 +311,17 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
             org_out.append(jnp.where(m, org, 0))
         fin = jnp.where(masked, NEG, fin)
 
-        # ---- stream the row out + update rings (one store each)
-        score_ref[0] = fin
-        d1_ref[0] = d1_row
-        d2_ref[0] = d2_row
-        op_ref[0] = fino
-        op0_ref[0] = rowo
-        node0_ref[0] = rown
-        orig1_ref[0] = org_out[0]
-        orig2_ref[0] = org_out[1]
+        # ---- stream the row out (packed walk inputs ONLY — score/d1/d2
+        # live in the VMEM rings and never leave the chip) + update rings
+        hpack_ref[0] = fino | (rowo << 3) | ((rown + 2) << 6)
+        opack_ref[0] = org_out[0] | (org_out[1] << 16)
         d1p_ref[0] = d1_ptr
         d2p_ref[0] = d2_ptr
+        endv = jnp.max(jnp.where(jabs == qlen_col, fin, NEG), axis=1,
+                       keepdims=True)
         lidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANE), 1)
-        offsb_ref[0] = jnp.where(lidx == 0, off_col, 0)
+        offsb_ref[0] = jnp.where(lidx == 0, off_col,
+                                 jnp.where(lidx == 1, endv, 0))
 
         h_ring[pl.ds(slot * TILE, TILE), :] = fin
         d1_ring[pl.ds(slot * TILE, TILE), :] = d1_row
@@ -345,18 +340,14 @@ def _poa_fwd_kernel(meta_ref, rowdata_ref, q_ref,
     @pl.when(j > n_hi)
     def _inert():
         # rows past the batch's max node count keep init-pattern values
-        # (the XLA path never writes them either)
-        score_ref[0] = neg_tile
-        d1_ref[0] = neg_tile
-        d2_ref[0] = neg_tile
-        op_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        op0_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        node0_ref[0] = jnp.full((TILE, W), -2, jnp.int32)
-        orig1_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        orig2_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        # (the XLA path never writes them either); endcol lane NEG so
+        # the end-rank argmax can never pick an inert row
+        hpack_ref[0] = jnp.zeros((TILE, W), jnp.int32)
+        opack_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         d1p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
         d2p_ref[0] = jnp.zeros((TILE, W), jnp.int32)
-        offsb_ref[0] = jnp.zeros((TILE, LANE), jnp.int32)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANE), 1)
+        offsb_ref[0] = jnp.where(lidx == 1, NEG, 0)
 
 
 @functools.lru_cache(maxsize=32)
@@ -368,7 +359,7 @@ def _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, B, n_cap,
         _poa_fwd_kernel, match=match, mismatch=mismatch, o1=o1, e1=e1,
         o2=o2, e2=e2, band=band, W=W, K=K, p_cap=p_cap)
     mats = [jax.ShapeDtypeStruct((n_cap + 1, B, W), jnp.int32)
-            for _ in range(10)]
+            for _ in range(4)]
     fn = pl.pallas_call(
         kernel,
         grid=(B // TILE, n_cap + 1),
@@ -386,7 +377,7 @@ def _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, B, n_cap,
         ],
         out_specs=[pl.BlockSpec((1, TILE, W), lambda i, j: (j, i, 0),
                                 memory_space=pltpu.VMEM)
-                   for _ in range(10)]
+                   for _ in range(4)]
         + [pl.BlockSpec((1, TILE, LANE), lambda i, j: (j, i, 0),
                         memory_space=pltpu.VMEM)],
         out_shape=mats + [jax.ShapeDtypeStruct((n_cap + 1, B, LANE),
@@ -418,10 +409,11 @@ def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
                        match, mismatch, o1, e1, o2, e2, band, W,
                        interpret: bool = False):
     """Batched forward pass. Inputs: base (B, n_cap), preds (B, n_cap,
-    p_cap), nn (B,), qq (B, l_cap), ql (B,). Returns the 10 state
-    matrices (incl. the d1p/d2p deletion backpointers) in ROW-major
-    layout (n_cap+1, B, W) + offs (n_cap+1, B) — the same values as
-    vmapped `_align_rows` with the batch axis second."""
+    p_cap), nn (B,), qq (B, l_cap), ql (B,). Returns the traceback's
+    packed inputs ONLY — (hpack, opack, d1p, d2p) in ROW-major layout
+    (n_cap+1, B, W) plus offs and endcol (n_cap+1, B) — the same values
+    as vmapped `_align_rows` with the batch axis second. score/d1/d2
+    live in the kernel's VMEM rings and never stream to HBM."""
     B, n_cap = base.shape
     p_cap = preds.shape[2]
     l_cap = qq.shape[1]
@@ -458,6 +450,7 @@ def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
     fn = _poa_fwd_fn(match, mismatch, o1, e1, o2, e2, band, W, Bp, n_cap,
                      p_cap, LQ, interpret)
     outs = fn(jnp.asarray(meta), jnp.asarray(rowdata), jnp.asarray(q_ext))
-    mats = [o[:, :B] for o in outs[:10]]
-    offs = outs[10][:, :B, 0]
-    return tuple(mats) + (offs,)
+    mats = [o[:, :B] for o in outs[:4]]
+    offs = outs[4][:, :B, 0]
+    endcol = outs[4][:, :B, 1]
+    return tuple(mats) + (offs, endcol)
