@@ -512,9 +512,15 @@ def align_graph_batch(graphs: Sequence[PoaGraph],
     return paths  # type: ignore[return-value]
 
 
-def _dispatch_chunk(base, preds, nn, ends, qq, ql, W, l_cap, pp):
+def _dispatch_chunk(base, preds, nn, ends, qq, ql, W, l_cap, pp,
+                    want_records=False):
     """The device part of one chunk dispatch (mesh / Pallas / XLA): packed
-    rank-space arrays in, host (buf, ks) reverse-order step arrays out."""
+    rank-space arrays in, host (buf, ks) reverse-order step arrays out.
+    With want_records=True and the Pallas route active, the traceback
+    runs as the reverse-row-sweep kernel and the return is
+    ('recs', records, counts) — run-compressed, for the native
+    apply_runs path (poa_walk_pallas; the XLA walk remains the mesh and
+    fallback route)."""
     from mandalorion_tpu.parallel.mesh import pipeline_mesh, shard_batch
     mesh = pipeline_mesh()
     if mesh is not None:
@@ -532,13 +538,30 @@ def _dispatch_chunk(base, preds, nn, ends, qq, ql, W, l_cap, pp):
     interpret = _poa_pallas_mode(pp, preds, nn, W)
     if interpret is not None:
         # Pallas forward pass (the whole row loop compiled into one
-        # Mosaic program) + the shared XLA traceback walk
-        from mandalorion_tpu.poa.pallas_kernel import poa_forward_pallas
+        # Mosaic program) + the Pallas reverse-sweep walk (native path)
+        # or the shared XLA walk
+        from mandalorion_tpu.poa.pallas_kernel import (poa_forward_pallas,
+                                                       poa_walk_pallas)
         mats = poa_forward_pallas(
             base, preds, nn, qq, ql, int(nn.max()),
             pp.match, pp.mismatch, pp.gap_open, pp.gap_extend,
             pp.gap_open2, pp.gap_extend2, pp.band, W,
             interpret=interpret)
+        # reverse-sweep walk: a committed experiment, OFF by default —
+        # measured SLOWER than the XLA walk on the production shapes
+        # (B=16, n~2560: 64k vs 117k bases/s e2e) because walkers visit
+        # nearly every row, so the sweep pays rows x tiles steps with
+        # ~50 per-step scalar emissions while the lock-step XLA walk
+        # pays exactly path-length iterations; see NOTES r5. Enable
+        # with MANDO_POA_SWEEP=1 (record packing holds rank+2 in 15
+        # bits). Bit-identical either way (tests/test_poa_walk.py).
+        import os as _os
+        if want_records and _os.environ.get("MANDO_POA_SWEEP") == "1" \
+                and base.shape[1] + 2 < (1 << 15):
+            recs, counts = poa_walk_pallas(mats, nn, ends, ql,
+                                           int(nn.max()),
+                                           interpret=interpret)
+            return "recs", np.asarray(recs), np.asarray(counts)
         buf, ks = _traceback_from_mats_batch(
             preds, nn, ends, ql, *mats,
             pp.gap_open, pp.gap_extend, pp.gap_open2, pp.gap_extend2,
@@ -631,6 +654,16 @@ class NativePoaGraph:
         self._lib.poa_graph_apply_c(self._h, qa.ctypes.data,
                                     b.ctypes.data, int(k))
 
+    def apply_runs(self, q: np.ndarray, recs: np.ndarray,
+                   k: int) -> None:
+        """Thread query q along the Pallas reverse-sweep walk's
+        run-compressed records (expanded to the exact step sequence in
+        C; see poa_graph_apply_runs_c)."""
+        qa = np.ascontiguousarray(q, np.uint8)
+        r = np.ascontiguousarray(recs[:k], np.int32)
+        self._lib.poa_graph_apply_runs_c(self._h, qa.ctypes.data,
+                                         r.ctypes.data, int(k))
+
     def consensus(self) -> np.ndarray:
         out = np.empty(self.n_nodes() + 1, np.uint8)
         n = self._lib.poa_graph_consensus_handle_c(self._h,
@@ -684,11 +717,22 @@ def _poa_consensus_batch_native(seq_sets, params) -> List[np.ndarray]:
                     q = queries[pos]
                     qq[bi, :len(q)] = q
                     ql[bi] = len(q)
-                buf, ks = _dispatch_chunk(base, preds, nn, ends, qq, ql,
-                                          W, l_cap, params)
-                for bi, pos in enumerate(batch):
-                    graphs[live[pos]].apply_steps(queries[pos], buf[bi],
-                                                  int(ks[bi]))
+                res = _dispatch_chunk(base, preds, nn, ends, qq, ql,
+                                      W, l_cap, params,
+                                      want_records=True)
+                if isinstance(res, tuple) and len(res) == 3 and \
+                        res[0] == "recs":
+                    _tag, recs, counts = res
+                    for bi, pos in enumerate(batch):
+                        graphs[live[pos]].apply_runs(
+                            queries[pos],
+                            recs[:, 16 * bi:16 * bi + 2],
+                            int(counts[bi]))
+                else:
+                    buf, ks = res
+                    for bi, pos in enumerate(batch):
+                        graphs[live[pos]].apply_steps(
+                            queries[pos], buf[bi], int(ks[bi]))
     out = [g.consensus() for g in graphs]
     for g in graphs:
         g.close()

@@ -454,3 +454,254 @@ def poa_forward_pallas(base, preds, nn, qq, ql, n_hi: int,
     offs = outs[4][:, :B, 0]
     endcol = outs[4][:, :B, 1]
     return tuple(mats) + (offs, endcol)
+
+
+# ------------------------------------------------------- traceback sweep
+
+# run-compressed traceback records (rec0 = qi_hi | type << 16,
+# rec1 = qi_lo | (rank + 2) << 16):
+#   type 0 DIAG  — one (qi_hi, rank) step
+#   type 1 DEL   — one (-1, rank) step
+#   type 2 INS   — steps (qi, -1) for qi = qi_hi down to qi_lo
+REC_DIAG, REC_DEL, REC_INS = 0, 1, 2
+
+
+def _poa_walk_kernel(meta_ref, hpack_ref, opack_ref, d1p_ref, d2p_ref,
+                     offsb_ref, recs_ref, counts_ref, state_scr,
+                     *, W, n_cap, maxrec):
+    """Reverse row sweep: every traceback transition moves the walker to
+    a strictly lower matrix row (diag -> node0, deletions -> the stored
+    backpointer pred) or stays in the row only through a bounded chain
+    (insertion run -> H0 -> deletion entry: <= 3 transitions), so ONE
+    descending pass over rows retires the whole batch of walks with
+    plain vector work per row — no lock-stepped while_loop, no per-step
+    gathers. Insertion runs (and the row-0 boundary run) compress to one
+    record each; the consumer expands records back to the exact step
+    sequence of the XLA walk (bit-identical paths, tests assert it).
+    State lanes: 0 st, 1 r, 2 j, 3 tgt, 4 k, 5 done."""
+    ti = pl.program_id(0)
+    jg = pl.program_id(1)
+    t_row = n_cap - jg                       # sweep rows n_cap .. 0
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, W), 1)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+
+    @pl.when(jg == 0)
+    def _init():
+        qlen = meta_ref[pl.ds(ti * TILE, TILE), :][:, 1:2]  # (TILE, 1)
+        br = meta_ref[pl.ds(ti * TILE, TILE), :][:, 3:4]
+        done0 = ((br <= 0) & (qlen <= 0)) | (br < 0)
+        state_scr[:, :] = jnp.where(
+            lidx == 1, br,
+            jnp.where(lidx == 2, qlen,
+                      jnp.where(lidx == 5, done0.astype(jnp.int32), 0)))
+
+    hp = hpack_ref[0]                        # (TILE, W)
+    op_ = opack_ref[0]
+    d1 = d1p_ref[0]
+    d2 = d2p_ref[0]
+    off_col = offsb_ref[0][:, 0:1]           # (TILE, 1)
+
+    def lane_at(mat, rel_col):
+        """per-problem value at window-relative column rel (0 outside)."""
+        return jnp.sum(jnp.where(cidx == rel_col, mat, 0), axis=1,
+                       keepdims=True)
+
+    # three unrolled transitions: an arriving walker leaves the row (or
+    # finishes) within at most ins -> H0-del -> D
+    for _it in range(3):
+        st = state_scr[:, 0:1]
+        r = state_scr[:, 1:2]
+        jc = state_scr[:, 2:3]
+        tg = state_scr[:, 3:4]
+        done = state_scr[:, 5:6] != 0
+        active = (~done) & (r == t_row)
+
+        rel = jc - off_col
+        hv = lane_at(hp, rel)
+        ov = lane_at(op_, rel)
+        dptr = jnp.where(st == 2, lane_at(d1, rel), lane_at(d2, rel))
+        orig1v = ov & 0xFFFF
+        orig2v = ov >> 16
+
+        h_active = (st == 0) | (st == 1)
+        d_active = (st == 2) | (st == 3)
+        at_row0 = r == 0
+        opv = jnp.where(st == 1, (hv >> 3) & 7, hv & 7)
+        node0v = (hv >> 6) - 2
+        h_is_diag = (~at_row0) & (opv == 0)
+        h_is_ins = (~at_row0) & ((opv == 1) | (opv == 3))
+        ins_t = jnp.where(opv == 1, orig1v, orig2v)
+        d_pr = dptr >> 1
+        d_ext = (dptr & 1) == 1
+
+        # one record per transition (H deletion entry emits nothing)
+        emit_diag = h_active & h_is_diag
+        emit_del = d_active
+        # insertion RUN: from j-1 down to the origin (row-0 boundary run
+        # goes to column 0); j jumps straight to the run's end
+        run_lo = jnp.where(at_row0, 0, ins_t)
+        emit_ins = h_active & (at_row0 | h_is_ins) & (jc >= 1)
+        do_emit = active & (emit_diag | emit_del | emit_ins)
+        rtype = jnp.where(emit_del, REC_DEL,
+                          jnp.where(emit_diag, REC_DIAG, REC_INS))
+        rec0 = jnp.where(emit_ins, jc - 1,
+                         jnp.where(emit_diag, jc - 1, 0)) \
+            | (rtype << 16)
+        rec1 = jnp.where(emit_ins, run_lo, 0) \
+            | (jnp.where(emit_ins, -1, r - 1) + 2) << 16
+
+        # next state (same transition table as the XLA walk, with the
+        # INS state collapsed into the run record)
+        st_h = jnp.where(
+            at_row0, 0,
+            jnp.where(h_is_diag, 0,
+                      jnp.where(h_is_ins, 1,
+                                jnp.where(opv == 2, 2, 3))))
+        r_h = jnp.where(h_is_diag, node0v, r)
+        j_h = jnp.where(at_row0, 0,
+                        jnp.where(h_is_diag, jc - 1,
+                                  jnp.where(h_is_ins, run_lo, jc)))
+        tgt_h = jnp.where(h_is_ins, run_lo, tg)
+
+        st_n = jnp.where(h_active, st_h, jnp.where(d_ext, st, 0))
+        r_n = jnp.where(h_active, r_h, d_pr)
+        j_n = jnp.where(h_active, j_h, jc)
+        tgt_n = jnp.where(h_active, tgt_h, tg)
+        fin_n = ((r_n <= 0) & (j_n <= 0)) | (r_n < 0)
+
+        st_w = jnp.where(active, st_n, st)
+        r_w = jnp.where(active, r_n, r)
+        j_w = jnp.where(active, j_n, jc)
+        tgt_w = jnp.where(active, tgt_n, tg)
+        done_w = done | (active & fin_n)
+        kcol = state_scr[:, 4:5]
+        emit_i = do_emit.astype(jnp.int32)   # 32-bit: scalar-readable
+        k_w = kcol + emit_i
+
+        for t in range(TILE):
+            kk = kcol[t, 0]
+            idx = jnp.where(emit_i[t, 0] == 1, kk,
+                            jnp.int32(maxrec - 1))
+            recs_ref[pl.ds(idx, 1), 16 * t] = rec0[t:t + 1, 0]
+            recs_ref[pl.ds(idx, 1), 16 * t + 1] = rec1[t:t + 1, 0]
+
+        state_scr[:, :] = jnp.where(
+            lidx == 0, st_w,
+            jnp.where(lidx == 1, r_w,
+                      jnp.where(lidx == 2, j_w,
+                                jnp.where(lidx == 3, tgt_w,
+                                          jnp.where(lidx == 4, k_w,
+                                                    jnp.where(
+                                                        lidx == 5,
+                                                        done_w.astype(
+                                                            jnp.int32),
+                                                        0))))))
+
+    @pl.when(jg == n_cap)
+    def _fin():
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANE), 1)
+        counts_ref[:, :] = jnp.where(lane128 == 0, state_scr[:, 4:5], 0)
+
+
+@functools.lru_cache(maxsize=32)
+def _poa_walk_fn(W, n_cap, B, interpret):
+    maxrec = 2 * n_cap + 8
+    kernel = functools.partial(_poa_walk_kernel, W=W, n_cap=n_cap,
+                               maxrec=maxrec)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(B // TILE, n_cap + 1),
+        in_specs=[
+            pl.BlockSpec((B, LANE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),              # meta
+        ] + [
+            pl.BlockSpec((1, TILE, W), lambda i, j, n=n_cap: (n - j, i, 0),
+                         memory_space=pltpu.VMEM)               # mats
+            for _ in range(4)
+        ] + [
+            pl.BlockSpec((1, TILE, LANE),
+                         lambda i, j, n=n_cap: (n - j, i, 0),
+                         memory_space=pltpu.VMEM),              # offs
+        ],
+        out_specs=[
+            # records live as (maxrec, B*16) — 16 lanes per problem
+            # (rec0/rec1 in the first two), so a TILE block spans exactly
+            # 128 lanes; a trailing dim of literal 2 would tile to 128
+            # lanes per problem in VMEM and blow the scoped budget
+            pl.BlockSpec((maxrec, TILE * 16), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),              # records
+            pl.BlockSpec((TILE, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),              # counts
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((maxrec, B * 16), jnp.int32),
+            jax.ShapeDtypeStruct((B, LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TILE, 8), jnp.int32)],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _walk_prologue_fn(n_cap, B):
+    """Jitted on-device prologue: end-rank selection + the meta/offs
+    blocks the walk kernel consumes — no host fetch between the forward
+    and the walk."""
+    def prologue(endcol, offs, nn, ends_pad, ql):
+        rows = jnp.arange(n_cap + 1)[None, :]
+        mask = ends_pad & (rows <= nn[:, None])
+        col = jnp.transpose(endcol)          # (B, n_cap+1)
+        br = jnp.argmax(jnp.where(mask, col, NEG - 1),
+                        axis=1).astype(jnp.int32)
+        lane = jnp.arange(LANE)[None, :]
+        meta = jnp.where(lane == 1, ql[:, None],
+                         jnp.where(lane == 3, br[:, None], 0)
+                         ).astype(jnp.int32)
+        offsb = jnp.where(jnp.arange(LANE)[None, None, :] == 0,
+                          offs[:, :, None], 0).astype(jnp.int32)
+        return meta, offsb
+
+    return jax.jit(prologue)
+
+
+def poa_walk_pallas(mats, nn, ends_r, ql, n_hi, interpret: bool = False):
+    """Reverse-sweep traceback over poa_forward_pallas's outputs.
+    Returns (records (maxrec, B*16) int32 — problem b's records are
+    columns (16b, 16b+1), END->START emission order — and counts (B,));
+    expand_walk_records turns a problem's (k, 2) record slice into the
+    XLA walk's exact (qi, rank) step sequence. Everything between the
+    forward and the walk stays on device (no fetch round trips)."""
+    hpack, opack, d1p, d2p, offs, endcol = mats
+    n_cap1, B, W = hpack.shape
+    n_cap = n_cap1 - 1
+    ends_pad = np.zeros((B, n_cap + 1), bool)
+    ends_pad[:, 1:1 + ends_r.shape[1]] = ends_r
+    meta, offsb = _walk_prologue_fn(n_cap, B)(
+        endcol, offs, jnp.asarray(np.asarray(nn, np.int32)),
+        jnp.asarray(ends_pad), jnp.asarray(np.asarray(ql, np.int32)))
+    fn = _poa_walk_fn(W, n_cap, B, interpret)
+    recs, counts = fn(meta, hpack, opack, d1p, d2p, offsb)
+    return recs, counts[:, 0]
+
+
+def expand_walk_records(recs: np.ndarray, k: int) -> np.ndarray:
+    """One problem's records (emission order END->START) -> the XLA
+    walk's buf contract: (steps, 2) int32 (qi, rank) REVERSE-order
+    steps, exactly as _traceback_from_mats emits them."""
+    steps = []
+    for i in range(k):
+        rec0 = int(recs[i, 0])
+        rec1 = int(recs[i, 1])
+        rtype = (rec0 >> 16) & 0x3
+        qi_hi = rec0 & 0xFFFF
+        qi_lo = rec1 & 0xFFFF
+        rank = (rec1 >> 16) - 2
+        if rtype == REC_DIAG:
+            steps.append((qi_hi, rank))
+        elif rtype == REC_DEL:
+            steps.append((-1, rank))
+        else:  # INS run: qi_hi down to qi_lo
+            for qi in range(qi_hi, qi_lo - 1, -1):
+                steps.append((qi, -1))
+    return np.array(steps, np.int32).reshape(-1, 2)
