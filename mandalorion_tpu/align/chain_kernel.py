@@ -107,22 +107,34 @@ def chain_batch_rows(qs: np.ndarray, qe: np.ndarray, ts: np.ndarray,
     output: prepare_segments already applied, t normalized, zero padding)
     through the chain kernel and return the raw packed int16 rows
     (parent table + best + score bits) for the native traceback
-    (stage_fill_batch_c). ONE dispatch, ONE fetch. The batch dim pads to
-    the same power-of-two buckets as chain_batch_jax, so both entries
-    share compiled kernels."""
+    (stage_fill_batch_c). ONE dispatch, ONE fetch.
+
+    The segment axis buckets to the batch's actual max (pow2, floor 64):
+    typical candidates carry tens of segments, so scanning the full
+    MAX_SEG=512 lanes burned 8x the chain compute AND fetched 8x the
+    bytes through the tunnel for zero-information padding lanes. The DP
+    over a narrower lane set is value-identical for every real segment
+    (padding is score-masked), so the traceback and scores match the
+    512-lane form bit for bit (tests/test_stage_native.py)."""
     Bp = 64
     while Bp < n_cand:
         Bp *= 2
+    msb = 64
+    hi = int(n_seg[:n_cand].max()) if n_cand else 0
+    while msb < hi:
+        msb *= 2
+    msb = min(msb, MAX_SEG)
 
     def fit(a):
+        a = a[:, :msb] if a.ndim == 2 else a
         if a.shape[0] >= Bp:
-            return a[:Bp]
+            return np.ascontiguousarray(a[:Bp])
         out = np.zeros((Bp,) + a.shape[1:], a.dtype)
         out[:a.shape[0]] = a
         return out
 
     fn = _chain_fn(min_intron, max_intron, match, intron_penalty,
-                   indel_open, indel_scale, MAX_SEG)
+                   indel_open, indel_scale, msb)
     rows = jax.device_get(
         fn(jnp.asarray(fit(qs)), jnp.asarray(fit(qe)),
            jnp.asarray(fit(ts)), jnp.asarray(fit(te)),

@@ -133,7 +133,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # codes,off,n
             ctypes.c_int64] + [ctypes.c_void_p] * 5 + [        # candidates
             ctypes.c_void_p] * 4 + [ctypes.c_int64,            # segs,maxseg
-            ctypes.c_void_p,                                   # chain rows
+            ctypes.c_void_p, ctypes.c_int64,                   # chain rows,w
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # chroms
             ctypes.c_void_p,                                   # genome
             ctypes.c_float, ctypes.c_int64,                    # minsc,intron
@@ -756,7 +756,7 @@ def native_stage_fill_batch(codes_all: np.ndarray, read_off: np.ndarray,
             cand_chrom.ctypes.data, cand_tbase.ctypes.data,
             cand_nseg.ctypes.data,
             qs.ctypes.data, qe.ctypes.data, ts.ctypes.data, te.ctypes.data,
-            max_segments, chain_rows.ctypes.data,
+            max_segments, chain_rows.ctypes.data, chain_rows.shape[1],
             index.chrom_offsets.ctypes.data, index.chrom_sizes.ctypes.data,
             len(index.chrom_offsets), index.seq_codes.ctypes.data,
             min_chain_score, min_intron, dp_match, dp_mismatch, gap_open,

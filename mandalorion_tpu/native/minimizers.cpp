@@ -1495,7 +1495,7 @@ int64_t stage_fill_batch_c(
     const int32_t* cand_nseg,
     const int32_t* seg_qs, const int32_t* seg_qe, const int32_t* seg_ts,
     const int32_t* seg_te, int64_t max_segments,
-    const int16_t* chain_rows,
+    const int16_t* chain_rows, int64_t chain_row_w,
     const int64_t* chrom_offsets, const int64_t* chrom_sizes,
     int64_t n_chroms, const uint8_t* genome,
     float min_chain_score, int64_t min_intron,
@@ -1510,7 +1510,10 @@ int64_t stage_fill_batch_c(
     int64_t* prob_t0, int64_t* prob_nq, int64_t* prob_nt,
     int64_t prob_cap, int64_t* out_counts) {
     static const uint8_t COMP[5] = {3, 2, 1, 0, 4};
-    const int64_t row_w = max_segments + 3;
+    // chain rows may be narrower than the seg arrays' stride: the kernel
+    // buckets the segment axis to the batch's max (chain_batch_rows)
+    const int64_t row_w = chain_row_w;
+    const int64_t msb = chain_row_w - 3;   // parent-table width
     // pick the best candidate per read: strict > over candidates in
     // order, traceback+trim per winner (only the winner's chain is kept)
     std::vector<int64_t> best_cand(n_reads, -1);
@@ -1520,15 +1523,15 @@ int64_t stage_fill_batch_c(
         int64_t ri = cand_read[ci];
         if (cand_nseg[ci] == 0) continue;
         const int16_t* row = chain_rows + ci * row_w;
-        uint32_t bits = (uint16_t)row[max_segments + 1]
-            | ((uint32_t)(uint16_t)row[max_segments + 2] << 16);
+        uint32_t bits = (uint16_t)row[msb + 1]
+            | ((uint32_t)(uint16_t)row[msb + 2] << 16);
         float score;
         memcpy(&score, &bits, 4);
         if (!(score > best_score[ri])) continue;
         // chain non-empty after trim? walk it (cheap: chain length <=
         // segments) — an all-trimmed chain must not win the pick
         // (chain_batch_jax returns [] and map_batch skips falsy chains)
-        int64_t best = row[max_segments];
+        int64_t best = row[msb];
         tb.clear();
         for (int64_t at = best; at >= 0; at = row[at]) tb.push_back((int32_t)at);
         int64_t prev_q = -1, prev_t = -1, kept = 0;
@@ -1570,7 +1573,7 @@ int64_t stage_fill_batch_c(
         const int32_t* te = seg_te + ci * max_segments;
         int64_t tbase = cand_tbase[ci];
         tb.clear();
-        for (int64_t at = row[max_segments]; at >= 0; at = row[at])
+        for (int64_t at = row[msb]; at >= 0; at = row[at])
             tb.push_back((int32_t)at);
         cq0.clear(); cqe.clear(); ct0.clear(); cte.clear();
         int64_t prev_q = -1, prev_t = -1;
