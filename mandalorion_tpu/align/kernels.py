@@ -553,6 +553,27 @@ def _dispatch_tiles(width: int, max_q: int) -> int:
     return t
 
 
+def _promote_buckets(buckets: dict) -> dict:
+    """Dispatch-count-aware class promotion: when folding every
+    (width, rows) class into the largest one yields FEWER dispatches,
+    promote — through a tunneled chip each dispatch class costs its own
+    round trip, which dominates the padded compute. Padding is
+    output-neutral (kernels mask by qlen/tlen)."""
+    if len(buckets) <= 1:
+        return buckets
+    w_max = max(k[0] for k in buckets)
+    q_max = max(k[1] for k in buckets)
+    n_promo = _dispatch_tiles(w_max, q_max) * TILE
+    baseline = sum(
+        -(-len(v) // (_dispatch_tiles(w, q) * TILE))
+        for (w, q), v in buckets.items())
+    total = sum(len(v) for v in buckets.values())
+    if -(-total // n_promo) < baseline:
+        merged = [i for k in sorted(buckets) for i in buckets[k]]
+        return {(w_max, q_max): merged}
+    return buckets
+
+
 def _solve_batched(problems: Sequence[DpProblem], cfg: AlignConfig,
                    dispatch, interpret: bool = False,
                    max_rows: int = MAX_Q_DEVICE) -> List[DpResult]:
@@ -568,24 +589,7 @@ def _solve_batched(problems: Sequence[DpProblem], cfg: AlignConfig,
             buckets.setdefault(key, []).append(i)
         else:
             results[i] = _solve_one(p, cfg)
-    # dispatch-count-aware class promotion: a batch whose problems
-    # scatter across several (width, rows) classes pays one device round
-    # trip per class — through a tunneled chip that latency dominates the
-    # padded compute by orders of magnitude. Padding is output-neutral
-    # (kernels mask by qlen/tlen), so when folding every class into the
-    # largest one yields FEWER dispatches, promote. Large uniform batches
-    # keep their tight classes (promotion would not reduce dispatches).
-    if len(buckets) > 1:
-        w_max = max(k[0] for k in buckets)
-        q_max = max(k[1] for k in buckets)
-        n_promo = _dispatch_tiles(w_max, q_max) * TILE
-        baseline = sum(
-            -(-len(v) // (_dispatch_tiles(w, q) * TILE))
-            for (w, q), v in buckets.items())
-        total = sum(len(v) for v in buckets.values())
-        if -(-total // n_promo) < baseline:
-            merged = [i for k in sorted(buckets) for i in buckets[k]]
-            buckets = {(w_max, q_max): merged}
+    buckets = _promote_buckets(buckets)
     for width, max_q in sorted(buckets):
         fit_idx = buckets[(width, max_q)]
         N = _dispatch_tiles(width, max_q) * TILE
@@ -710,18 +714,7 @@ def solve_dp_fused(probs, oriented: np.ndarray, read_off: np.ndarray,
     ks = np.zeros(n, np.int32)
     if not buckets:
         return meta, ks, np.zeros((n, 1), np.int8), on_host
-    # dispatch-count-aware class promotion (see _solve_batched)
-    if len(buckets) > 1:
-        w_max = max(k[0] for k in buckets)
-        q_max = max(k[1] for k in buckets)
-        n_promo = _dispatch_tiles(w_max, q_max) * TILE
-        baseline = sum(
-            -(-len(v) // (_dispatch_tiles(w, q) * TILE))
-            for (w, q), v in buckets.items())
-        total = sum(len(v) for v in buckets.values())
-        if -(-total // n_promo) < baseline:
-            merged = [i for k in sorted(buckets) for i in buckets[k]]
-            buckets = {(w_max, q_max): merged}
+    buckets = _promote_buckets(buckets)
     S = max(mq + w + 2 for w, mq in buckets)
     buf = np.zeros((n, S), np.int8)
     for width, max_q in sorted(buckets):

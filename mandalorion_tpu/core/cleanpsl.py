@@ -293,14 +293,19 @@ def clean_sort_split_parallel(psl_path: str, clean_path: str,
                               defer_checkpoints: bool = False):
     """clean_sort_split with the PARSE sharded over a fork pool (module
     A's byte-range pattern): workers clean disjoint line-aligned byte
-    ranges and return compact sort keys; the parent concatenates shard
-    files into clean.psl, numpy-lexsorts (chrom, tStart) with the GNU
-    last-resort whole-line tie-break applied only inside equal-key runs,
-    and writes the sorted + per-locus artifacts as byte slices — no line
-    is parsed twice anywhere. Byte-identical to clean_sort_split at any
-    worker count (tests/test_core_parity.py). The serial path remains
-    the fallback (and handles the primary-dedup case: duplicate read
-    names can only come from external PSL/SAM input, never module A)."""
+    ranges and hand back cleaned blobs through SharedMemory segments
+    plus compact sort keys; the parent concatenates the blobs into
+    clean.psl, numpy-lexsorts (chrom, tStart) with the GNU last-resort
+    whole-line tie-break applied only inside equal-key runs, and writes
+    the sorted + per-locus artifacts as byte slices — no line is parsed
+    twice anywhere. Byte-identical to clean_sort_split at any worker
+    count (tests/test_core_parity.py). The serial path remains the
+    fallback (and handles the primary-dedup case: duplicate read names
+    can only come from external PSL/SAM input, never module A).
+
+    With defer_checkpoints=True the clean.psl / clean.sorted.psl writes
+    happen in a background fork and the return is
+    (read_to_root, writer_process) — see module_p."""
     import os
     import multiprocessing as mp
 
