@@ -108,3 +108,23 @@ def test_sweep_walk_indel_heavy():
         got = pk.expand_walk_records(recs[:, 16 * bi:16 * bi + 2], int(counts[bi]))
         assert got.shape == want.shape
         assert (got == want).all()
+
+
+def test_sweep_walk_e2e_consensus(monkeypatch):
+    """MANDO_POA_SWEEP=1 routes the native consensus batch through the
+    sweep walk + C record expansion; consensi must equal the default
+    (XLA-walk) path exactly."""
+    from mandalorion_tpu.poa.kernels import poa_consensus_batch
+    rng = np.random.default_rng(21)
+    sets = []
+    for i in range(2):
+        true = synthdata.make_genome(200, seed=70 + i)
+        sets.append([encode(synthdata.mutate_read(true, rng, 0.04)[0])
+                     for _ in range(4)])
+    params = PoaParams(band=16, adaptive=True)
+    monkeypatch.setenv("MANDO_POA_PALLAS", "interpret")
+    base = poa_consensus_batch(sets, params)
+    monkeypatch.setenv("MANDO_POA_SWEEP", "1")
+    swept = poa_consensus_batch(sets, params)
+    for a, b in zip(base, swept):
+        assert (a == b).all()
