@@ -45,6 +45,7 @@ import time
 # measured via tools/measure_reference_baseline.py (see module docstring)
 REFERENCE_READS_PER_SEC = 106.92        # r1 measurement (higher => conservative)
 REFERENCE_READS_PER_SEC_R4 = [77.27, 91.91, 94.76]  # re-measured 2026-08-20
+REFERENCE_READS_PER_SEC_R5 = 87.27      # re-measured 2026-08-21 (r5 HEAD)
 
 
 class _Watchdog:
@@ -331,6 +332,8 @@ def main():
         "baseline": {"reference_reads_per_s_r1": REFERENCE_READS_PER_SEC,
                      "reference_reads_per_s_r4_head":
                          REFERENCE_READS_PER_SEC_R4,
+                     "reference_reads_per_s_r5_head":
+                         REFERENCE_READS_PER_SEC_R5,
                      "note": "reference with free alignment+consensus "
                              "(replay stubs); vs_baseline uses the higher "
                              "r1 figure"},
