@@ -233,6 +233,15 @@ def main():
     cache_before = _cache_entries()
     with tempfile.TemporaryDirectory() as tmp:
         n_reads = make_dataset(tmp)
+        # a fresh process runs its first TWO pipeline attempts ~2x slow
+        # (module D/A specifically; persists past sleeps, unaffected by
+        # MALLOC_ARENA_MAX — consistent with THP collapse of the C
+        # engine's heap, see NOTES r5). Time them as explicit warmup
+        # attempts and take the headline over warm steady state, with
+        # every number in the artifact.
+        warmup_rps = _run_times(tmp, "hostw",
+                                PipelineConfig(threads=threads),
+                                n_reads, attempts=2)
         host_rps = _run_times(tmp, "host", PipelineConfig(threads=threads),
                               n_reads, attempts=5)
 
@@ -325,10 +334,13 @@ def main():
         "vs_baseline": round(statistics.median(host_rps)
                              / REFERENCE_READS_PER_SEC, 3),
         "value_spread": [round(x, 2) for x in host_rps],
-        "value_spread_note": "attempt 0 pays one-time process warmup "
-                             "(native library build check, imports, "
-                             "page cache); the median headline absorbs "
-                             "it, the spread shows it",
+        "warmup_reads_per_s": [round(x, 2) for x in warmup_rps],
+        "value_spread_note": "a fresh process's first two attempts run "
+                             "~2x slow (one-time warmup: native build "
+                             "check, imports, page/THP state); they are "
+                             "timed and reported as warmup_reads_per_s, "
+                             "and the headline is the median of the "
+                             "five warm attempts that follow",
         "baseline": {"reference_reads_per_s_r1": REFERENCE_READS_PER_SEC,
                      "reference_reads_per_s_r4_head":
                          REFERENCE_READS_PER_SEC_R4,
