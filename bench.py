@@ -234,11 +234,12 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         n_reads = make_dataset(tmp)
         # a fresh process runs its first TWO pipeline attempts ~2x slow
-        # (module D/A specifically; persists past sleeps, unaffected by
-        # MALLOC_ARENA_MAX — consistent with THP collapse of the C
-        # engine's heap, see NOTES r5). Time them as explicit warmup
-        # attempts and take the headline over warm steady state, with
-        # every number in the artifact.
+        # (modules D/A; CPU time stays flat while wall doubles with 3x
+        # involuntary context switches — a process-start-correlated
+        # effect of this shared VM, not our code; frequency ramp, malloc
+        # arenas, and THP all ruled out by experiment, NOTES r5). Time
+        # them as explicit warmup attempts and take the headline over
+        # warm steady state, with every number in the artifact.
         warmup_rps = _run_times(tmp, "hostw",
                                 PipelineConfig(threads=threads),
                                 n_reads, attempts=2)
@@ -336,8 +337,9 @@ def main():
         "value_spread": [round(x, 2) for x in host_rps],
         "warmup_reads_per_s": [round(x, 2) for x in warmup_rps],
         "value_spread_note": "a fresh process's first two attempts run "
-                             "~2x slow (one-time warmup: native build "
-                             "check, imports, page/THP state); they are "
+                             "~2x slow (box-level, process-start-"
+                             "correlated: CPU time stays flat while "
+                             "wall doubles; see NOTES r5); they are "
                              "timed and reported as warmup_reads_per_s, "
                              "and the headline is the median of the "
                              "five warm attempts that follow",
