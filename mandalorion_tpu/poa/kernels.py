@@ -621,7 +621,10 @@ class NativePoaGraph:
 
     def close(self) -> None:
         if getattr(self, "_h", None):
-            self._lib.poa_graph_free_c(self._h)
+            try:
+                self._lib.poa_graph_free_c(self._h)
+            except Exception:
+                pass  # interpreter teardown may unload the lib first
             self._h = None
 
     __del__ = close
