@@ -88,3 +88,41 @@ def test_staged_via_public_map_batch(tmp_path):
                                             dp_backend="rowscan"))
     assert [str(r) for r in dev.map_batch(reads)] == \
         [str(r) for r in host.map_batch(reads)]
+
+
+def test_staged_multichromosome(tmp_path):
+    """Candidates split per chromosome and must iterate read -> strand ->
+    chromosome ASCENDING in the native seed stage, matching the Python
+    staging's pick order — a 3-chromosome genome exercises the ordering
+    and the cross-chromosome tie-breaks end to end."""
+    import numpy as np
+    sys_path = __import__("sys").path
+    import synthdata
+    from mandalorion_tpu.io.fastx import revcomp
+
+    rng = np.random.default_rng(5)
+    genomes = {}
+    reads = []
+    for ci in range(3):
+        chrom = f"chr{ci + 1}"
+        genome = synthdata.make_genome(25_000, seed=300 + ci)
+        base = 4000
+        exons = [(base, base + 400), (base + 1500, base + 2000),
+                 (base + 3500, base + 3900)]
+        strand = "+" if ci % 2 == 0 else "-"
+        genome = synthdata.plant_introns(genome, exons, strand=strand)
+        t = synthdata.transcript_seq(genome, exons)
+        if strand == "-":
+            t = revcomp(t)
+        for k in range(15):
+            r, _ = synthdata.mutate_read(t, rng, 0.03)
+            reads.append((f"c{ci}r{k}", r))
+        genomes[chrom] = genome
+
+    host = SpliceAligner(genomes, AlignConfig())
+    dev = SpliceAligner(genomes, AlignConfig(chain_backend="device",
+                                             dp_backend="rowscan"))
+    out_staged = dev._map_batch_device_staged(reads)
+    assert out_staged is not None
+    assert [str(r) for r in out_staged] == \
+        [str(r) for r in host.map_batch(reads)]
