@@ -126,3 +126,37 @@ def test_staged_multichromosome(tmp_path):
     assert out_staged is not None
     assert [str(r) for r in out_staged] == \
         [str(r) for r in host.map_batch(reads)]
+
+
+def test_staged_seed_capacity_retry_and_cross_chrom_candidates(tmp_path):
+    """Reads homologous to ALL chromosomes produce 2*chroms candidates
+    per read — more than the seed stage's initial 2-per-read capacity
+    guess, so the -needed retry path runs; the best-candidate pick must
+    still match the Python staging's strict-> order across chromosomes
+    (first chromosome wins score ties)."""
+    import numpy as np
+    import synthdata
+
+    rng = np.random.default_rng(9)
+    core = synthdata.make_genome(6000, seed=77)
+    genomes = {}
+    for ci in range(6):
+        # same core sequence on every chromosome, lightly diverged on
+        # all but chr1 so chr1 wins most picks but others still seed
+        g = list(core)
+        for _ in range(ci * 25):
+            p = int(rng.integers(0, len(g)))
+            g[p] = "ACGT"[int(rng.integers(0, 4))]
+        genomes[f"chr{ci + 1}"] = "".join(g)
+    reads = []
+    for k in range(20):
+        r, _ = synthdata.mutate_read(core[500:3500], rng, 0.02)
+        reads.append((f"r{k}", r))
+    # 20 reads x 2 orientations x up-to-6 chromosomes > the initial
+    # cap of max(64, 2*n_reads): the -needed retry must run
+    host = SpliceAligner(genomes, AlignConfig())
+    dev = SpliceAligner(genomes, AlignConfig(chain_backend="device",
+                                             dp_backend="rowscan"))
+    out = dev._map_batch_device_staged(reads)
+    assert out is not None
+    assert [str(r) for r in out] == [str(r) for r in host.map_batch(reads)]
